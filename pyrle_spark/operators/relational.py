@@ -1,0 +1,563 @@
+"""RLE algebra expressed as relational DataFrame operators.
+
+Each operator here is the *pure Catalyst* form of a reference operation
+(see SURVEY.md §2 for the mapping): gaps-and-islands for encode,
+window cumsum for coverage, boundary-union + as-of fill for run-aligned
+binary ops, conditional join for range extraction.  Every function takes
+``(spark, sf_dir)`` and returns a DataFrame whose columns are aliased to
+match the duckdb oracle in :data:`ORACLE_SQL` — the driver's correctness
+gate compares them value-by-value.
+
+Scale note: these forms keep windows partitioned by a real key
+(source / event_type), so Catalyst parallelizes them; the two
+deliberately-global windows (``rle_add_step``) exist for oracle parity
+of the boundary-union algorithm — the production path for that operation
+is the kernel inside :mod:`pyrle_spark.operators.rleframe`, which
+co-partitions by key and never sees a global window.
+
+Reference parity (file:line in /root/reference):
+- encode      → pyrle/rle.py:34-64 (find_runs)
+- coverage    → pyrle/src/coverage.pyx:28-81, pyrle/methods.py:139-156
+- add         → pyrle/src/rle.pyx:20-78 (two-pointer boundary walk)
+- defragment  → pyrle/src/coverage.pyx:87-183
+- getitems    → pyrle/src/getitem.pyx:201-325
+- shift       → pyrle/rle.py:1000-1095
+- mean quirk  → pyrle/rle.py:945-959 (sum(values)/length, unweighted)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------- encode
+
+
+def rle_encode_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLE-encode documents.lang within each source (ordered by doc_id).
+
+    Gaps-and-islands: global row number minus per-value row number is
+    constant within a run.  Windows are partitioned by ``source`` so the
+    plan shuffles once on the partition key and parallelizes per group.
+    """
+    docs = load(spark, sf_dir, "documents").select("source", "lang", "doc_id")
+    w = W.partitionBy("source").orderBy("doc_id")
+    wv = W.partitionBy("source", "lang").orderBy("doc_id")
+    base = docs.select(
+        "source",
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        F.row_number().over(wv).alias("rnv"),
+    )
+    return (
+        base.groupBy("source", "lang", (F.col("rn") - F.col("rnv")).alias("grp"))
+        .agg(
+            (F.min("rn") - F.lit(1)).alias("start_pos"),
+            F.count(F.lit(1)).alias("run_len"),
+        )
+        .select("source", "start_pos", F.col("lang").alias("value"), "run_len")
+    )
+
+
+_RLE_ENCODE_LANG_SQL = """
+WITH base AS (
+  SELECT source, lang,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+         row_number() OVER (PARTITION BY source, lang ORDER BY doc_id) AS rnv
+  FROM documents
+)
+SELECT source, min(rn) - 1 AS start_pos, lang AS value, count(*) AS run_len
+FROM base GROUP BY source, lang, rn - rnv
+"""
+
+
+def rle_roundtrip_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode(encode(lang)) — positions exploded back out of the runs;
+    the oracle is the *identity* (positions straight off the raw table),
+    so this checks the round-trip invariant end-to-end."""
+    runs = rle_encode_lang(spark, sf_dir)
+    return runs.select(
+        "source",
+        F.explode(
+            F.sequence(F.col("start_pos"), F.col("start_pos") + F.col("run_len") - 1)
+        ).alias("pos"),
+        "value",
+    )
+
+
+_RLE_ROUNDTRIP_LANG_SQL = """
+SELECT source,
+       row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS pos,
+       lang AS value
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------- coverage
+
+
+def _event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic intervals derived from the events table
+    (testdata has no interval table): [event_id % 997, +1 + user_id % 49)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_type",
+        (F.col("event_id") % 997).alias("s"),
+        (F.col("event_id") % 997 + 1 + F.col("user_id") % 49).alias("e"),
+    )
+
+
+_EVENT_INTERVALS_SQL = """
+  SELECT event_type, event_id % 997 AS s,
+         event_id % 997 + 1 + user_id % 49 AS e
+  FROM events
+"""
+
+
+def coverage_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coverage as a step function per event_type: +1/-1 boundary
+    events → per-position delta sums → running cumsum → runs from
+    position diffs.  Pure window aggregation (coverage.pyx:28-81 analog)."""
+    iv = _event_intervals(spark, sf_dir)
+    ev = iv.select("event_type", F.col("s").alias("pos"), F.lit(1.0).alias("d")).unionAll(
+        iv.select("event_type", F.col("e").alias("pos"), F.lit(-1.0).alias("d"))
+    )
+    agg = ev.groupBy("event_type", "pos").agg(F.sum("d").alias("d"))
+    w = W.partitionBy("event_type").orderBy("pos")
+    cum = agg.select(
+        "event_type",
+        "pos",
+        F.sum("d").over(w).alias("cov_value"),
+        (F.lead("pos").over(w) - F.col("pos")).alias("run_len"),
+    )
+    return cum.filter(F.col("run_len").isNotNull()).select(
+        "event_type", F.col("pos").alias("start_pos"), "run_len", "cov_value"
+    )
+
+
+_COVERAGE_EVENTS_SQL = f"""
+WITH iv AS ({_EVENT_INTERVALS_SQL}),
+ev AS (
+  SELECT event_type, s AS pos, 1.0 AS d FROM iv
+  UNION ALL
+  SELECT event_type, e AS pos, -1.0 AS d FROM iv
+),
+agg AS (SELECT event_type, pos, sum(d) AS d FROM ev GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, pos,
+         sum(d) OVER (PARTITION BY event_type ORDER BY pos) AS cov_value,
+         lead(pos) OVER (PARTITION BY event_type ORDER BY pos) - pos AS run_len
+  FROM agg
+)
+SELECT event_type, pos AS start_pos, run_len, cov_value
+FROM cum WHERE run_len IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------- binary op
+
+
+def rle_add_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-aligned addition of two step functions (click + view coverage):
+    union both sides' boundaries, as-of fill each side with
+    last(value, ignorenulls) over position order, add, re-run-length.
+
+    This is the pure-SQL form of the reference's two-pointer merge kernel
+    (rle.pyx:20-78) — the positional full-outer as-of join of SURVEY §2.3."""
+    cov = coverage_events(spark, sf_dir)
+    a = cov.filter(F.col("event_type") == "click").select(
+        F.col("start_pos").alias("pos"), F.col("cov_value").alias("av")
+    )
+    b = cov.filter(F.col("event_type") == "view").select(
+        F.col("start_pos").alias("pos"), F.col("cov_value").alias("bv")
+    )
+    joined = a.join(b, "pos", "full_outer")
+    w = W.orderBy("pos")
+    filled = joined.select(
+        "pos",
+        F.coalesce(F.last("av", ignorenulls=True).over(w), F.lit(0.0)).alias("af"),
+        F.coalesce(F.last("bv", ignorenulls=True).over(w), F.lit(0.0)).alias("bf"),
+    )
+    out = filled.select(
+        F.col("pos").alias("start_pos"),
+        (F.lead("pos").over(w) - F.col("pos")).alias("run_len"),
+        (F.col("af") + F.col("bf")).alias("sum_value"),
+    )
+    return out.filter(F.col("run_len").isNotNull())
+
+
+_RLE_ADD_STEP_SQL = f"""
+WITH cov AS ({_COVERAGE_EVENTS_SQL}),
+a AS (SELECT start_pos AS pos, cov_value AS av FROM cov WHERE event_type = 'click'),
+b AS (SELECT start_pos AS pos, cov_value AS bv FROM cov WHERE event_type = 'view'),
+joined AS (
+  SELECT coalesce(a.pos, b.pos) AS pos, a.av, b.bv
+  FROM a FULL OUTER JOIN b ON a.pos = b.pos
+),
+filled AS (
+  SELECT pos,
+         coalesce(last_value(av IGNORE NULLS) OVER (ORDER BY pos), 0) AS af,
+         coalesce(last_value(bv IGNORE NULLS) OVER (ORDER BY pos), 0) AS bf
+  FROM joined
+)
+SELECT pos AS start_pos,
+       lead(pos) OVER (ORDER BY pos) - pos AS run_len,
+       af + bf AS sum_value
+FROM filled QUALIFY run_len IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------- defragment
+
+
+def defragment_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Defragment: remap run values onto a coarser alphabet (first letter
+    of lang — 'en'/'es' collide) then merge now-adjacent equal runs.
+    Gaps-and-islands re-merge (coverage.pyx:87-183 analog)."""
+    runs = rle_encode_lang(spark, sf_dir).select(
+        "source", "start_pos", F.substring("value", 1, 1).alias("v"), "run_len"
+    )
+    w = W.partitionBy("source").orderBy("start_pos")
+    marked = runs.select(
+        "source",
+        "start_pos",
+        "v",
+        "run_len",
+        F.when(
+            F.lag("v").over(w).isNull() | (F.lag("v").over(w) != F.col("v")), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    grp = marked.withColumn("grp", F.sum("chg").over(w))
+    return (
+        grp.groupBy("source", "grp")
+        .agg(
+            F.min("start_pos").alias("start_pos"),
+            F.min("v").alias("value"),
+            F.sum("run_len").alias("run_len"),
+        )
+        .select("source", "start_pos", "value", "run_len")
+    )
+
+
+_DEFRAGMENT_RUNS_SQL = f"""
+WITH runs AS ({_RLE_ENCODE_LANG_SQL}),
+mapped AS (
+  SELECT source, start_pos, substr(value, 1, 1) AS v, run_len FROM runs
+),
+marked AS (
+  SELECT source, start_pos, v, run_len,
+         CASE WHEN lag(v) OVER (PARTITION BY source ORDER BY start_pos) IS DISTINCT FROM v
+              THEN 1 ELSE 0 END AS chg
+  FROM mapped
+),
+grps AS (
+  SELECT *, sum(chg) OVER (PARTITION BY source ORDER BY start_pos) AS grp FROM marked
+)
+SELECT source, min(start_pos) AS start_pos, min(v) AS value, sum(run_len) AS run_len
+FROM grps GROUP BY source, grp
+"""
+
+
+# ------------------------------------------------------------------------ range join
+
+
+def getitems_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch range extraction (getitem.pyx:201-325 analog): small query
+    intervals × run table, overlap join, clip.  The query side is tiny and
+    broadcast — block-level pruning comes from the (start,end) predicates."""
+    runs = rle_encode_lang(spark, sf_dir).withColumn(
+        "end_pos", F.col("start_pos") + F.col("run_len")
+    )
+    sources = load(spark, sf_dir, "documents").select("source").distinct()
+    queries = sources.crossJoin(
+        spark.range(4).select(
+            F.col("id").alias("query_id"),
+            (F.col("id") * 7).alias("qstart"),
+            (F.col("id") * 7 + 5).alias("qend"),
+        )
+    )
+    joined = runs.join(
+        F.broadcast(queries),
+        (runs.source == queries.source)
+        & (runs.start_pos < queries.qend)
+        & (runs.end_pos > queries.qstart),
+    )
+    return joined.select(
+        runs.source,
+        "query_id",
+        "value",
+        (
+            F.least(runs.end_pos, queries.qend)
+            - F.greatest(runs.start_pos, queries.qstart)
+        ).alias("clipped_run"),
+    )
+
+
+_GETITEMS_RANGE_SQL = f"""
+WITH runs AS (
+  SELECT *, start_pos + run_len AS end_pos FROM ({_RLE_ENCODE_LANG_SQL})
+),
+queries AS (
+  SELECT s.source, g.query_id, g.query_id * 7 AS qstart, g.query_id * 7 + 5 AS qend
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS query_id) g
+)
+SELECT r.source, q.query_id, r.value,
+       least(r.end_pos, q.qend) - greatest(r.start_pos, q.qstart) AS clipped_run
+FROM runs r JOIN queries q
+  ON r.source = q.source AND r.start_pos < q.qend AND r.end_pos > q.qstart
+"""
+
+
+# ----------------------------------------------------------------------------- shift
+
+
+def shift_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logical-vector shift (rle.py:1000-1095) in decoded form: lag with
+    fill, per source ordered by doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("doc_id")
+    return docs.select(
+        "source",
+        "doc_id",
+        F.lag("lang", 1, "FILL").over(w).alias("prev_lang"),
+    )
+
+
+_SHIFT_LAG_SQL = """
+SELECT source, doc_id,
+       coalesce(lag(lang) OVER (PARTITION BY source ORDER BY doc_id), 'FILL') AS prev_lang
+FROM documents
+"""
+
+
+# ----------------------------------------------------------------------------- stats
+
+
+def rle_stats_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key Rle aggregates over the coverage step function, including
+    the reference's faithful quirks: mean = sum(values)/length
+    (rle.py:945-959, unweighted) plus the corrected weighted mean."""
+    cov = coverage_events(spark, sf_dir)
+    return cov.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.sum("run_len").alias("length"),
+        (F.sum("cov_value") / F.sum("run_len")).alias("mean_quirk"),
+        (
+            F.sum(F.col("cov_value") * F.col("run_len")) / F.sum("run_len")
+        ).alias("weighted_mean"),
+    )
+
+
+_RLE_STATS_COVERAGE_SQL = f"""
+WITH cov AS ({_COVERAGE_EVENTS_SQL})
+SELECT event_type,
+       count(*) AS n_runs,
+       sum(run_len) AS length,
+       sum(cov_value) / sum(run_len) AS mean_quirk,
+       sum(cov_value * run_len) / sum(run_len) AS weighted_mean
+FROM cov GROUP BY event_type
+"""
+
+
+def length_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant: sum(runs) == number of encoded rows (rle.py:917-943)."""
+    runs = rle_encode_lang(spark, sf_dir).groupBy("source").agg(
+        F.sum("run_len").alias("rle_length")
+    )
+    counts = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return runs.join(counts, "source").select(
+        "source",
+        "rle_length",
+        "n_rows",
+        (F.col("rle_length") == F.col("n_rows")).alias("ok"),
+    )
+
+
+_LENGTH_INVARIANT_SQL = f"""
+WITH runs AS ({_RLE_ENCODE_LANG_SQL})
+SELECT r.source, sum(r.run_len) AS rle_length, max(c.n_rows) AS n_rows,
+       sum(r.run_len) = max(c.n_rows) AS ok
+FROM runs r
+JOIN (SELECT source, count(*) AS n_rows FROM documents GROUP BY source) c
+  ON r.source = c.source
+GROUP BY r.source
+"""
+
+
+# ----------------------------------------------------------------------------- codecs
+
+
+def dict_encode_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary encoding: per-source sorted-dictionary codes for lang."""
+    docs = load(spark, sf_dir, "documents").select("source", "lang").distinct()
+    w = W.partitionBy("source").orderBy("lang")
+    return docs.select(
+        "source", "lang", (F.dense_rank().over(w) - 1).alias("code")
+    )
+
+
+_DICT_ENCODE_LANG_SQL = """
+SELECT source, lang, dense_rank() OVER (PARTITION BY source ORDER BY lang) - 1 AS code
+FROM (SELECT DISTINCT source, lang FROM documents)
+"""
+
+
+def for_encode_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-of-reference on timestamps: per event_type, delta from the
+    frame minimum in microseconds.  The deltas are what bit-packing
+    operates on in the codec pipeline."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type")
+    # parquet yields TIMESTAMP_NTZ; cast to LTZ under the UTC session —
+    # identical instant semantics to duckdb's naive-as-UTC epoch_us
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.select(
+        "event_type",
+        "event_id",
+        (us - F.min(us).over(w)).alias("delta_us"),
+    )
+
+
+_FOR_ENCODE_TS_SQL = """
+SELECT event_type, event_id,
+       epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY event_type) AS delta_us
+FROM events
+"""
+
+
+def bitpack_width_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-pack width planning: bits needed for (max-min) per event_type."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.min("user_id").alias("min_id"),
+        F.max("user_id").alias("max_id"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rng = F.col("max_id") - F.col("min_id")
+    return agg.select(
+        "event_type",
+        "min_id",
+        "max_id",
+        "n",
+        F.when(rng == 0, F.lit(0))
+        .otherwise(F.floor(F.log2(rng)) + 1)
+        .cast("long")
+        .alias("bit_width"),
+    )
+
+
+_BITPACK_WIDTH_EVENTS_SQL = """
+SELECT event_type, min(user_id) AS min_id, max(user_id) AS max_id, count(*) AS n,
+       CASE WHEN max(user_id) - min(user_id) = 0 THEN 0
+            ELSE CAST(floor(log2(max(user_id) - min(user_id))) + 1 AS BIGINT)
+       END AS bit_width
+FROM events GROUP BY event_type
+"""
+
+
+def codec_selector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stats-driven codec auto-selector expressed relationally:
+    per (source) group, cardinality / run ratio / avg length → rule table.
+    Same rules as :mod:`pyrle_spark.codecs.selector` (generalizing the
+    reference's divisor-content kernel choice, rle.py:740-743)."""
+    docs = load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("doc_id")
+    marked = docs.select(
+        "source",
+        "lang",
+        F.length("text").alias("text_len"),
+        F.when(
+            F.lag("lang").over(w).isNull() | (F.lag("lang").over(w) != F.col("lang")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    agg = marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("lang").alias("n_distinct"),
+        F.sum("chg").alias("n_runs"),
+        F.avg("text_len").alias("avg_text_len"),
+    )
+    run_ratio = F.col("n_runs") / F.col("n")
+    distinct_ratio = F.col("n_distinct") / F.col("n")
+    return agg.select(
+        "source",
+        "n",
+        "n_distinct",
+        "n_runs",
+        "avg_text_len",
+        F.when(run_ratio < 0.3, F.lit("rle"))
+        .when(distinct_ratio < 0.2, F.lit("dict"))
+        .otherwise(F.lit("fsst"))
+        .alias("chosen_codec"),
+    )
+
+
+_CODEC_SELECTOR_STATS_SQL = """
+WITH marked AS (
+  SELECT source, lang, length(text) AS text_len,
+         CASE WHEN lag(lang) OVER (PARTITION BY source ORDER BY doc_id)
+                   IS DISTINCT FROM lang THEN 1 ELSE 0 END AS chg
+  FROM documents
+),
+agg AS (
+  SELECT source, count(*) AS n, count(DISTINCT lang) AS n_distinct,
+         sum(chg) AS n_runs, avg(text_len) AS avg_text_len
+  FROM marked GROUP BY source
+)
+SELECT source, n, n_distinct, n_runs, avg_text_len,
+       CASE WHEN n_runs / n < 0.3 THEN 'rle'
+            WHEN n_distinct / n < 0.2 THEN 'dict'
+            ELSE 'fsst' END AS chosen_codec
+FROM agg
+"""
+
+
+QUERIES = {
+    "rle_encode_lang": rle_encode_lang,
+    "rle_roundtrip_lang": rle_roundtrip_lang,
+    "coverage_events": coverage_events,
+    "rle_add_step": rle_add_step,
+    "defragment_runs": defragment_runs,
+    "getitems_range": getitems_range,
+    "shift_lag": shift_lag,
+    "rle_stats_coverage": rle_stats_coverage,
+    "length_invariant": length_invariant,
+    "dict_encode_lang": dict_encode_lang,
+    "for_encode_ts": for_encode_ts,
+    "bitpack_width_events": bitpack_width_events,
+    "codec_selector_stats": codec_selector_stats,
+}
+
+ORACLE_SQL = {
+    "rle_encode_lang": _RLE_ENCODE_LANG_SQL,
+    "rle_roundtrip_lang": _RLE_ROUNDTRIP_LANG_SQL,
+    "coverage_events": _COVERAGE_EVENTS_SQL,
+    "rle_add_step": _RLE_ADD_STEP_SQL,
+    "defragment_runs": _DEFRAGMENT_RUNS_SQL,
+    "getitems_range": _GETITEMS_RANGE_SQL,
+    "shift_lag": _SHIFT_LAG_SQL,
+    "rle_stats_coverage": _RLE_STATS_COVERAGE_SQL,
+    "length_invariant": _LENGTH_INVARIANT_SQL,
+    "dict_encode_lang": _DICT_ENCODE_LANG_SQL,
+    "for_encode_ts": _FOR_ENCODE_TS_SQL,
+    "bitpack_width_events": _BITPACK_WIDTH_EVENTS_SQL,
+    "codec_selector_stats": _CODEC_SELECTOR_STATS_SQL,
+}
