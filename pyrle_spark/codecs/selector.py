@@ -1,0 +1,105 @@
+"""Stats-driven codec auto-selection.
+
+Generalizes the reference's content-based kernel choice (it inspects the
+divisor for zeros to pick a division kernel, /root/reference/pyrle/rle.py:740-743)
+into a per-chunk codec decision: one vectorized stats pass (row count,
+exact run count, distinct estimate, int range, delta range, avg string
+length) feeds a cost model; the winner is verified against the raw size
+so a bad pick can never inflate a chunk beyond raw+ε.
+
+Stats and choice are recorded in the Encoded meta so the pipeline's
+lineage manifest can report them per partition (north-rule requirement).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyrle_spark.codecs import bitpack as bp
+from pyrle_spark.codecs.rle_codec import exact_find_runs
+
+__all__ = ["column_stats", "choose_fixed", "choose_var"]
+
+
+def column_stats(kind: str, payload) -> dict:
+    """One vectorized pass of selector statistics."""
+    if kind == "fixed":
+        arr = payload
+        n = len(arr)
+        runs, _ = exact_find_runs(arr)
+        stats = {"n": n, "n_runs": int(len(runs))}
+        if arr.dtype.kind in "iu" and n:
+            stats["vmin"] = int(arr.min())
+            stats["vmax"] = int(arr.max())
+            stats["for_bits"] = bp.est_bits_for(arr)
+            stats["delta_bits"] = bp.est_bits_delta(arr)
+        # distinct estimate from a bounded sample
+        sample = arr[: min(n, 4096)]
+        stats["distinct_est"] = int(len(np.unique(sample)))
+        return stats
+    offsets, data = payload
+    n = len(offsets) - 1
+    lens = np.diff(offsets)
+    sample_n = min(n, 2048)
+    if sample_n:
+        # distinct estimate via hash of (len, first bytes) — cheap proxy
+        import pyarrow as pa
+
+        head = pa.Array.from_buffers(
+            pa.large_binary(),
+            sample_n,
+            [None,
+             pa.py_buffer(np.ascontiguousarray(offsets[: sample_n + 1], np.int64).tobytes()),
+             pa.py_buffer(data)],
+        )
+        distinct = len(head.unique())
+    else:
+        distinct = 0
+    return {
+        "n": n,
+        "avg_len": float(lens.mean()) if n else 0.0,
+        "total_bytes": int(offsets[-1]) if n else 0,
+        "distinct_est": distinct,
+        "sample_n": sample_n,
+    }
+
+
+def choose_fixed(stats: dict, dtype_kind: str) -> str:
+    """Rule/cost table for fixed-width columns."""
+    n = stats["n"]
+    if n == 0:
+        return "raw"
+    run_ratio = stats["n_runs"] / n
+    if dtype_kind in "iu":
+        # candidate bit costs
+        width_bits = 64
+        for_bits = stats.get("for_bits", n * 64)
+        delta_bits = stats.get("delta_bits", n * 64)
+        # rle cost: runs need ~ (value width + run width) each
+        rle_bits = stats["n_runs"] * 2 * max(for_bits // max(n, 1), 8)
+        best = min(
+            ("rle", rle_bits) if run_ratio < 0.5 else ("rle", float("inf")),
+            ("delta", delta_bits),
+            ("for", for_bits),
+            key=lambda kv: kv[1],
+        )
+        if best[1] < n * width_bits:
+            return best[0]
+        return "raw"
+    # floats: rle only helps with long exact runs; otherwise raw bits
+    if run_ratio < 0.5:
+        return "rle"
+    return "raw"
+
+
+def choose_var(stats: dict) -> str:
+    """Rule table for string/binary columns."""
+    n = stats["n"]
+    if n == 0:
+        return "raw"
+    distinct_ratio = stats["distinct_est"] / max(stats["sample_n"], 1)
+    if distinct_ratio < 0.5:
+        return "dict"
+    if stats["avg_len"] >= 8:
+        return "fsst"
+    return "raw"

@@ -1,0 +1,180 @@
+"""Codec correctness: decode(encode(x)) must be bit-identical for every
+codec and every supported arrow type — the north-rule contract.
+
+Property-based over int64/float64/string/binary/timestamp/bool columns
+with nulls, NaNs, -0.0, empty strings, non-ASCII bytes; plus explicit
+checks that each codec actually compresses its favourable shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyrle_spark import codecs
+from pyrle_spark.codecs import Encoded, decode_array, encode_array, encode_with
+from pyrle_spark.codecs.fsst import decode_buffer, encode_buffer, train
+
+MAX_EXAMPLES = 60
+
+
+def roundtrip(enc: Encoded, arr: pa.Array, via_row: bool = True):
+    if via_row:
+        enc = Encoded.from_row(enc.to_row())
+    out = decode_array(enc)
+    assert out.type == arr.type, (out.type, arr.type)
+    assert len(out) == len(arr)
+    if pa.types.is_floating(arr.type):
+        # bit-identity, not just value equality: compare raw bits incl. NaN
+        a = np.asarray(arr.fill_null(0.0)).view(np.uint64)
+        b = np.asarray(out.fill_null(0.0)).view(np.uint64)
+        assert np.array_equal(a, b)
+        assert arr.is_null().equals(out.is_null())
+    else:
+        assert out.equals(arr), f"{arr[:10]} != {out[:10]}"
+
+
+# ------------------------------------------------------------------ strategies
+
+ints = st.lists(st.integers(-(2**40), 2**40), max_size=200)
+runs_ints = st.lists(
+    st.tuples(st.integers(1, 20), st.integers(-100, 100)), max_size=30
+)
+floats = st.lists(
+    st.floats(allow_nan=True, allow_infinity=True, width=64), max_size=100
+)
+texts = st.lists(st.text(max_size=40), max_size=60)
+blobs = st.lists(st.binary(max_size=40), max_size=60)
+
+
+def _with_nulls(values, draw_nulls):
+    return [None if n else v for v, n in zip(values, draw_nulls)]
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None)
+@given(ints, st.data())
+def test_int_codecs_roundtrip(xs, data):
+    nulls = data.draw(st.lists(st.booleans(), min_size=len(xs), max_size=len(xs)))
+    arr = pa.array(_with_nulls(xs, nulls), type=pa.int64())
+    for codec in ["rle", "for", "delta", "raw"]:
+        roundtrip(encode_with(codec, arr), arr)
+    roundtrip(encode_array(arr), arr)
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None)
+@given(runs_ints)
+def test_runny_ints_pick_rle_and_compress(pairs):
+    xs = [v for r, v in pairs for _ in range(r)]
+    arr = pa.array(xs, type=pa.int64())
+    enc = encode_with("rle", arr)
+    roundtrip(enc, arr)
+    if len(xs) > 50:
+        assert enc.nbytes < len(xs) * 8
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None)
+@given(floats)
+def test_float_codecs_roundtrip(xs):
+    arr = pa.array(xs, type=pa.float64())
+    for codec in ["rle", "raw"]:
+        roundtrip(encode_with(codec, arr), arr)
+    roundtrip(encode_array(arr), arr)
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None)
+@given(texts, st.data())
+def test_string_codecs_roundtrip(xs, data):
+    nulls = data.draw(st.lists(st.booleans(), min_size=len(xs), max_size=len(xs)))
+    arr = pa.array(_with_nulls(xs, nulls), type=pa.string())
+    for codec in ["dict", "fsst", "raw"]:
+        roundtrip(encode_with(codec, arr), arr)
+    roundtrip(encode_array(arr), arr)
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None)
+@given(blobs)
+def test_binary_codecs_roundtrip(xs):
+    arr = pa.array(xs, type=pa.binary())
+    for codec in ["dict", "fsst", "raw"]:
+        roundtrip(encode_with(codec, arr), arr)
+    roundtrip(encode_array(arr), arr)
+
+
+def test_timestamp_roundtrip():
+    arr = pa.array(
+        [1_700_000_000_000_000 + i * 1000 for i in range(100)] + [None],
+        type=pa.timestamp("us"),
+    )
+    for codec in ["delta", "for", "rle", "raw"]:
+        roundtrip(encode_with(codec, arr), arr)
+    auto = encode_array(arr)
+    assert auto.codec == "delta"  # sorted timestamps → delta wins
+    roundtrip(auto, arr)
+
+
+def test_bool_roundtrip():
+    arr = pa.array([True, True, False, None, False] * 10, type=pa.bool_())
+    roundtrip(encode_with("raw", arr), arr)
+    roundtrip(encode_array(arr), arr)
+
+
+# ------------------------------------------------------------------ fsst internals
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None)
+@given(st.lists(st.binary(max_size=60), min_size=1, max_size=40))
+def test_fsst_buffer_roundtrip(items):
+    data = np.frombuffer(b"".join(items), dtype=np.uint8)
+    offsets = np.zeros(len(items) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in items], out=offsets[1:])
+    table = train(data, offsets)
+    enc, enc_off = encode_buffer(data, offsets, table)
+    dec, dec_off = decode_buffer(enc, enc_off, table)
+    assert np.array_equal(dec, data)
+    assert np.array_equal(dec_off, offsets)
+
+
+def test_fsst_compresses_english_text():
+    text = (
+        b"the quick brown fox jumps over the lazy dog and then the dog "
+        b"chases the fox around the barn again and again "
+    ) * 50
+    items = [text[i : i + 200] for i in range(0, len(text), 200)]
+    arr = pa.array(items, type=pa.binary())
+    enc = encode_with("fsst", arr)
+    raw = encode_with("raw", arr)
+    assert enc.nbytes < 0.75 * raw.nbytes, (enc.nbytes, raw.nbytes)
+    roundtrip(enc, arr)
+
+
+def test_dict_compresses_low_cardinality():
+    arr = pa.array((["en"] * 50 + ["de"] * 30 + ["fr"] * 20) * 10)
+    enc = encode_array(arr)
+    assert enc.codec.startswith("dict")
+    raw = encode_with("raw", arr)
+    assert enc.nbytes < 0.25 * raw.nbytes
+    roundtrip(enc, arr)
+
+
+def test_auto_never_worse_than_raw():
+    rng = np.random.default_rng(0)
+    noise = rng.integers(0, 2**63 - 1, 500, dtype=np.int64)
+    arr = pa.array(noise, type=pa.int64())
+    enc = encode_array(arr)
+    assert enc.nbytes <= 500 * 8 + 512  # raw + metadata epsilon
+
+
+def test_negative_zero_and_nan_bits_preserved():
+    xs = np.array([0.0, -0.0, np.nan, np.nan, 1.0], dtype=np.float64)
+    # make a distinct NaN payload
+    xs_bits = xs.view(np.uint64).copy()
+    xs_bits[3] = 0x7FF8DEADBEEF0000
+    xs = xs_bits.view(np.float64)
+    arr = pa.array(xs, type=pa.float64())
+    for codec in ["rle", "raw"]:
+        enc = encode_with(codec, arr)
+        out = decode_array(Encoded.from_row(enc.to_row()))
+        assert np.array_equal(np.asarray(out).view(np.uint64), xs_bits)
