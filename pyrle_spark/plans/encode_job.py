@@ -1,0 +1,431 @@
+"""The distributed encode/decode pipeline.
+
+Design (scale-first, see SURVEY.md §3.1/§4.2):
+
+- The table is cut into fixed logical **blocks** of ``block_rows`` rows
+  by an explicit order column (``block_id = floor(order / block_rows)``).
+  Blocks are a property of the *data*, never of the parallelism level —
+  the same input produces byte-identical encoded blocks at local[8] and
+  local[32] (the N vs 4N determinism requirement).
+- One groupBy-free ``mapInArrow`` pass does all column encoding: rows
+  arrive sorted by (block_id, order) within each partition, the encoder
+  streams through batches and flushes one Encoded row per (block,
+  column) at block boundaries.  No Python row loops — the codec kernels
+  are vectorized numpy/pyarrow over whole Arrow buffers.
+- If the input is already **block-aligned** (one partition per block —
+  e.g. the deterministic generator, or an Iceberg scan whose splits were
+  planned on block boundaries), the shuffle is skipped entirely; task
+  count scales with block count, executors just drain the task queue.
+  Otherwise one hash repartition on block_id restores block integrity.
+- Output is an Iceberg-style table (sources/icetable.py) of encoded
+  rows; every snapshot carries per-partition **lineage** rows (blocks,
+  rows, bytes in/out, codecs, MB/s, checksums) in its manifest.
+- **Resume**: a rerun anti-joins the input against the committed block
+  ids of the current snapshot and encodes only the remainder — driver
+  state stays O(1); the committed-set lives in the table, not in memory.
+- Decode reverses the pass (same streaming mapInArrow, one row group per
+  block) and is verified against stored crc32 checksums per
+  (block, column) — no join against the source needed at scale.
+
+Reference parity: the per-block (runs, values) storage generalizes
+pyrle's Rle arrays (/root/reference/pyrle/rle.py:139-147); the stats-
+driven codec choice generalizes its divisor-content kernel dispatch
+(rle.py:740-743); ray-per-key parallelism (rledict.py:155-176) becomes
+Spark tasks.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyrle_spark.codecs import Encoded, decode_array, encode_array
+from pyrle_spark.codecs.base import arrow_to_payload
+from pyrle_spark.sources.icetable import IceTable
+
+__all__ = ["EncodeConfig", "encode_table", "decode_table", "verify_checksums"]
+
+ENCODED_SPARK_SCHEMA = (
+    "block_id long, column string, codec string, arrow_type string, "
+    "n_rows long, meta string, buffers map<string,binary>, "
+    "bytes_in long, bytes_out long, encode_ns long, crc32 long, "
+    "n_runs long, part_id int"
+)
+
+_ENCODED_PA_SCHEMA = pa.schema(
+    [
+        ("block_id", pa.int64()),
+        ("column", pa.string()),
+        ("codec", pa.string()),
+        ("arrow_type", pa.string()),
+        ("n_rows", pa.int64()),
+        ("meta", pa.string()),
+        ("buffers", pa.map_(pa.string(), pa.binary())),
+        ("bytes_in", pa.int64()),
+        ("bytes_out", pa.int64()),
+        ("encode_ns", pa.int64()),
+        ("crc32", pa.int64()),
+        ("n_runs", pa.int64()),
+        ("part_id", pa.int32()),
+    ]
+)
+
+
+@dataclass
+class EncodeConfig:
+    columns: list
+    order_col: str = "doc_seq"
+    block_rows: int = 65536
+    block_aligned: bool = False
+    zstd_threshold: float = 0.9
+    shuffle_partitions: int | None = None
+    properties: dict = field(default_factory=dict)
+
+
+def payload_checksum(arr: pa.Array) -> int:
+    """crc32 over the logical payload bytes (values + offsets + validity);
+    identical for an array and its decode(encode(·)) round trip."""
+    kind, payload, validity = arrow_to_payload(arr)
+    crc = 0
+    if kind == "var":
+        offsets, data = payload
+        crc = zlib.crc32(np.ascontiguousarray(offsets).tobytes(), crc)
+        crc = zlib.crc32(data, crc)
+    else:
+        crc = zlib.crc32(np.ascontiguousarray(payload).tobytes(), crc)
+    if validity is not None:
+        crc = zlib.crc32(np.packbits(validity).tobytes(), crc)
+    return crc
+
+
+def _input_nbytes(arr: pa.Array) -> int:
+    kind, payload, validity = arrow_to_payload(arr)
+    if kind == "var":
+        offsets, data = payload
+        n = len(data) + offsets.nbytes
+    else:
+        n = payload.nbytes
+    if validity is not None:
+        n += (len(arr) + 7) // 8
+    return n
+
+
+def _flush_block(block_id: int, cols: dict, part_id: int, zstd_threshold: float):
+    rows = {k: [] for k in _ENCODED_PA_SCHEMA.names}
+    for colname, chunks in cols.items():
+        arr = pa.concat_arrays(chunks) if len(chunks) > 1 else chunks[0]
+        t0 = time.perf_counter_ns()
+        enc = encode_array(arr, zstd_threshold=zstd_threshold)
+        dt = time.perf_counter_ns() - t0
+        stats = enc.meta.get("stats", {})
+        rows["block_id"].append(block_id)
+        rows["column"].append(colname)
+        rows["codec"].append(enc.codec)
+        rows["arrow_type"].append(enc.arrow_type)
+        rows["n_rows"].append(enc.n_rows)
+        rows["meta"].append(json.dumps(enc.meta, separators=(",", ":")))
+        rows["buffers"].append(list(enc.buffers.items()))
+        rows["bytes_in"].append(_input_nbytes(arr))
+        rows["bytes_out"].append(enc.nbytes)
+        rows["encode_ns"].append(dt)
+        rows["crc32"].append(payload_checksum(arr))
+        rows["n_runs"].append(stats.get("n_runs"))
+        rows["part_id"].append(part_id)
+    return pa.RecordBatch.from_pydict(rows, schema=_ENCODED_PA_SCHEMA)
+
+
+def _make_encode_fn(columns: list, zstd_threshold: float):
+    def encode_stream(batches):
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx else -1
+        cur_bid = None
+        acc: dict = {}
+        for batch in batches:
+            bids = batch.column("_block_id").to_numpy(zero_copy_only=False)
+            if len(bids) == 0:
+                continue
+            # segments of constant block id (rows are sorted by block)
+            change = np.nonzero(np.diff(bids))[0] + 1
+            seg_bounds = np.concatenate(([0], change, [len(bids)]))
+            for s, e in zip(seg_bounds[:-1], seg_bounds[1:]):
+                bid = int(bids[s])
+                if bid != cur_bid:
+                    if cur_bid is not None:
+                        yield _flush_block(cur_bid, acc, part_id, zstd_threshold)
+                    cur_bid = bid
+                    acc = {c: [] for c in columns}
+                for c in columns:
+                    acc[c].append(batch.column(c).slice(int(s), int(e - s)))
+        if cur_bid is not None:
+            yield _flush_block(cur_bid, acc, part_id, zstd_threshold)
+
+    return encode_stream
+
+
+def encode_table(
+    spark: SparkSession, df: DataFrame, out_dir: str, config: EncodeConfig
+) -> dict:
+    """Encode ``config.columns`` of ``df`` into the Iceberg-style table at
+    ``out_dir``.  Returns a summary dict (also recorded in the snapshot
+    manifest as lineage)."""
+    cols = list(config.columns)
+    base = df.select(
+        F.col(config.order_col).alias("_order"),
+        *[F.col(c) for c in cols],
+    ).withColumn(
+        "_block_id", F.floor(F.col("_order") / F.lit(config.block_rows)).cast("long")
+    )
+    table = IceTable(out_dir)
+    resumed_blocks = 0
+    if table.exists():
+        # Only COMPLETE blocks are resumable: a partial trailing block from
+        # an earlier pass (input grew, or kill mid-range) must be re-encoded;
+        # the new complete row supersedes it via max-n_rows dedup on read.
+        committed = (
+            table.read_table(spark)
+            .filter(F.col("n_rows") == config.block_rows)
+            .select("block_id")
+            .distinct()
+        )
+        base = base.join(
+            committed,
+            base["_block_id"] == committed["block_id"],
+            "left_anti",
+        )
+        resumed_blocks = committed.count()
+    work = base
+    if not config.block_aligned:
+        nparts = config.shuffle_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        work = work.repartition(nparts, "_block_id")
+    work = work.sortWithinPartitions("_block_id", "_order")
+    encoded = work.mapInArrow(
+        _make_encode_fn(cols, config.zstd_threshold), ENCODED_SPARK_SCHEMA
+    )
+    t0 = time.time()
+    snap_id = table.write_snapshot(
+        encoded,
+        mode="append",
+        properties={
+            "kind": "encoded_blocks",
+            "block_rows": config.block_rows,
+            "order_col": config.order_col,
+            "columns": cols,
+            **config.properties,
+        },
+    )
+    wall_s = time.time() - t0
+    # lineage: per-partition metrics aggregated from THIS pass's files only
+    manifest0 = table._manifest(snap_id)
+    added = [f["path"] for f in manifest0["files"][-manifest0["added_files"]:]]
+    enc_df = (
+        spark.read.parquet(*added)
+        if added
+        else table.read_table(spark, snap_id).limit(0)
+    )
+    lineage_rows = [
+        r.asDict()
+        for r in (
+            enc_df.groupBy("part_id")
+            .agg(
+                F.countDistinct("block_id").alias("blocks"),
+                F.sum(
+                    F.when(F.col("column") == cols[0], F.col("n_rows")).otherwise(0)
+                ).alias("rows"),
+                F.sum("bytes_in").alias("bytes_in"),
+                F.sum("bytes_out").alias("bytes_out"),
+                F.sum("encode_ns").alias("encode_ns"),
+            )
+            .collect()
+        )
+    ]
+    per_column = [
+        r.asDict()
+        for r in (
+            enc_df.groupBy("column", "codec")
+            .agg(
+                F.count(F.lit(1)).alias("blocks"),
+                F.sum("bytes_in").alias("bytes_in"),
+                F.sum("bytes_out").alias("bytes_out"),
+                F.sum("n_runs").alias("runs_emitted"),
+            )
+            .collect()
+        )
+    ]
+    for row in lineage_rows:
+        ns = max(row["encode_ns"], 1)
+        row["encode_mb_per_s"] = round(row["bytes_in"] / 1e6 / (ns / 1e9), 2)
+    summary = {
+        "snapshot_id": snap_id,
+        "wall_s": round(wall_s, 3),
+        "resumed_committed_blocks": resumed_blocks,
+        "bytes_in": int(sum(r["bytes_in"] for r in lineage_rows)) if lineage_rows else 0,
+        "bytes_out": int(sum(r["bytes_out"] for r in lineage_rows)) if lineage_rows else 0,
+        "partitions": lineage_rows,
+        "columns": per_column,
+    }
+    # attach lineage to the snapshot manifest (atomic re-commit of metadata)
+    import os
+
+    snap_path = os.path.join(out_dir, "metadata", f"snap-{snap_id}.json")
+    with open(snap_path) as f:
+        manifest = json.load(f)
+    manifest["properties"]["lineage"] = {
+        "partitions": lineage_rows,
+        "columns": per_column,
+        "wall_s": summary["wall_s"],
+    }
+    tmp = snap_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, default=str)
+    os.replace(tmp, snap_path)
+    return summary
+
+
+def dedup_blocks(enc: DataFrame) -> DataFrame:
+    """Per (block_id, column) keep the most complete row — a re-encoded
+    complete block supersedes an earlier partial one (resume semantics)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("block_id", "column").orderBy(F.desc("n_rows"))
+    return (
+        enc.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+# --------------------------------------------------------------------- decode
+
+
+def _make_decode_fn(block_rows: int):
+    def decode_stream(batches):
+        # rows: one per (block, column), sorted by (block_id, column)
+        cur_bid = None
+        pending: dict = {}
+
+        def flush(bid, cols):
+            arrays = {}
+            n = None
+            for colname, enc in cols.items():
+                arr = decode_array(enc)
+                arrays[colname] = arr
+                n = len(arr)
+            order = pa.array(
+                np.arange(n, dtype=np.int64) + bid * block_rows
+            )
+            names = ["_order"] + sorted(arrays)
+            cols_out = [order] + [arrays[c] for c in sorted(arrays)]
+            return pa.RecordBatch.from_arrays(cols_out, names=names)
+
+        for batch in batches:
+            d = batch.to_pylist()
+            for row in d:
+                bid = row["block_id"]
+                if bid != cur_bid:
+                    if cur_bid is not None and pending:
+                        yield flush(cur_bid, pending)
+                    cur_bid = bid
+                    pending = {}
+                pending[row["column"]] = Encoded(
+                    codec=row["codec"],
+                    arrow_type=row["arrow_type"],
+                    n_rows=row["n_rows"],
+                    meta=json.loads(row["meta"]),
+                    buffers=dict(row["buffers"]),  # map comes back as k/v tuples
+                )
+        if cur_bid is not None and pending:
+            yield flush(cur_bid, pending)
+
+    return decode_stream
+
+
+def decode_table(
+    spark: SparkSession,
+    table_dir: str,
+    columns: list | None = None,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """Decode an encoded-blocks table back to rows (with ``_order``)."""
+    table = IceTable(table_dir)
+    props = table.properties(snapshot_id)
+    block_rows = int(props["block_rows"])
+    all_cols = props["columns"]
+    cols = sorted(columns or all_cols)
+    enc = table.read_table(spark, snapshot_id)
+    if columns:
+        enc = enc.filter(F.col("column").isin(cols))  # column pruning
+    enc = dedup_blocks(enc)
+    enc = enc.repartition("block_id").sortWithinPartitions("block_id", "column")
+    out_schema = ", ".join(
+        ["_order long"]
+        + [f"{c} {_spark_type_of(props, c, spark, table_dir)}" for c in cols]
+    )
+    return enc.mapInArrow(_make_decode_fn(block_rows), out_schema)
+
+
+def _spark_type_of(props, col, spark, table_dir) -> str:
+    """Spark SQL type string for a decoded column, from its arrow type."""
+    table = IceTable(table_dir)
+    enc = table.read_table(spark)
+    at = (
+        enc.filter(F.col("column") == col)
+        .select("arrow_type")
+        .first()["arrow_type"]
+    )
+    mapping = {
+        "int64": "long",
+        "int32": "int",
+        "double": "double",
+        "float": "float",
+        "string": "string",
+        "large_string": "string",
+        "binary": "binary",
+        "large_binary": "binary",
+        "bool": "boolean",
+    }
+    if at.startswith("timestamp"):
+        return "timestamp_ntz" if "tz=" not in at else "timestamp"
+    return mapping[at]
+
+
+def verify_checksums(spark: SparkSession, table_dir: str) -> dict:
+    """Scalable decode verification: decode every block and compare the
+    recomputed payload crc32 with the one stored at encode time.  No
+    join against the source table."""
+    table = IceTable(table_dir)
+    enc = dedup_blocks(table.read_table(spark))
+
+    def check(batches):
+        ok = 0
+        bad = 0
+        for batch in batches:
+            for row in batch.to_pylist():
+                e = Encoded(
+                    codec=row["codec"],
+                    arrow_type=row["arrow_type"],
+                    n_rows=row["n_rows"],
+                    meta=json.loads(row["meta"]),
+                    buffers=dict(row["buffers"]),
+                )
+                arr = decode_array(e)
+                if payload_checksum(arr) == row["crc32"]:
+                    ok += 1
+                else:
+                    bad += 1
+        yield pa.RecordBatch.from_pydict(
+            {"ok": [ok], "bad": [bad]},
+            schema=pa.schema([("ok", pa.int64()), ("bad", pa.int64())]),
+        )
+
+    res = enc.mapInArrow(check, "ok long, bad long").groupBy().sum().collect()[0]
+    return {"ok": res[0] or 0, "bad": res[1] or 0}

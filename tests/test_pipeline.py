@@ -1,0 +1,159 @@
+"""End-to-end pipeline tests: webtext generation determinism, encode →
+decode bit-identity against the source, checksum verification, resume,
+and N-vs-4N output identity (parallelism-independence of the blocks)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from pyrle_spark.plans.encode_job import (
+    EncodeConfig,
+    decode_table,
+    encode_table,
+    verify_checksums,
+)
+from pyrle_spark.sources.icetable import IceTable
+from pyrle_spark.sources.webtext import extract_text, generate_webtext
+
+N_ROWS = 4000
+BLOCK = 500  # divides N_ROWS: the resume test needs complete blocks
+COLS = ["url", "warc_ts", "html", "text", "lang"]
+
+
+@pytest.fixture(scope="module")
+def webtext(spark):
+    return generate_webtext(spark, N_ROWS, n_hosts=50).cache()
+
+
+def test_webtext_deterministic_across_parallelism(spark):
+    a = generate_webtext(spark, 1000, n_hosts=20, n_partitions=2).orderBy("doc_seq")
+    b = generate_webtext(spark, 1000, n_hosts=20, n_partitions=16).orderBy("doc_seq")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_webtext_text_extractable_from_html(webtext):
+    bad = webtext.filter(extract_text(F.col("html")) != F.col("text")).count()
+    assert bad == 0
+
+
+def test_webtext_skew_exists(webtext):
+    top = webtext.groupBy("lang").count().orderBy(F.desc("count")).first()
+    assert top["lang"] == "en"
+    assert top["count"] > N_ROWS * 0.3  # hot key
+
+
+def test_encode_decode_roundtrip(spark, webtext, tmp_path):
+    out = str(tmp_path / "enc")
+    summary = encode_table(
+        spark, webtext, out, EncodeConfig(columns=COLS, block_rows=BLOCK)
+    )
+    assert summary["bytes_out"] < summary["bytes_in"]
+    # decode and compare every column against the source
+    dec = decode_table(spark, out)
+    src = webtext.select(F.col("doc_seq").alias("_order"), *COLS)
+    joined = dec.alias("d").join(src.alias("s"), "_order", "full_outer")
+    mismatches = joined.filter(
+        " OR ".join(
+            f"(d.{c} IS DISTINCT FROM s.{c})" for c in COLS
+        )
+    ).count()
+    assert mismatches == 0
+    assert dec.count() == N_ROWS
+    # checksums verify without touching the source
+    res = verify_checksums(spark, out)
+    assert res["bad"] == 0 and res["ok"] > 0
+
+
+def test_codec_choices_sensible(spark, webtext, tmp_path):
+    out = str(tmp_path / "enc2")
+    encode_table(spark, webtext, out, EncodeConfig(columns=COLS, block_rows=BLOCK))
+    enc = IceTable(out).read_table(spark)
+    codec_by_col = {
+        r["column"]: set(r["codecs"])
+        for r in enc.groupBy("column")
+        .agg(F.collect_set("codec").alias("codecs"))
+        .collect()
+    }
+    # lang: 32 distinct values → dict; warc_ts ints → for/delta family
+    assert codec_by_col["lang"] <= {"dict", "dict+zstd", "rle"}
+    assert codec_by_col["warc_ts"] <= {"for", "delta", "rle", "raw"}
+    # text/html: fsst or its zstd-wrapped variant (raw+zstd acceptable)
+    assert all(
+        c.split("+")[0] in ("fsst", "dict", "raw") for c in codec_by_col["text"]
+    )
+
+
+def test_resume_skips_committed_blocks(spark, webtext, tmp_path):
+    out = str(tmp_path / "enc3")
+    half = webtext.filter(F.col("doc_seq") < N_ROWS // 2)
+    s1 = encode_table(spark, half, out, EncodeConfig(columns=COLS, block_rows=BLOCK))
+    assert s1["resumed_committed_blocks"] == 0
+    # second pass with the full input: only the missing blocks are encoded
+    s2 = encode_table(spark, webtext, out, EncodeConfig(columns=COLS, block_rows=BLOCK))
+    assert s2["resumed_committed_blocks"] == (N_ROWS // 2) // BLOCK
+    table = IceTable(out)
+    assert len(table.snapshots()) == 2
+    enc = table.read_table(spark)
+    # no duplicate blocks, full coverage
+    per_block = enc.filter(F.col("column") == "lang").groupBy("block_id").count()
+    assert per_block.filter("count != 1").count() == 0
+    assert per_block.count() == N_ROWS // BLOCK
+    dec = decode_table(spark, out)
+    assert dec.count() == N_ROWS
+    # idempotent third pass: nothing left to encode
+    s3 = encode_table(spark, webtext, out, EncodeConfig(columns=COLS, block_rows=BLOCK))
+    assert s3["bytes_in"] == 0
+
+
+def test_partial_block_superseded_on_resume(spark, webtext, tmp_path):
+    """A partial trailing block from an earlier pass (input grew / killed
+    mid-range) is NOT treated as committed; the complete re-encode
+    supersedes it on the read path."""
+    out = str(tmp_path / "enc_partial")
+    block = 512  # does not divide 2000 → pass 1 leaves block 3 partial
+    half = webtext.filter(F.col("doc_seq") < 2000)
+    encode_table(spark, half, out, EncodeConfig(columns=["lang"], block_rows=block))
+    s2 = encode_table(
+        spark, webtext, out, EncodeConfig(columns=["lang"], block_rows=block)
+    )
+    assert s2["resumed_committed_blocks"] == 3  # only the complete blocks
+    dec = decode_table(spark, out)
+    assert dec.count() == N_ROWS  # no rows lost to the stale partial block
+    res = verify_checksums(spark, out)
+    assert res["bad"] == 0
+
+
+def test_output_identical_across_parallelism(spark, webtext, tmp_path):
+    """The N vs 4N contract: same input → byte-identical encoded blocks
+    regardless of shuffle width / task parallelism."""
+    outs = []
+    for i, nparts in enumerate((2, 16)):
+        out = str(tmp_path / f"enc_p{i}")
+        encode_table(
+            spark,
+            webtext,
+            out,
+            EncodeConfig(columns=COLS, block_rows=BLOCK, shuffle_partitions=nparts),
+        )
+        outs.append(
+            IceTable(out)
+            .read_table(spark)
+            .select("block_id", "column", "codec", "crc32", "bytes_out", "n_rows")
+        )
+    a, b = outs
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_lineage_recorded(spark, webtext, tmp_path):
+    out = str(tmp_path / "enc4")
+    encode_table(spark, webtext, out, EncodeConfig(columns=["lang"], block_rows=BLOCK))
+    table = IceTable(out)
+    lineage = table.properties()["lineage"]
+    assert lineage["partitions"], "per-partition lineage rows missing"
+    row = lineage["partitions"][0]
+    for key in ("blocks", "rows", "bytes_in", "bytes_out", "encode_mb_per_s"):
+        assert key in row
+    assert any(c["column"] == "lang" for c in lineage["columns"])
