@@ -1,0 +1,152 @@
+"""Headline benchmark: one JSON line for the driver.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]:
+
+- q_encode_webtext: generate deterministic webtext sized to the scale
+  factor and run the full block-encode pipeline (the north-rule metric;
+  also reports encode GB/s and compression ratio)
+- q_verify_decode: checksum-verify every encoded block (full decode)
+- four relational headliners from the oracle-checked operator suite
+
+Output: {"metric": "...", "value": total_sec, "unit": "sec",
+         "queries": {...}, "sf": ..., plus encode_gb_per_s /
+         compression_ratio / ref_rle_ratio extras}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyrle_spark.operators import relational  # noqa: E402
+from pyrle_spark.plans.encode_job import (  # noqa: E402
+    EncodeConfig,
+    encode_table,
+    verify_checksums,
+)
+from pyrle_spark.session import get_spark  # noqa: E402
+from pyrle_spark.sources.webtext import generate_webtext  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+WEBTEXT_COLS = ["url", "warc_ts", "html", "text", "lang"]
+BLOCK_ROWS = 16384
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def reference_rle_bytes(spark, n_rows: int) -> int:
+    """Compressed size the *reference's* data model would produce on the
+    same columns: int64 runs + float64 values per run (pyrle stores both
+    at full width, /root/reference/pyrle/rle.py:146-147); string columns
+    enter that model as dictionary codes, so their dictionary bytes are
+    charged too.  Computed exactly on a sample block, scaled."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyrle_spark.codecs.rle_codec import exact_find_runs
+
+    sample_n = min(n_rows, 50_000)
+    pdf = generate_webtext(spark, sample_n, n_partitions=8).toPandas()
+    total = 0
+    for col in WEBTEXT_COLS:
+        s = pdf[col]
+        if s.dtype == object:
+            codes, uniques = s.factorize()
+            runs, _ = exact_find_runs(codes.astype(np.int64))
+            dict_bytes = int(
+                sum(len(x if isinstance(x, bytes) else str(x).encode()) for x in uniques)
+            )
+            total += len(runs) * 16 + dict_bytes
+        else:
+            vals = s.to_numpy()
+            if np.issubdtype(vals.dtype, np.datetime64):
+                vals = vals.astype("datetime64[us]").astype(np.int64)
+            runs, _ = exact_find_runs(vals)
+            total += len(runs) * 16
+    return int(total * (n_rows / sample_n))
+
+
+def main() -> None:
+    sf = _sf_of(SF_DIR)
+    spark = get_spark("bench", cpus=CPUS)
+    # webtext rows sized to the scale factor (~6M rows/sf, lineitem-like)
+    n_rows = max(int(6_000_000 * sf), 20_000)
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    out_dir = tempfile.mkdtemp(prefix="bench_enc_")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # setup (untimed): materialize the webtext table to parquet — the
+    # timed job then measures read → shuffle-to-blocks → encode → write,
+    # the realistic end-to-end encode pass over an existing table
+    src_dir = tempfile.mkdtemp(prefix="bench_src_")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    n_blocks = (n_rows + BLOCK_ROWS - 1) // BLOCK_ROWS
+    generate_webtext(spark, n_rows, n_partitions=n_blocks).write.parquet(src_dir)
+    wt = spark.read.parquet(src_dir)
+    t0 = time.time()
+    summary = encode_table(
+        spark,
+        wt,
+        out_dir,
+        EncodeConfig(columns=WEBTEXT_COLS, block_rows=BLOCK_ROWS),
+    )
+    queries["q_encode_webtext"] = round(time.time() - t0, 3)
+    extras["encode_gb_per_s"] = round(
+        summary["bytes_in"] / 1e9 / queries["q_encode_webtext"], 4
+    )
+    extras["compression_ratio"] = round(
+        summary["bytes_in"] / max(summary["bytes_out"], 1), 3
+    )
+    ref_bytes = reference_rle_bytes(spark, n_rows)
+    extras["ref_rle_ratio"] = round(ref_bytes / max(summary["bytes_out"], 1), 3)
+    extras["bytes_in"] = summary["bytes_in"]
+    extras["bytes_out"] = summary["bytes_out"]
+
+    t0 = time.time()
+    res = verify_checksums(spark, out_dir)
+    queries["q_verify_decode"] = round(time.time() - t0, 3)
+    assert res["bad"] == 0, res
+
+    for name in (
+        "rle_encode_lang",
+        "coverage_events",
+        "rle_add_step",
+        "getitems_range",
+    ):
+        t0 = time.time()
+        relational.QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        queries[f"q_{name}"] = round(time.time() - t0, 3)
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    out = {
+        "metric": "pyrle_spark headline (encode+decode+relational)",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": CPUS,
+        **extras,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,11 +80,18 @@ def _buffers_size(buffers: dict) -> int:
     return sum(len(b) for b in buffers.values())
 
 
-def encode_with(
-    codec: str, arr: pa.Array, zstd: bool = False, stats: dict | None = None
+def encode_payload(
+    codec: str,
+    kind: str,
+    payload,
+    validity,
+    arrow_type: str,
+    n_rows: int,
+    zstd: bool = False,
+    stats: dict | None = None,
 ) -> Encoded:
-    """Encode with an explicit codec (optionally zstd-wrapping buffers)."""
-    kind, payload, validity = arrow_to_payload(arr)
+    """Encode a pre-extracted payload (the zero-copy hot path used by the
+    pipeline, which extracts the payload once per column)."""
     meta, buffers = _encode_payload(codec, kind, payload)
     name = codec
     if zstd and HAVE_ZSTD:
@@ -97,11 +104,17 @@ def encode_with(
         buffers["validity"] = np.packbits(validity).tobytes()
         meta["has_validity"] = True
     return Encoded(
-        codec=name,
-        arrow_type=type_to_str(arr.type),
-        n_rows=len(arr),
-        meta=meta,
-        buffers=buffers,
+        codec=name, arrow_type=arrow_type, n_rows=n_rows, meta=meta, buffers=buffers
+    )
+
+
+def encode_with(
+    codec: str, arr: pa.Array, zstd: bool = False, stats: dict | None = None
+) -> Encoded:
+    """Encode with an explicit codec (optionally zstd-wrapping buffers)."""
+    kind, payload, validity = arrow_to_payload(arr)
+    return encode_payload(
+        codec, kind, payload, validity, type_to_str(arr.type), len(arr), zstd, stats
     )
 
 
@@ -123,37 +136,71 @@ def decode_array(enc: Encoded) -> pa.Array:
     return payload_to_arrow(kind, payload, validity, enc.arrow_type)
 
 
-def encode_array(arr: pa.Array, zstd_threshold: float = 0.9) -> Encoded:
+def _sample_var(payload, max_bytes: int = 1 << 16):
+    """Prefix sample of a var-width payload: whole strings up to ~64KB."""
+    offsets, data = payload
+    n = len(offsets) - 1
+    k = int(np.searchsorted(offsets, max_bytes, side="right"))
+    k = max(1, min(n, k))
+    return offsets[: k + 1].copy(), data[: int(offsets[k])]
+
+
+def _trial_size(codec: str, payload, zstd: bool) -> int:
+    meta, buffers = _encode_payload(codec, "var", payload)
+    if zstd and HAVE_ZSTD:
+        meta, buffers = ZstdCodec.wrap(meta, buffers)
+    return _buffers_size(buffers)
+
+
+def encode_payload_auto(
+    kind: str, payload, validity, arrow_type: str, n_rows: int
+) -> Encoded:
     """Stats-driven auto-encode with raw-size guarantee.
 
-    Picks the codec from one stats pass; if the encoded buffers are not
-    smaller than raw, falls back to raw.  High-entropy var-width chunks
-    (encoded/raw > ``zstd_threshold``) get the zstd wrapper when
-    available (html-style binary payloads).
+    Fixed-width columns use the closed-form cost model (exact run count,
+    FoR/delta bit widths).  Var-width columns use **trial selection**: the
+    candidate codecs (dict when cardinality is low; fsst; raw+zstd) are
+    run on a ~64KB whole-string sample and the smallest wins — the
+    generalization of the reference's content-based kernel dispatch
+    (rle.py:740-743) to a measured, not guessed, decision.  A final
+    raw-size guard means no chunk is ever inflated beyond raw + ε.
     """
-    kind, payload, validity = arrow_to_payload(arr)
     stats = column_stats(kind, payload)
-    t = arr.type
+    zstd = False
     if kind == "fixed":
         codec = choose_fixed(stats, np.asarray(payload).dtype.kind)
+        raw_size = len(payload) * payload.dtype.itemsize
     else:
-        codec = choose_var(stats)
-    enc = encode_with(codec, arr, stats=stats)
-    raw_size = (
-        len(payload) * payload.dtype.itemsize
-        if kind == "fixed"
-        else int(payload[0][-1]) + 8 * len(payload[0])
-    )
+        raw_size = int(payload[0][-1]) + 8 * len(payload[0])
+        distinct_ratio = stats["distinct_est"] / max(stats["sample_n"], 1)
+        if distinct_ratio < 0.5:
+            codec = "dict"
+        else:
+            sample = _sample_var(payload)
+            candidates = [("fsst", False), ("raw", False)]
+            if HAVE_ZSTD:
+                candidates.append(("raw", True))
+            sizes = {(c, z): _trial_size(c, sample, z) for c, z in candidates}
+            codec, zstd = min(sizes, key=sizes.get)
+        stats["selected_by"] = "distinct" if codec == "dict" else "trial"
+    enc = encode_payload(codec, kind, payload, validity, arrow_type, n_rows, zstd, stats)
     if codec != "raw" and _buffers_size(enc.buffers) >= raw_size:
-        enc = encode_with("raw", arr, stats=stats)
-        codec = "raw"
-    if (
-        kind == "var"
-        and HAVE_ZSTD
-        and raw_size > 0
-        and _buffers_size(enc.buffers) / raw_size > zstd_threshold
-    ):
-        z = encode_with(codec, arr, zstd=True, stats=stats)
-        if _buffers_size(z.buffers) < _buffers_size(enc.buffers):
-            enc = z
+        raw = encode_payload(
+            "raw",
+            kind,
+            payload,
+            validity,
+            arrow_type,
+            n_rows,
+            zstd=HAVE_ZSTD and kind == "var",
+            stats=stats,
+        )
+        if _buffers_size(raw.buffers) < _buffers_size(enc.buffers):
+            enc = raw
     return enc
+
+
+def encode_array(arr: pa.Array, zstd_threshold: float = 0.9) -> Encoded:
+    """Auto-encode an arrow array (payload extracted once, zero-copy)."""
+    kind, payload, validity = arrow_to_payload(arr)
+    return encode_payload_auto(kind, payload, validity, type_to_str(arr.type), len(arr))

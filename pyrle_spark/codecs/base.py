@@ -42,6 +42,13 @@ class Encoded:
             json.dumps(self.meta)
         )
 
+    def buffers_as_bytes(self) -> dict:
+        """Buffers coerced to bytes (numpy views → one copy at the edge)."""
+        return {
+            k: (v.tobytes() if isinstance(v, np.ndarray) else bytes(v))
+            for k, v in self.buffers.items()
+        }
+
     def to_row(self) -> dict:
         """Flatten for transport in a DataFrame row
         (codec, arrow_type, n_rows, meta json, map<string,binary>)."""
@@ -50,7 +57,7 @@ class Encoded:
             "arrow_type": self.arrow_type,
             "n_rows": self.n_rows,
             "meta": json.dumps(self.meta, separators=(",", ":")),
-            "buffers": dict(self.buffers),
+            "buffers": self.buffers_as_bytes(),
         }
 
     @classmethod
@@ -137,8 +144,13 @@ def arrow_to_payload(arr: pa.Array):
         data = la.buffers()[2]
         lo = int(buf_offsets[0])
         offsets = (buf_offsets - lo).astype(np.int64)
-        payload = (offsets, bytes(data)[lo : lo + int(offsets[-1])] if data else b"")
-        return "var", payload, validity
+        if data is not None:
+            data_np = np.frombuffer(data, dtype=np.uint8, count=lo + int(offsets[-1]))[
+                lo:
+            ]  # zero-copy view
+        else:
+            data_np = np.zeros(0, dtype=np.uint8)
+        return "var", (offsets, data_np), validity
     n = len(arr)
     if pa.types.is_boolean(t):
         bits = np.frombuffer(arr.buffers()[1], dtype=np.uint8)

@@ -40,13 +40,16 @@ _MAX_SAMPLE = 1 << 16
 
 def _run_starts_lens(mask: np.ndarray):
     """(starts, lengths) of maximal runs of True in a bool array."""
-    if not mask.any():
+    n = len(mask)
+    if n == 0 or not mask.any():
         return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
-    m = mask.astype(np.int8)
-    d = np.diff(m, prepend=0, append=0)
-    starts = np.nonzero(d == 1)[0]
-    ends = np.nonzero(d == -1)[0]
-    return starts.astype(np.int64), (ends - starts).astype(np.int64)
+    change = np.flatnonzero(mask[1:] != mask[:-1]).astype(np.int64) + 1
+    bounds = np.concatenate(([0], change, [n]))
+    if mask[0]:
+        starts, ends = bounds[0:-1:2], bounds[1::2]
+    else:
+        starts, ends = bounds[1:-1:2], bounds[2::2]
+    return starts, ends - starts
 
 
 def _alternating_positions(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -123,12 +126,15 @@ def encode_buffer(data: np.ndarray, offsets: np.ndarray, table: dict):
     if n == 0:
         return np.zeros(0, dtype=np.uint8), offsets.astype(np.int64).copy()
     if n >= 2:
-        pairs16 = (data[:-1].astype(np.int32) << 8) | data[1:]
+        pairs16 = data[:-1].astype(np.uint16)
+        pairs16 <<= 8
+        pairs16 |= data[1:]
         pmatch = pair_code[pairs16] >= 0
         bounds = offsets[1:-1]
         bounds = bounds[(bounds > 0) & (bounds < n)]
         pmatch[bounds - 1] = False
     else:
+        pairs16 = np.zeros(0, dtype=np.uint16)
         pmatch = np.zeros(0, dtype=bool)
     starts, lens = _run_starts_lens(pmatch)
     taken = _alternating_positions(starts, lens)
@@ -191,8 +197,12 @@ class FsstCodec:
     name = "fsst"
 
     @staticmethod
-    def encode(offsets: np.ndarray, data: bytes):
-        d = np.frombuffer(data, dtype=np.uint8)
+    def encode(offsets: np.ndarray, data):
+        d = (
+            np.asarray(data, dtype=np.uint8)
+            if isinstance(data, np.ndarray)
+            else np.frombuffer(data, dtype=np.uint8)
+        )
         offs = np.asarray(offsets, dtype=np.int64)
         table = train(d, offs)
         enc, new_offsets = encode_buffer(d, offs, table)

@@ -47,7 +47,7 @@ from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyrle_spark.codecs import Encoded, decode_array, encode_array
+from pyrle_spark.codecs import Encoded, decode_array
 from pyrle_spark.codecs.base import arrow_to_payload
 from pyrle_spark.sources.icetable import IceTable
 
@@ -90,40 +90,51 @@ class EncodeConfig:
     properties: dict = field(default_factory=dict)
 
 
+def _payload_checksum(kind, payload, validity) -> int:
+    crc = 0
+    if kind == "var":
+        offsets, data = payload
+        crc = zlib.crc32(np.ascontiguousarray(offsets), crc)
+        crc = zlib.crc32(np.ascontiguousarray(data), crc)
+    else:
+        crc = zlib.crc32(np.ascontiguousarray(payload), crc)
+    if validity is not None:
+        crc = zlib.crc32(np.packbits(validity), crc)
+    return crc
+
+
 def payload_checksum(arr: pa.Array) -> int:
     """crc32 over the logical payload bytes (values + offsets + validity);
     identical for an array and its decode(encode(·)) round trip."""
     kind, payload, validity = arrow_to_payload(arr)
-    crc = 0
-    if kind == "var":
-        offsets, data = payload
-        crc = zlib.crc32(np.ascontiguousarray(offsets).tobytes(), crc)
-        crc = zlib.crc32(data, crc)
-    else:
-        crc = zlib.crc32(np.ascontiguousarray(payload).tobytes(), crc)
-    if validity is not None:
-        crc = zlib.crc32(np.packbits(validity).tobytes(), crc)
-    return crc
+    return _payload_checksum(kind, payload, validity)
 
 
-def _input_nbytes(arr: pa.Array) -> int:
-    kind, payload, validity = arrow_to_payload(arr)
+def _payload_nbytes(kind, payload, validity, n: int) -> int:
     if kind == "var":
         offsets, data = payload
-        n = len(data) + offsets.nbytes
+        nb = len(data) + offsets.nbytes
     else:
-        n = payload.nbytes
+        nb = payload.nbytes
     if validity is not None:
-        n += (len(arr) + 7) // 8
-    return n
+        nb += (n + 7) // 8
+    return nb
 
 
 def _flush_block(block_id: int, cols: dict, part_id: int, zstd_threshold: float):
+    from pyrle_spark.codecs import encode_payload_auto
+    from pyrle_spark.codecs.base import type_to_str
+
     rows = {k: [] for k in _ENCODED_PA_SCHEMA.names}
     for colname, chunks in cols.items():
         arr = pa.concat_arrays(chunks) if len(chunks) > 1 else chunks[0]
         t0 = time.perf_counter_ns()
-        enc = encode_array(arr, zstd_threshold=zstd_threshold)
+        # extract the payload exactly once (zero-copy views), reuse it for
+        # encoding, checksum, and size accounting
+        kind, payload, validity = arrow_to_payload(arr)
+        enc = encode_payload_auto(
+            kind, payload, validity, type_to_str(arr.type), len(arr)
+        )
         dt = time.perf_counter_ns() - t0
         stats = enc.meta.get("stats", {})
         rows["block_id"].append(block_id)
@@ -132,11 +143,11 @@ def _flush_block(block_id: int, cols: dict, part_id: int, zstd_threshold: float)
         rows["arrow_type"].append(enc.arrow_type)
         rows["n_rows"].append(enc.n_rows)
         rows["meta"].append(json.dumps(enc.meta, separators=(",", ":")))
-        rows["buffers"].append(list(enc.buffers.items()))
-        rows["bytes_in"].append(_input_nbytes(arr))
+        rows["buffers"].append(list(enc.buffers_as_bytes().items()))
+        rows["bytes_in"].append(_payload_nbytes(kind, payload, validity, len(arr)))
         rows["bytes_out"].append(enc.nbytes)
         rows["encode_ns"].append(dt)
-        rows["crc32"].append(payload_checksum(arr))
+        rows["crc32"].append(_payload_checksum(kind, payload, validity))
         rows["n_runs"].append(stats.get("n_runs"))
         rows["part_id"].append(part_id)
     return pa.RecordBatch.from_pydict(rows, schema=_ENCODED_PA_SCHEMA)
@@ -203,8 +214,12 @@ def encode_table(
         resumed_blocks = committed.count()
     work = base
     if not config.block_aligned:
-        nparts = config.shuffle_partitions or int(
-            spark.conf.get("spark.sql.shuffle.partitions")
+        # over-partition 4× so hash collisions rarely stack two blocks on
+        # one task (block count >> partitions → stragglers; empty
+        # partitions are nearly free)
+        nparts = config.shuffle_partitions or 4 * max(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            spark.sparkContext.defaultParallelism,
         )
         work = work.repartition(nparts, "_block_id")
     work = work.sortWithinPartitions("_block_id", "_order")
