@@ -230,6 +230,9 @@ def encode_table(
     snap_id = table.write_snapshot(
         encoded,
         mode="append",
+        # buffers are already codec-compressed; parquet re-compression
+        # would only burn JVM CPU next to 32 busy python workers
+        write_options={"compression": "none"},
         properties={
             "kind": "encoded_blocks",
             "block_rows": config.block_rows,
@@ -279,6 +282,24 @@ def encode_table(
     for row in lineage_rows:
         ns = max(row["encode_ns"], 1)
         row["encode_mb_per_s"] = round(row["bytes_in"] / 1e6 / (ns / 1e9), 2)
+    # aligned-mode guard: a scan split that broke a block in two would
+    # silently emit duplicate partial blocks; only the single trailing
+    # block may be partial (per column)
+    if config.block_aligned and added:
+        partials = (
+            enc_df.filter(F.col("n_rows") != config.block_rows)
+            .groupBy("column")
+            .count()
+            .collect()
+        )
+        bad = [r for r in partials if r["count"] > 1]
+        if bad:
+            raise RuntimeError(
+                f"block_aligned encode produced split blocks: {bad}; "
+                "the input scan is not block-aligned — write the source "
+                "with generate_webtext(block_rows=...) or use "
+                "block_aligned=False"
+            )
     summary = {
         "snapshot_id": snap_id,
         "wall_s": round(wall_s, 3),

@@ -25,6 +25,10 @@ def get_spark(
     - UTC session timezone (duckdb-oracle timestamp parity)
     - shuffle partitions sized to cores, not the 200 default
     """
+    # one BLAS/OMP thread per python worker: each Spark task is already a
+    # process; nested numpy threading oversubscribes the box 32×32
+    for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(v, "1")
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
     builder = (
@@ -37,7 +41,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # measured on this workload: a 48g heap makes local[32] 2.3× slower
+        # than 12g (GC threads starve the 32 python workers); the encode
+        # path streams through the JVM and needs little heap
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
     )
     if not os.environ.get("SPARK_MASTER") and "spark.master" not in os.environ.get(
         "SPARK_CONF", ""

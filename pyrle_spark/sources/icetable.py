@@ -54,6 +54,7 @@ class IceTable:
         df: DataFrame,
         mode: str = "append",
         properties: dict | None = None,
+        write_options: dict | None = None,
     ) -> str:
         """Write df as a new snapshot; returns the snapshot id.
 
@@ -63,7 +64,10 @@ class IceTable:
         """
         snap_id = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
         data_dir = os.path.join(self.path, "data", snap_id)
-        df.write.mode("errorifexists").parquet(data_dir)
+        writer = df.write.mode("errorifexists")
+        for k, v in (write_options or {}).items():
+            writer = writer.option(k, v)
+        writer.parquet(data_dir)
         files = []
         for root, _, names in os.walk(data_dir):
             for name in sorted(names):

@@ -44,14 +44,36 @@ def generate_webtext(
     n_hosts: int = 1000,
     seed: int = 42,
     n_partitions: int | None = None,
+    block_rows: int | None = None,
 ) -> DataFrame:
     """Build the webtext DataFrame, deterministic in ``(n_rows, seed)``.
 
     All columns are pure functions of the row id; the output carries the
     row id as ``doc_seq`` (the stable order/block key for the encoder).
-    Rows are ordered like a crawl: host-major, timestamp-minor.
+
+    ``block_rows``: emit exactly one encoder block per partition — each
+    partition holds ids [k·block_rows, (k+1)·block_rows) precisely, so a
+    parquet write of this frame is block-aligned (one file per block) and
+    the encoder can run shuffle-free (EncodeConfig.block_aligned).  Plain
+    ``spark.range`` partition arithmetic does NOT give this (it splits
+    n_rows/n_partitions, which rarely lands on block boundaries).
     """
-    df = spark.range(0, n_rows, 1, n_partitions or spark.sparkContext.defaultParallelism)
+    if block_rows:
+        n_blocks = (n_rows + block_rows - 1) // block_rows
+        df = spark.range(0, n_blocks, 1, n_blocks).select(
+            F.explode(
+                F.sequence(
+                    F.col("id") * block_rows,
+                    F.least(
+                        F.lit(n_rows - 1), (F.col("id") + 1) * block_rows - 1
+                    ),
+                )
+            ).alias("id")
+        )
+    else:
+        df = spark.range(
+            0, n_rows, 1, n_partitions or spark.sparkContext.defaultParallelism
+        )
     h1 = F.abs(F.xxhash64("id", F.lit(seed)))
     h2 = F.abs(F.xxhash64("id", F.lit(seed + 1)))
     h3 = F.abs(F.xxhash64("id", F.lit(seed + 2)))
