@@ -1,0 +1,322 @@
+"""Deduplication operators over the documents table.
+
+- exact:          hash-groupBy on full text (md5)
+- n-gram Jaccard: word-5-gram shingles, candidate pairs restricted to the
+                  same lang, exact |∩|/|∪| via a shared-shingle join
+- MinHash + LSH:  8 hash functions over shingle codes, 4 bands of 2 →
+                  band-bucket join produces candidate pairs
+- SimHash:        16-bit fingerprint from shingle-hash bit votes
+
+The cross-engine hash primitive is md5-prefix-as-int64 (identical in
+Spark and duckdb); minhash mixing uses (a·x + b) mod p with a < 2^20 so
+every product stays exact in int64 on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MOD = 1_000_000_007
+MINHASH_FNS = [(37 + 101 * j, 17 + 1_000_003 * j) for j in range(8)]
+BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]  # 4 bands × 2 rows
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _hash32(col):
+    """First 8 hex chars of md5 as int64 — identical in both engines."""
+    return F.conv(F.substring(F.md5(F.encode(col, "utf-8")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def _hash32_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+# ------------------------------------------------------------------ exact
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by content hash (hash-groupBy; at scale the
+    natural two-phase aggregate with map-side combine)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", F.md5(F.encode("text", "utf-8")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .select("text_hash", "n_docs", "keep_doc_id")
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ------------------------------------------------------------------ shingles
+
+
+def _shingles(spark, sf_dir) -> DataFrame:
+    """Distinct word-5-gram shingles per doc: (doc_id, lang, shingle)."""
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    d = docs.select("doc_id", "lang", words.alias("ws"))
+    d = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("ws") - 4, F.lit(0))),
+                lambda i: F.array_join(F.slice(F.col("ws"), i, 5), " "),
+            )
+        ).alias("shingle"),
+    )
+    return d.distinct()
+
+
+_SHINGLES_SQL = r"""
+  SELECT DISTINCT doc_id, lang,
+         array_to_string(ws[i:i+4], ' ') AS shingle
+  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents),
+       unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS t(i)
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact shingle-set Jaccard ≥ 0.5 within the
+    same lang.  |∩| from a shared-shingle self-join, |∪| = |A|+|B|−|∩|."""
+    sh = _shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    out = (
+        inter.join(sa, "d1")
+        .join(sb, "d2")
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return out
+
+
+_NGRAM_JACCARD_SQL = rf"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM sh a JOIN sh b
+    ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = d1
+JOIN sizes sb ON sb.doc_id = d2
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+"""
+
+
+# ------------------------------------------------------------------ minhash
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-function MinHash signature per doc over shingle codes."""
+    sh = _shingles(spark, sf_dir).select(
+        "doc_id", _hash32(F.col("shingle")).alias("code")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("code") + F.lit(b)) % F.lit(MOD)).alias(f"h{j}")
+        for j, (a, b) in enumerate(MINHASH_FNS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sig_sql() -> str:
+    cols = ",\n       ".join(
+        f"min(({a} * {_hash32_sql('shingle')} + {b}) % {MOD}) AS h{j}"
+        for j, (a, b) in enumerate(MINHASH_FNS)
+    )
+    return f"WITH sh AS ({_SHINGLES_SQL})\nSELECT doc_id, {cols} FROM sh GROUP BY doc_id"
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: 4 bands of 2 minhash rows; docs sharing any
+    band bucket are candidates (banding → bucket equi-join, never a
+    pairwise scan)."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = None
+    for bi, (x, y) in enumerate(BANDS):
+        part = sig.select(
+            "doc_id",
+            F.lit(bi).alias("band"),
+            F.col(f"h{x}").alias("ba"),
+            F.col(f"h{y}").alias("bb"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.ba") == F.col("b.ba"))
+            & (F.col("a.bb") == F.col("b.bb"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+def _minhash_lsh_sql() -> str:
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {bi} AS band, h{x} AS ba, h{y} AS bb FROM sig"
+        for bi, (x, y) in enumerate(BANDS)
+    )
+    return f"""
+WITH sig AS ({_minhash_sig_sql()}),
+bands AS (
+{band_rows}
+)
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.ba = b.ba AND a.bb = b.bb AND a.doc_id < b.doc_id
+"""
+
+
+# ------------------------------------------------------------------ simhash
+
+
+def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: per bit, vote +1/−1 by the shingle hash's bit;
+    fingerprint assembles the sign bits."""
+    sh = _shingles(spark, sf_dir).select(
+        "doc_id", _hash32(F.col("shingle")).alias("code")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("code"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(16)
+    ]
+    agg = sh.groupBy("doc_id").agg(*votes)
+    fp = None
+    for b in range(16):
+        bit = F.when(F.col(f"v{b}") >= 0, F.lit(1 << b)).otherwise(0)
+        fp = bit if fp is None else fp + bit
+    return agg.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    votes = ",\n       ".join(
+        f"sum(CASE WHEN (({_hash32_sql('shingle')} >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(16)
+    )
+    bits = " + ".join(f"CASE WHEN v{b} >= 0 THEN {1 << b} ELSE 0 END" for b in range(16))
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+agg AS (SELECT doc_id, {votes} FROM sh GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM agg
+"""
+
+
+# ------------------------------------------------------------------ embeddings
+
+
+def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: same label, cosine ≥ 0.99 (rounded
+    to 6 decimals on both engines before compare/output)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.embedding", "b.embedding", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(f"{side}.embedding", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    cos = F.round(dot / (norm("a") * norm("b")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.99)
+    )
+
+
+# explicit left-fold double cosine (matches the Spark fold order bit-for-bit)
+_PAIR_COS_SQL = """
+  list_sum(list_transform(generate_series(1, 64),
+                          k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                                  k -> CAST(a.embedding[k] AS DOUBLE) * CAST(a.embedding[k] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(generate_series(1, 64),
+                                    k -> CAST(b.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)))))
+"""
+
+_EMB_DUPS_SQL = f"""
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       round({_PAIR_COS_SQL}, 6) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_PAIR_COS_SQL}, 6) >= 0.99
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "minhash_signatures": minhash_signatures,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash16": simhash16,
+    "embedding_cosine_dups": embedding_cosine_dups,
+}
+
+ORACLE_SQL = {
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+    "minhash_signatures": _minhash_sig_sql(),
+    "minhash_lsh_pairs": _minhash_lsh_sql(),
+    "simhash16": _simhash_sql(),
+    "embedding_cosine_dups": _EMB_DUPS_SQL,
+}

@@ -1,0 +1,157 @@
+"""Similarity search over the embeddings table.
+
+- brute-force cosine top-k: broadcast the (small) query set, exact scan —
+  the correctness baseline;
+- random-hyperplane LSH buckets: the scale path — signatures bucket the
+  table so search touches one bucket, not the full scan.
+
+All float math is forced to float64 with left-to-right folds on both
+engines and rounded to 6 decimals before compare, so the duckdb twin is
+value-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+DIM = 64
+N_PLANES = 8
+N_QUERIES = 5
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dvec(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _cos(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 cosine neighbours for each of the first 5 vectors.
+    The query side is tiny → broadcast; ranking ties break on vec_id."""
+    emb = _emb(spark, sf_dir).select("vec_id", _dvec("embedding").alias("v"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        "vec_id",
+        F.round(_cos(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+# the oracle folds the dot product explicitly left-to-right in float64,
+# exactly like the Spark plan — list_cosine_similarity's internal
+# summation order can differ in the last ulp and flip round(·, 6)
+_COS_SQL = """
+  list_sum(list_transform(generate_series(1, {dim}),
+                          k -> CAST(qv[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(generate_series(1, {dim}),
+                                  k -> CAST(qv[k] AS DOUBLE) * CAST(qv[k] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(generate_series(1, {dim}),
+                                    k -> CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))))
+""".format(dim=DIM)
+
+_ANN_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         round({_COS_SQL}, 6) AS cos_sim
+  FROM embeddings e JOIN q ON e.vec_id != q.q_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def _plane_weight_sql(j: int, k: str) -> str:
+    """Deterministic pseudo-random hyperplane weight, exact in int64."""
+    return f"(((1103515245 * ({j} * {DIM} + {k}) + 12345) % 2001) - 1000) / 1000.0"
+
+
+def _plane_weight(j: int, k):
+    return (
+        (
+            (F.lit(1103515245).cast("long") * (F.lit(j * DIM).cast("long") + k) + 12345)
+            % 2001
+            - 1000
+        )
+        / 1000.0
+    )
+
+
+def _plane_weights_col(j: int):
+    # closure factory — a bound-default lambda would hit pyspark's
+    # (element, index) two-arg HOF form
+    return F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(DIM - 1).cast("long")),
+        lambda k: _plane_weight(j, k),
+    )
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment + bucket sizes: 8 planes →
+    8-bit bucket id.  At scale, queries hash to a bucket and search only
+    it (plus neighbours by hamming distance)."""
+    emb = _emb(spark, sf_dir).select("vec_id", _dvec("embedding").alias("v"))
+    bucket = None
+    for j in range(N_PLANES):
+        dot = F.aggregate(
+            F.zip_with("v", _plane_weights_col(j), lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        bit = F.when(dot >= 0, F.lit(1 << j)).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    assigned = emb.select("vec_id", bucket.cast("long").alias("bucket"))
+    return assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+def _ann_lsh_sql() -> str:
+    dots = ",\n       ".join(
+        f"list_sum(list_transform(generate_series(1, {DIM}), "
+        f"k -> embedding[k] * ({_plane_weight_sql(j, '(k - 1)')}))) AS d{j}"
+        for j in range(N_PLANES)
+    )
+    bits = " + ".join(
+        f"CASE WHEN d{j} >= 0 THEN {1 << j} ELSE 0 END" for j in range(N_PLANES)
+    )
+    return f"""
+WITH dots AS (SELECT vec_id, {dots} FROM embeddings),
+assigned AS (SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM dots)
+SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+FROM assigned GROUP BY bucket
+"""
+
+
+QUERIES = {
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_buckets": ann_lsh_buckets,
+}
+
+ORACLE_SQL = {
+    "ann_cosine_topk": _ANN_TOPK_SQL,
+    "ann_lsh_buckets": _ann_lsh_sql(),
+}

@@ -1,0 +1,226 @@
+"""Text analysis over the documents table: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+All operators are pure built-in-function DataFrame plans (JVM-side,
+whole-stage codegen; no Python in the hot path) with exact duckdb SQL
+twins — every arithmetic step is chosen to be bit-reproducible across
+both engines (integer arithmetic; single final division for ratios).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "of", "and", "to", "a", "in", "is", "it", "that", "for"]
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _words(col):
+    return F.split(F.trim(col), r"\s+")
+
+
+# ------------------------------------------------------------------ token stats
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (whitespace tokenizer)."""
+    docs = _docs(spark, sf_dir)
+    words = _words(F.col("text"))
+    n_words = F.size(words)
+    no_space = F.length(F.regexp_replace("text", r"\s+", ""))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        n_words.alias("n_words"),
+        (no_space / n_words).alias("avg_word_len"),
+    )
+
+
+_TEXT_STATS_SQL = r"""
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       len(string_split_regex(trim(text), '\s+')) AS n_words,
+       length(regexp_replace(text, '\s+', '', 'g'))
+         / len(string_split_regex(trim(text), '\s+')) AS avg_word_len
+FROM documents
+"""
+
+
+def token_count_bpe_ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token estimate: each word costs max(1, ceil(len/4))
+    subword tokens (≈4 chars per merged token)."""
+    docs = _docs(spark, sf_dir)
+    words = _words(F.col("text"))
+    per_word = F.transform(
+        words, lambda w: F.greatest(F.lit(1), F.ceil(F.length(w) / 4))
+    )
+    return docs.select(
+        "doc_id",
+        F.aggregate(per_word, F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+            "n_tokens_bpe"
+        ),
+    )
+
+
+_TOKEN_COUNT_BPE_SQL = r"""
+SELECT doc_id,
+       list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                               w -> greatest(1, CAST(ceil(length(w) / 4.0) AS BIGINT))))
+         AS n_tokens_bpe
+FROM documents
+"""
+
+
+# ------------------------------------------------------------------ quality
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality gate: length band + stopword density."""
+    docs = _docs(spark, sf_dir)
+    words = _words(F.col("text"))
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
+    stop_ratio = n_stop / n_words
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_stop.alias("n_stop"),
+        stop_ratio.alias("stop_ratio"),
+        F.when((n_words >= 30) & (n_words <= 500) & (stop_ratio >= 0.05), "good")
+        .when(n_words >= 10, "ok")
+        .otherwise("junk")
+        .alias("quality"),
+    )
+
+
+_QUALITY_SCORE_SQL = rf"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+)
+SELECT doc_id,
+       len(ws) AS n_words,
+       len(list_filter(ws, x -> x IN ({_STOP_SQL}))) AS n_stop,
+       len(list_filter(ws, x -> x IN ({_STOP_SQL}))) * 1.0 / len(ws) AS stop_ratio,
+       CASE WHEN len(ws) >= 30 AND len(ws) <= 500
+                 AND len(list_filter(ws, x -> x IN ({_STOP_SQL}))) * 1.0 / len(ws) >= 0.05
+            THEN 'good'
+            WHEN len(ws) >= 10 THEN 'ok'
+            ELSE 'junk' END AS quality
+FROM w
+"""
+
+
+# ------------------------------------------------------------------ language ID
+
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "die", "und"],
+    "fr": ["le", "la", "et"],
+    "es": ["el", "los", "y"],
+}
+
+
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (n-gram-heuristic family): the language
+    with the most marker hits wins; ties and no-hits → 'und'."""
+    docs = _docs(spark, sf_dir)
+    words = _words(F.col("text"))
+
+    def _counter(markers):
+        # closure factory: a 2-arg lambda (w, _m=markers) would be treated
+        # by pyspark as the (element, index) higher-order-function form
+        return lambda w: w.isin(markers)
+
+    hits = {
+        lang: F.size(F.filter(words, _counter(m)))
+        for lang, m in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*hits.values())
+    guess = F.when(best == 0, "und")
+    for lang in _LANG_MARKERS:  # first-wins tie break in dict order
+        guess = guess.when(hits[lang] == best, lang)
+    return docs.select("doc_id", guess.otherwise("und").alias("lang_guess"))
+
+
+def _marker_sql(m):
+    return ", ".join(f"'{x}'" for x in m)
+
+
+_LANG_ID_SQL = rf"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+),
+h AS (
+  SELECT doc_id,
+         len(list_filter(ws, x -> x IN ({_marker_sql(_LANG_MARKERS['en'])}))) AS h_en,
+         len(list_filter(ws, x -> x IN ({_marker_sql(_LANG_MARKERS['de'])}))) AS h_de,
+         len(list_filter(ws, x -> x IN ({_marker_sql(_LANG_MARKERS['fr'])}))) AS h_fr,
+         len(list_filter(ws, x -> x IN ({_marker_sql(_LANG_MARKERS['es'])}))) AS h_es
+  FROM w
+)
+SELECT doc_id,
+       CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+            WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+            WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+            WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+            WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+            ELSE 'und' END AS lang_guess
+FROM h
+"""
+
+
+# ------------------------------------------------------------------ fingerprint
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: position-weighted codepoint sum
+    mod 2^31.  Weights are small (≤2^20) and texts short enough that the
+    int64 accumulator is exact in both engines."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pos = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+        F.col("text"),
+    )
+    term = F.ascii(F.substring(F.col("text"), F.col("i"), 1)).cast("long") * (
+        (F.col("i") * F.lit(2654435761)) % F.lit(1048573)
+    )
+    return (
+        pos.groupBy("doc_id")
+        .agg((F.sum(term) % F.lit(2147483648)).alias("fingerprint"))
+    )
+
+
+_DOC_FINGERPRINT_SQL = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+  FROM documents
+)
+SELECT doc_id,
+       sum(ascii(substr(text, i, 1)) * ((i * 2654435761) % 1048573)) % 2147483648
+         AS fingerprint
+FROM pos GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "token_count_bpe_ish": token_count_bpe_ish,
+    "quality_score": quality_score,
+    "lang_id_ngram": lang_id_ngram,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+ORACLE_SQL = {
+    "text_stats": _TEXT_STATS_SQL,
+    "token_count_bpe_ish": _TOKEN_COUNT_BPE_SQL,
+    "quality_score": _QUALITY_SCORE_SQL,
+    "lang_id_ngram": _LANG_ID_SQL,
+    "doc_fingerprint": _DOC_FINGERPRINT_SQL,
+}
