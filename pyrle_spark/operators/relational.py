@@ -530,8 +530,31 @@ FROM agg
 """
 
 
+def lang_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation on the Zipf-hot lang key
+    (plans/salting.py): salted partials then merge — result must equal a
+    plain GROUP BY exactly (the oracle runs the plain form)."""
+    from pyrle_spark.plans.salting import salted_agg
+
+    docs = load(spark, sf_dir, "documents")
+    return salted_agg(
+        docs,
+        "lang",
+        "doc_id",
+        {"n_docs": ("count", None), "sum_chars": ("sum", "n_chars")},
+        buckets=16,
+    )
+
+
+_LANG_COUNTS_SALTED_SQL = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
 QUERIES = {
     "rle_encode_lang": rle_encode_lang,
+    "lang_counts_salted": lang_counts_salted,
     "rle_roundtrip_lang": rle_roundtrip_lang,
     "coverage_events": coverage_events,
     "rle_add_step": rle_add_step,
@@ -548,6 +571,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "rle_encode_lang": _RLE_ENCODE_LANG_SQL,
+    "lang_counts_salted": _LANG_COUNTS_SALTED_SQL,
     "rle_roundtrip_lang": _RLE_ROUNDTRIP_LANG_SQL,
     "coverage_events": _COVERAGE_EVENTS_SQL,
     "rle_add_step": _RLE_ADD_STEP_SQL,
