@@ -69,9 +69,9 @@ def token_count_bpe_ish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKEN_COUNT_BPE_SQL = r"""
 SELECT doc_id,
-       list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+       CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
                                w -> greatest(1, CAST(ceil(length(w) / 4.0) AS BIGINT))))
-         AS n_tokens_bpe
+            AS BIGINT) AS n_tokens_bpe
 FROM documents
 """
 
@@ -203,8 +203,8 @@ WITH pos AS (
   FROM documents
 )
 SELECT doc_id,
-       sum(ascii(substr(text, i, 1)) * ((i * 2654435761) % 1048573)) % 2147483648
-         AS fingerprint
+       CAST(sum(ascii(substr(text, i, 1)) * ((i * 2654435761) % 1048573)) % 2147483648
+            AS BIGINT) AS fingerprint
 FROM pos GROUP BY doc_id
 """
 

@@ -264,7 +264,7 @@ marked AS (
 grps AS (
   SELECT *, sum(chg) OVER (PARTITION BY source ORDER BY start_pos) AS grp FROM marked
 )
-SELECT source, min(start_pos) AS start_pos, min(v) AS value, sum(run_len) AS run_len
+SELECT source, min(start_pos) AS start_pos, min(v) AS value, CAST(sum(run_len) AS BIGINT) AS run_len
 FROM grps GROUP BY source, grp
 """
 
@@ -364,7 +364,7 @@ _RLE_STATS_COVERAGE_SQL = f"""
 WITH cov AS ({_COVERAGE_EVENTS_SQL})
 SELECT event_type,
        count(*) AS n_runs,
-       sum(run_len) AS length,
+       CAST(sum(run_len) AS BIGINT) AS length,
        sum(cov_value) / sum(run_len) AS mean_quirk,
        sum(cov_value * run_len) / sum(run_len) AS weighted_mean
 FROM cov GROUP BY event_type
@@ -391,7 +391,7 @@ def length_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LENGTH_INVARIANT_SQL = f"""
 WITH runs AS ({_RLE_ENCODE_LANG_SQL})
-SELECT r.source, sum(r.run_len) AS rle_length, max(c.n_rows) AS n_rows,
+SELECT r.source, CAST(sum(r.run_len) AS BIGINT) AS rle_length, max(c.n_rows) AS n_rows,
        sum(r.run_len) = max(c.n_rows) AS ok
 FROM runs r
 JOIN (SELECT source, count(*) AS n_rows FROM documents GROUP BY source) c
