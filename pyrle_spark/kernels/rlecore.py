@@ -263,6 +263,39 @@ def binary_op(op: str, r1, v1, r2, v2) -> tuple[np.ndarray, np.ndarray]:
     return normalize(runs, values)
 
 
+_CMP_FNS = {
+    "eq": np.equal,
+    "ne": np.not_equal,
+    "lt": np.less,
+    "le": np.less_equal,
+    "gt": np.greater,
+    "ge": np.greater_equal,
+}
+
+
+def compare_op(op: str, r1, v1, r2, v2) -> tuple[np.ndarray, np.ndarray]:
+    """Comparison returning a 0/1-valued RLE (``pyrle/rle.py:248-276,
+    342-466, 502-522``): equality ops extend the shorter side with NaN
+    (rle.py:272), order ops with 0; all are rewritten as subtract +
+    threshold, then defragmented."""
+    extend = np.nan if op in ("eq", "ne") else 0.0
+    r1, v1, r2, v2 = equalize(r1, v1, r2, v2, value=extend)
+    runs, diff = merge_binary("sub", r1, v1, r2, v2)
+    with np.errstate(invalid="ignore"):
+        vals = np.where(_CMP_FNS[op](diff, 0.0), 1.0, 0.0)
+    return defragment(runs, vals)
+
+
+def numbers_only(
+    runs, values, nan=0.0, posinf=2147483647, neginf=-2147483648
+) -> tuple[np.ndarray, np.ndarray]:
+    """NaN/±inf → finite sentinels, then defragment (rle.py:961-998)."""
+    runs, values = normalize(
+        runs, np.nan_to_num(np.asarray(values, dtype=_F8), nan=nan, posinf=posinf, neginf=neginf)
+    )
+    return defragment(runs, values)
+
+
 def getitem_slice(runs, values, start: int, end: int) -> tuple[np.ndarray, np.ndarray]:
     """Slice the logical vector at ``[start, end)`` → clipped sub-RLE.
 

@@ -153,13 +153,16 @@ class RleFrame:
                             np.array([], dtype=np.int64),
                             np.array([], dtype=np.float64),
                         )
-                    runs, values = k.binary_op(
-                        op,
+                    args = (
                         np.asarray(ra, dtype=np.int64),
                         np.asarray(va, dtype=np.float64),
                         np.asarray(rb, dtype=np.int64),
                         np.asarray(vb, dtype=np.float64),
                     )
+                    if op.startswith("cmp_"):
+                        runs, values = k.compare_op(op[len("cmp_"):], *args)
+                    else:
+                        runs, values = k.binary_op(op, *args)
                     out_runs.append(runs)
                     out_vals.append(values)
                 data = {c: pdf[c] for c in key_cols}
@@ -223,6 +226,119 @@ class RleFrame:
 
     def defragment(self) -> "RleFrame":
         return self.apply_values(lambda v: v, defragment=True)
+
+    def _rowwise(self, fn) -> "RleFrame":
+        """Map (runs, values) → (runs, values) per key row in one Arrow pass."""
+        key_cols = self.key_cols
+
+        def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            for batch in batches:
+                pdf = batch.to_pandas()
+                runs_out, vals_out = [], []
+                for _, row in pdf.iterrows():
+                    runs, values = fn(
+                        np.asarray(row["runs"], dtype=np.int64),
+                        np.asarray(row["values"], dtype=np.float64),
+                    )
+                    runs_out.append(np.asarray(runs, dtype=np.int64))
+                    vals_out.append(np.asarray(values, dtype=np.float64))
+                data = {c: pdf[c] for c in key_cols}
+                data["runs"] = runs_out
+                data["values"] = vals_out
+                yield pa.RecordBatch.from_pandas(
+                    pd.DataFrame(data), preserve_index=False
+                )
+
+        return RleFrame(self.df.mapInArrow(run, _keyed_schema(key_cols)), key_cols)
+
+    def shift(self, dist: int = 1, preserve_length: bool = True, fill: float = 0.0):
+        """Logical-vector shift per key (rle.py:1000-1095 distributed)."""
+        return self._rowwise(
+            lambda r, v: k.shift_rle(r, v, dist, preserve_length, fill)
+        )
+
+    def numbers_only(self, nan=0.0, posinf=2147483647, neginf=-2147483648):
+        """NaN/±inf → finite sentinels + defragment (rle.py:961-998)."""
+        return self._rowwise(
+            lambda r, v: k.numbers_only(r, v, nan=nan, posinf=posinf, neginf=neginf)
+        )
+
+    def compare(self, other: "RleFrame", op: str) -> "RleFrame":
+        """Comparison → 0/1-valued RLEs with the reference's NaN/zero
+        extension rules (rle.py:248-276 distributed)."""
+        out = self._binary(other, f"cmp_{op}")
+        return out
+
+    def __eq__(self, other):  # noqa: D105
+        if isinstance(other, RleFrame):
+            return self.compare(other, "eq")
+        return NotImplemented
+
+    __hash__ = None
+
+    def __lt__(self, other):
+        return self.compare(other, "lt")
+
+    def __le__(self, other):
+        return self.compare(other, "le")
+
+    def __gt__(self, other):
+        return self.compare(other, "gt")
+
+    def __ge__(self, other):
+        return self.compare(other, "ge")
+
+    def getlocs(self, locs) -> DataFrame:
+        """Point lookups per key: value of the run covering each position
+        (getitem.pyx:89-109 distributed).  ``locs`` is a python list
+        applied to every key."""
+        key_cols = self.key_cols
+        locs_arr = np.sort(np.asarray(locs, dtype=np.int64))
+
+        def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            for batch in batches:
+                pdf = batch.to_pandas()
+                frames = []
+                for _, row in pdf.iterrows():
+                    vals = k.getlocs(
+                        np.asarray(row["runs"], dtype=np.int64),
+                        np.asarray(row["values"], dtype=np.float64),
+                        locs_arr,
+                    )
+                    f = pd.DataFrame({"loc": locs_arr, "value": vals})
+                    for c in key_cols:
+                        f[c] = row[c]
+                    frames.append(f[[*key_cols, "loc", "value"]])
+                if frames:
+                    yield pa.RecordBatch.from_pandas(
+                        pd.concat(frames, ignore_index=True), preserve_index=False
+                    )
+
+        keys_schema = ", ".join(f"{c} string" for c in key_cols)
+        return self.df.mapInArrow(run, f"{keys_schema}, loc long, value double")
+
+    def make_strands_same_length(self, fill_value: float = 0.0) -> "RleFrame":
+        """Pad the shorter strand per chromosome (rledict.py:650-676):
+        window max of lengths per chromosome, conditional pad run."""
+        if "Strand" not in self.key_cols:
+            return self
+        chrom = [c for c in self.key_cols if c != "Strand"]
+        length = F.aggregate("runs", F.lit(0).cast("long"), lambda a, x: a + x)
+        w = W.partitionBy(*chrom)
+        df = self.df.withColumn("_len", length).withColumn(
+            "_maxlen", F.max("_len").over(w)
+        )
+        pad = F.col("_maxlen") - F.col("_len")
+        df = df.select(
+            *self.key_cols,
+            F.when(pad > 0, F.concat("runs", F.array(pad)))
+            .otherwise(F.col("runs"))
+            .alias("runs"),
+            F.when(pad > 0, F.concat("values", F.array(F.lit(fill_value))))
+            .otherwise(F.col("values"))
+            .alias("values"),
+        )
+        return RleFrame(df, self.key_cols)
 
     # ------------------------------------------------------------ decode
 

@@ -108,34 +108,34 @@ class Rle:
         return Rle(self.runs, -self.values)
 
     # -- comparisons (0/1-valued Rles, like the reference; rle.py:248-276) ------
-    def _cmp(self, other, fn, extend_value) -> "Rle":
+    def _cmp(self, other, op: str) -> "Rle":
         if isinstance(other, Number):
-            return Rle(self.runs, np.where(fn(self.values, other), 1.0, 0.0)).defragment()
-        r1, v1, r2, v2 = k.equalize(
-            self.runs, self.values, other.runs, other.values, value=extend_value
+            return Rle(
+                self.runs, np.where(k._CMP_FNS[op](self.values, other), 1.0, 0.0)
+            ).defragment()
+        out = Rle.__new__(Rle)
+        out.runs, out.values = k.compare_op(
+            op, self.runs, self.values, other.runs, other.values
         )
-        runs, diff = k.merge_binary("sub", r1, v1, r2, v2)
-        vals = np.where(fn(diff, 0.0), 1.0, 0.0)
-        out = Rle(runs, vals)
-        return out.defragment()
+        return out
 
     def __eq__(self, other):  # noqa: D105 — NaN-extension per rle.py:272
-        return self._cmp(other, np.equal, np.nan)
+        return self._cmp(other, "eq")
 
     def __ne__(self, other):
-        return self._cmp(other, np.not_equal, np.nan)
+        return self._cmp(other, "ne")
 
     def __lt__(self, other):
-        return self._cmp(other, np.less, 0.0)
+        return self._cmp(other, "lt")
 
     def __le__(self, other):
-        return self._cmp(other, np.less_equal, 0.0)
+        return self._cmp(other, "le")
 
     def __gt__(self, other):
-        return self._cmp(other, np.greater, 0.0)
+        return self._cmp(other, "gt")
 
     def __ge__(self, other):
-        return self._cmp(other, np.greater_equal, 0.0)
+        return self._cmp(other, "ge")
 
     __hash__ = None  # mirrors reference: defining __eq__ makes Rle unhashable
 
