@@ -1,0 +1,61 @@
+"""spark-submit entry point for the encode job (north-rule deployment
+shape: ``spark-submit --py-files pyrle_spark.zip BENCH/submit_encode.py``).
+
+Arguments: <source_parquet_dir> <output_table_dir> [block_rows] [aligned]
+
+The script only uses the already-created SparkSession (spark-submit owns
+master/conf), so the same file runs unchanged on a real cluster:
+
+    spark-submit --master yarn --num-executors 4N \\
+        --py-files pyrle_spark.zip BENCH/submit_encode.py s3://... s3://...
+
+Build the zip with:  python BENCH/make_pyfiles_zip.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    src = sys.argv[1]
+    out = sys.argv[2]
+    block_rows = int(sys.argv[3]) if len(sys.argv) > 3 else 65536
+    aligned = len(sys.argv) > 4 and sys.argv[4] == "aligned"
+
+    spark = SparkSession.builder.appName("pyrle_spark_encode").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+
+    df = spark.read.parquet(src)
+    columns = [c for c in df.columns if not c.startswith(("doc_seq", "sort_", "host_"))]
+    summary = encode_table(
+        spark,
+        df,
+        out,
+        EncodeConfig(
+            columns=columns,
+            order_col="doc_seq",
+            block_rows=block_rows,
+            block_aligned=aligned,
+        ),
+    )
+    print(
+        "SUBMIT_RESULT "
+        + json.dumps(
+            {
+                "snapshot": summary["snapshot_id"],
+                "bytes_in": summary["bytes_in"],
+                "bytes_out": summary["bytes_out"],
+                "wall_s": summary["wall_s"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
