@@ -17,6 +17,11 @@ Public layers
 """
 
 from pyrle_spark.rle import Rle
+from pyrle_spark.rledict import RleDict
+from pyrle_spark.sources.rle_io import from_csv
+
+# reference alias: pyrle exposes PyRles = RleDict (pyrle/__init__.py:10)
+PyRles = RleDict
 
 __version__ = "0.1.0"
-__all__ = ["Rle", "__version__"]
+__all__ = ["Rle", "RleDict", "PyRles", "from_csv", "__version__"]

@@ -285,7 +285,11 @@ def _encode_pass(
         },
     )
     wall_s = time.time() - t0
-    # lineage: per-partition metrics aggregated from THIS pass's files only
+    # lineage: per-partition metrics aggregated from THIS pass's files only.
+    # ONE Spark job at (part_id, column, codec) granularity — that's
+    # O(parts × cols × codecs) rows, tiny at any scale — then rolled up
+    # driver-side into the per-partition and per-column views plus the
+    # aligned-mode guard (previously three separate scan jobs).
     manifest0 = table._manifest(snap_id)
     added = [f["path"] for f in manifest0["files"][-manifest0["added_files"]:]]
     enc_df = (
@@ -293,35 +297,51 @@ def _encode_pass(
         if added
         else table.read_table(spark, snap_id).limit(0)
     )
-    lineage_rows = [
-        r.asDict()
-        for r in (
-            enc_df.groupBy("part_id")
-            .agg(
-                F.countDistinct("block_id").alias("blocks"),
-                F.sum(
-                    F.when(F.col("column") == cols[0], F.col("n_rows")).otherwise(0)
-                ).alias("rows"),
-                F.sum("bytes_in").alias("bytes_in"),
-                F.sum("bytes_out").alias("bytes_out"),
-                F.sum("encode_ns").alias("encode_ns"),
-            )
-            .collect()
+    cells = (
+        enc_df.groupBy("part_id", "column", "codec")
+        .agg(
+            F.count(F.lit(1)).alias("blocks"),
+            F.sum("n_rows").alias("rows"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum("bytes_out").alias("bytes_out"),
+            F.sum("encode_ns").alias("encode_ns"),
+            F.sum("n_runs").alias("runs_emitted"),
+            F.sum(
+                F.when(F.col("n_rows") != config.block_rows, 1).otherwise(0)
+            ).alias("partial_blocks"),
         )
-    ]
-    per_column = [
-        r.asDict()
-        for r in (
-            enc_df.groupBy("column", "codec")
-            .agg(
-                F.count(F.lit(1)).alias("blocks"),
-                F.sum("bytes_in").alias("bytes_in"),
-                F.sum("bytes_out").alias("bytes_out"),
-                F.sum("n_runs").alias("runs_emitted"),
-            )
-            .collect()
+        .collect()
+    )
+    lineage_by_part: dict = {}
+    col_by_key: dict = {}
+    partials_by_col: dict = {}
+    for c in cells:
+        p = lineage_by_part.setdefault(
+            c["part_id"],
+            {"part_id": c["part_id"], "blocks": 0, "rows": 0, "bytes_in": 0,
+             "bytes_out": 0, "encode_ns": 0},
         )
-    ]
+        if c["column"] == cols[0]:
+            p["blocks"] += c["blocks"]  # (block, column) unique → per-column
+            p["rows"] += c["rows"]      # counts = distinct blocks in part
+        p["bytes_in"] += c["bytes_in"]
+        p["bytes_out"] += c["bytes_out"]
+        p["encode_ns"] += c["encode_ns"]
+        k = (c["column"], c["codec"])
+        cc = col_by_key.setdefault(
+            k, {"column": k[0], "codec": k[1], "blocks": 0, "bytes_in": 0,
+                "bytes_out": 0, "runs_emitted": None},
+        )
+        cc["blocks"] += c["blocks"]
+        cc["bytes_in"] += c["bytes_in"]
+        cc["bytes_out"] += c["bytes_out"]
+        if c["runs_emitted"] is not None:
+            cc["runs_emitted"] = (cc["runs_emitted"] or 0) + c["runs_emitted"]
+        partials_by_col[c["column"]] = (
+            partials_by_col.get(c["column"], 0) + c["partial_blocks"]
+        )
+    lineage_rows = sorted(lineage_by_part.values(), key=lambda r: r["part_id"])
+    per_column = sorted(col_by_key.values(), key=lambda r: (r["column"], r["codec"]))
     for row in lineage_rows:
         ns = max(row["encode_ns"], 1)
         row["encode_mb_per_s"] = round(row["bytes_in"] / 1e6 / (ns / 1e9), 2)
@@ -329,13 +349,7 @@ def _encode_pass(
     # silently emit duplicate partial blocks; only the single trailing
     # block may be partial (per column)
     if config.block_aligned and added:
-        partials = (
-            enc_df.filter(F.col("n_rows") != config.block_rows)
-            .groupBy("column")
-            .count()
-            .collect()
-        )
-        bad = [r for r in partials if r["count"] > 1]
+        bad = {c: n for c, n in partials_by_col.items() if n > 1}
         if bad:
             raise RuntimeError(
                 f"block_aligned encode produced split blocks: {bad}; "
