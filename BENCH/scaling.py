@@ -41,6 +41,13 @@ from pyspark.sql import functions as F
 cpus = int(sys.argv[1]); src = sys.argv[2]; out = sys.argv[3]
 spark = get_spark("scal%d" % cpus, cpus=cpus, shuffle_partitions=cpus)
 wt = spark.read.parquet(src)
+# one scan split per block file at every level: default 128MB packing
+# fuses block files into fewer splits than task slots at local[32]
+# (task starvation would masquerade as poor scaling)
+fsz = max(os.path.getsize(os.path.join(src, f))
+          for f in os.listdir(src) if f.endswith(".parquet"))
+spark.conf.set("spark.sql.files.maxPartitionBytes", str(fsz))
+spark.conf.set("spark.sql.files.openCostInBytes", str(fsz))
 # warm the JVM + python workers with an untimed pass over a small slice
 encode_table(spark, wt.limit(20000), out + "_warm",
              EncodeConfig(columns=["url","warc_ts","html","text","lang"],
@@ -53,13 +60,14 @@ os.sync()
 # multi-second dirty-page writeback stalls that are measurement noise
 walls = []
 summaries = []
-for rep in range(2):
+for rep in range(4):
     os.sync()
-    rep_out = out + ("" if rep == 0 else "_r2")
+    rep_out = out if rep == 0 else out + "_r%d" % (rep + 1)
+    shutil.rmtree(rep_out, ignore_errors=True)
     t0 = time.time()
     s = encode_table(spark, wt, rep_out,
                      EncodeConfig(columns=["url","warc_ts","html","text","lang"],
-                                  block_rows=65536, block_aligned=True))
+                                  block_rows=32768, block_aligned=True))
     walls.append(s["wall_s"])  # the Spark job portion
     summaries.append(s)
 s = summaries[0]
@@ -110,7 +118,7 @@ import sys; sys.path.insert(0, {REPO!r})
 from pyrle_spark.session import get_spark
 from pyrle_spark.sources.webtext import generate_webtext
 spark = get_spark("gen", cpus=8)
-generate_webtext(spark, {n_rows}, block_rows=65536).write.mode("overwrite").parquet(sys.argv[1])
+generate_webtext(spark, {n_rows}, block_rows=32768).write.mode("overwrite").parquet(sys.argv[1])
 """,
             os.path.join(SCRATCH, "scaling_src"),
         ],
@@ -131,6 +139,7 @@ generate_webtext(spark, {n_rows}, block_rows=65536).write.mode("overwrite").parq
         out = os.path.join(SCRATCH, f"scal_out_{cpus}")
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(out + "_r2", ignore_errors=True)
+        shutil.rmtree(out + "_r3", ignore_errors=True)
         shutil.rmtree(out + "_warm", ignore_errors=True)
         os.sync()
         time.sleep(8)
@@ -163,10 +172,12 @@ reported as the saturation data point.
 
 **Scaling efficiency (N→4N) = throughput(4N) / (4 × throughput(N)) =
 {efficiency:.3f}** (north-rule target ≥ 0.8: {"MET" if efficiency >= 0.8 else "NOT MET"}).
-8→32 cores on this single box: {eff_8_32:.3f} — the job becomes
-DRAM-bandwidth-bound, not scheduler- or shuffle-bound (per-task codec
-CPU time inflates while task counts stay balanced), which is the
-expected single-node ceiling, not a partitioning artifact.
+8→32 cores on this single box: {eff_8_32:.3f} — all 32 workers share one
+machine's DRAM bandwidth and one JVM's scan/Arrow-transfer path (a
+pure scan+transfer pass measures the same ceiling as the full encode,
+so the codecs are not the limiter); real executors add bandwidth with
+nodes, which one box cannot emulate. That is why N=2 → 4N=8, both
+below the ceiling, is the scaling-evidence pair.
 
 Output identity across parallelism levels: encoded block signatures
 (block_id, column, crc32, bytes_out, n_rows) are

@@ -84,6 +84,95 @@ SELECT q_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 3
 """
 
 
+N_CENTROIDS = 8
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN, nprobe=1: a coarse quantizer of ``N_CENTROIDS``
+    deterministic centroids (the first K vectors — k-means would converge
+    from here; fixed seeds keep the oracle SQL-expressible) assigns every
+    vector to its nearest centroid by cosine; each query searches only
+    its own cell.  At scale the assignment is one broadcast-join map pass
+    and the search touches 1/K of the table instead of all of it (the
+    inverted-file structure of IVF indexes); recall is traded for the
+    K× scan reduction and recovered by raising nprobe."""
+    emb = _emb(spark, sf_dir).select("vec_id", _dvec("embedding").alias("v"))
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    sims = emb.join(F.broadcast(cents)).select(
+        "vec_id", "v", "cid", F.round(_cos(F.col("v"), F.col("cv")), 6).alias("sim")
+    )
+    wa = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    assigned = (
+        sims.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("cid").alias("q_cid"),
+    )
+    scored = assigned.join(
+        F.broadcast(queries),
+        (F.col("cid") == F.col("q_cid")) & (F.col("vec_id") != F.col("q_id")),
+    ).select(
+        "q_id",
+        "vec_id",
+        F.col("cid"),
+        F.round(_cos(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+    )
+    wr = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "vec_id", "cid", "cos_sim", "rank")
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Left-to-right float64 fold of cosine(a, b) — same order as Spark."""
+    return f"""
+  list_sum(list_transform(generate_series(1, {DIM}),
+                          k -> CAST({a}[k] AS DOUBLE) * CAST({b}[k] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(generate_series(1, {DIM}),
+                                  k -> CAST({a}[k] AS DOUBLE) * CAST({a}[k] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(generate_series(1, {DIM}),
+                                    k -> CAST({b}[k] AS DOUBLE) * CAST({b}[k] AS DOUBLE)))))
+"""
+
+
+_ANN_IVF_SQL = f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+           WHERE vec_id < {N_CENTROIDS}),
+sims AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         round({_cos_sql('e.embedding', 'c.cv')}, 6) AS sim
+  FROM embeddings e CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cid ASC) AS rn
+    FROM sims) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, embedding AS qv, cid AS q_cid
+      FROM assigned WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.q_id, a.vec_id, a.cid,
+         round({_cos_sql('q.qv', 'a.embedding')}, 6) AS cos_sim
+  FROM assigned a JOIN q ON a.cid = q.q_cid AND a.vec_id != q.q_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cid, cos_sim, rank FROM ranked WHERE rank <= 3
+"""
+
+
 def _plane_weight_sql(j: int, k: str) -> str:
     """Deterministic pseudo-random hyperplane weight, exact in int64."""
     return f"(((1103515245 * ({j} * {DIM} + {k}) + 12345) % 2001) - 1000) / 1000.0"
@@ -149,9 +238,11 @@ FROM assigned GROUP BY bucket
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
+    "ann_ivf_topk": ann_ivf_topk,
 }
 
 ORACLE_SQL = {
     "ann_cosine_topk": _ANN_TOPK_SQL,
     "ann_lsh_buckets": _ann_lsh_sql(),
+    "ann_ivf_topk": _ANN_IVF_SQL,
 }

@@ -88,6 +88,12 @@ class EncodeConfig:
     zstd_threshold: float = 0.9
     shuffle_partitions: int | None = None
     blocks_per_pass: int | None = None  # checkpoint granularity (None = one pass)
+    # scan split cap for this pass (spark.sql.files.maxPartitionBytes /
+    # openCostInBytes, restored afterwards).  With small block files the
+    # default 128MB packing fuses many blocks into few splits and starves
+    # the executors; set this to ~one block-file size to get one task per
+    # block.  At 100 TB file sizes the default is already right.
+    scan_split_bytes: int | None = None
     properties: dict = field(default_factory=dict)
 
 
@@ -219,6 +225,28 @@ def encode_table(
 
 
 def _encode_pass(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    config: EncodeConfig,
+    block_range: tuple | None = None,
+) -> dict:
+    saved_conf = {}
+    if config.scan_split_bytes:
+        for k in ("spark.sql.files.maxPartitionBytes", "spark.sql.files.openCostInBytes"):
+            saved_conf[k] = spark.conf.get(k, None)
+            spark.conf.set(k, str(config.scan_split_bytes))
+    try:
+        return _encode_pass_inner(spark, df, out_dir, config, block_range)
+    finally:
+        for k, v in saved_conf.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _encode_pass_inner(
     spark: SparkSession,
     df: DataFrame,
     out_dir: str,
