@@ -128,12 +128,12 @@ def main() -> None:
     )
     verify_checksums(spark, warm_dir)
     shutil.rmtree(warm_dir, ignore_errors=True)
-    # Best-of-2 per query: the sandbox VM sees bursty host CPU steal that
-    # can inflate an arbitrary run 3-4×; the minimum of two warm runs
+    # Best-of-3 per query: the sandbox VM sees bursty host CPU steal that
+    # can inflate an arbitrary run 3-4×; the minimum of three warm runs
     # reports the machine's actual capability.  Output identity across
     # runs is separately asserted (same bytes_out, checksums green).
     summary = None
-    for rep in range(2):
+    for rep in range(3):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
         # source written one file per block → block-aligned scan, no shuffle

@@ -258,3 +258,5 @@ class Rle:
             f"Rle(runs=[{rs}], values=[{vs}]) "
             f"length {self.length} containing {n} elements"
         )
+
+    __str__ = __repr__

@@ -206,6 +206,34 @@ class RleDict:
     def __truediv__(self, other):
         return self._binary(other, "div")
 
+    def __rsub__(self, other):
+        # reference form: per-key `other - rle` (rledict.py:320-321)
+        return RleDict({kk: other - rle for kk, rle in self.rles.items()})
+
+    def __rtruediv__(self, other):
+        return RleDict({kk: other / rle for kk, rle in self.rles.items()})
+
+    @property
+    def chromosomes(self):
+        """Natural-sorted chromosome names (rledict.py:608-618)."""
+        cs = {k[0] if isinstance(k, tuple) else k for k in self.rles}
+        return sorted(cs, key=natsort_key)
+
+    def add_pseudocounts(self, pseudo: float = 0.01) -> None:
+        """Replace zero values with ``pseudo``, in place.
+
+        The reference implementation (rledict.py:418-420) crashes — it
+        calls ``.loc`` on a numpy array; this is the working version of
+        its documented intent (values==0 → pseudo), same mutate-in-place,
+        returns-None contract.
+        """
+        for rle in self.rles.values():
+            rle.values[rle.values == 0] = pseudo
+
+    def to_csv(self, f, sep: str = "\t") -> None:
+        """Write the keyed run table as CSV (rledict.py:705-706)."""
+        self.to_table().to_csv(f, sep=sep, index=False)
+
     # -- apply family (rledict.py:422-606) -----------------------------------------
     def apply(self, f, **kwargs):
         """Quirk kept: RleDict.apply *always* defragments, ignoring any
@@ -318,3 +346,5 @@ class RleDict:
     def __repr__(self) -> str:
         keys = sorted(self.rles, key=natsort_key)
         return f"RleDict with {len(keys)} keys: {keys[:6]}{'…' if len(keys) > 6 else ''}"
+
+    __str__ = __repr__

@@ -262,3 +262,41 @@ def test_coverage_value_col():
     df = pd.DataFrame({"Start": [0, 2], "End": [4, 6], "Value": [2.0, 3.0]})
     r = coverage_from_intervals(df, "Value")
     assert list(k.decode_runs(r.runs, r.values)) == [2, 2, 5, 5, 3, 3]
+
+
+def test_rledict_reflected_scalar_ops():
+    """Reference rledict.py:320-324: scalar - / scalar ÷ broadcast per key."""
+    rd = RleDict({"c1": Rle([2, 2], [1.0, 4.0])})
+    assert list((10 - rd)["c1"].values) == [9.0, 6.0]
+    assert list((8 / rd)["c1"].values) == [8.0, 2.0]
+
+
+def test_rledict_chromosomes_property():
+    rd = RleDict({("chr10", "+"): Rle([1], [1]), ("chr2", "-"): Rle([1], [1])})
+    assert rd.chromosomes == ["chr2", "chr10"]
+    rd2 = RleDict({"chrM": Rle([1], [1]), "chr1": Rle([1], [1])})
+    assert rd2.chromosomes == ["chr1", "chrM"]
+
+
+def test_add_pseudocounts_fixed_semantics():
+    """The reference's own add_pseudocounts crashes (rledict.py:418-420
+    calls .loc on a numpy array); ours implements the documented intent."""
+    rd = RleDict({"c": Rle([2, 3], [0.0, 2.0])})
+    assert rd.add_pseudocounts(0.25) is None
+    assert list(rd["c"].values) == [0.25, 2.0]
+
+
+def test_rledict_to_csv_roundtrip(tmp_path):
+    rd = RleDict({"c1": Rle([2, 1], [1.0, 2.0]), "c2": Rle([3], [4.0])})
+    p = tmp_path / "rd.tsv"
+    rd.to_csv(str(p))
+    back = pd.read_csv(p, sep="\t")
+    assert list(back.columns) == ["Chromosome", "Runs", "Values"]
+    assert back["Runs"].sum() == 6
+
+
+def test_str_aliases_repr():
+    r = Rle([1], [1.0])
+    assert str(r) == repr(r)
+    rd = RleDict({"c": r})
+    assert str(rd) == repr(rd)
