@@ -552,8 +552,45 @@ FROM documents GROUP BY lang
 """
 
 
+def zonemap_prune_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping as a relational plan: build per-block
+    (min, max) zones over ``documents.n_chars`` (block = 512 doc_ids,
+    the manifest analog), keep only blocks whose zone can contain the
+    predicate ``n_chars >= 440``, then scan just those blocks.
+
+    The oracle is the NAIVE full scan — equality proves pruning loses
+    and invents nothing.  The pipeline-level version of this (skip
+    decoding encoded blocks via stored zmin/zmax) is
+    ``plans.encode_job.prune_blocks`` + ``decode_table(blocks=...)``;
+    at 10^12 docs the zone scan is O(#blocks) on the manifest, and the
+    survivor list broadcasts."""
+    B = 512
+    docs = load(spark, sf_dir, "documents")
+    with_block = docs.withColumn("block_id", F.floor(F.col("doc_id") / B))
+    zones = with_block.groupBy("block_id").agg(
+        F.min("n_chars").alias("zmin"), F.max("n_chars").alias("zmax")
+    )
+    live = zones.filter(F.col("zmax") >= 440).select("block_id")
+    return (
+        with_block.join(F.broadcast(live), "block_id", "left_semi")
+        .filter(F.col("n_chars") >= 440)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_ZONEMAP_PRUNE_AGG_SQL = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE n_chars >= 440 GROUP BY lang
+"""
+
+
 QUERIES = {
     "rle_encode_lang": rle_encode_lang,
+    "zonemap_prune_agg": zonemap_prune_agg,
     "lang_counts_salted": lang_counts_salted,
     "rle_roundtrip_lang": rle_roundtrip_lang,
     "coverage_events": coverage_events,
@@ -571,6 +608,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "rle_encode_lang": _RLE_ENCODE_LANG_SQL,
+    "zonemap_prune_agg": _ZONEMAP_PRUNE_AGG_SQL,
     "lang_counts_salted": _LANG_COUNTS_SALTED_SQL,
     "rle_roundtrip_lang": _RLE_ROUNDTRIP_LANG_SQL,
     "coverage_events": _COVERAGE_EVENTS_SQL,

@@ -51,13 +51,19 @@ from pyrle_spark.codecs import Encoded, decode_array
 from pyrle_spark.codecs.base import arrow_to_payload
 from pyrle_spark.sources.icetable import IceTable
 
-__all__ = ["EncodeConfig", "encode_table", "decode_table", "verify_checksums"]
+__all__ = [
+    "EncodeConfig",
+    "encode_table",
+    "decode_table",
+    "prune_blocks",
+    "verify_checksums",
+]
 
 ENCODED_SPARK_SCHEMA = (
     "block_id long, column string, codec string, arrow_type string, "
     "n_rows long, meta string, buffers map<string,binary>, "
     "bytes_in long, bytes_out long, encode_ns long, crc32 long, "
-    "n_runs long, part_id int"
+    "n_runs long, part_id int, zmin string, zmax string"
 )
 
 _ENCODED_PA_SCHEMA = pa.schema(
@@ -75,8 +81,36 @@ _ENCODED_PA_SCHEMA = pa.schema(
         ("crc32", pa.int64()),
         ("n_runs", pa.int64()),
         ("part_id", pa.int32()),
+        ("zmin", pa.string()),
+        ("zmax", pa.string()),
     ]
 )
+
+
+def _zone_str(v, typ: pa.DataType) -> str:
+    """Stringify a zone-map bound; hex for binary (order-preserving via
+    unhex at prune time), ISO for timestamps, repr digits otherwise."""
+    if isinstance(v, bytes):
+        return v.hex()
+    if pa.types.is_timestamp(typ):
+        return v.isoformat(sep=" ")
+    return str(v)
+
+
+def _zone_bounds(arr: pa.Array):
+    """(zmin, zmax) strings for the block, or (None, None) when the type
+    has no ordering or the block is empty/all-null.  NaNs are skipped
+    (standard zone-map semantics: NaN never satisfies a range predicate)."""
+    import pyarrow.compute as pc
+
+    try:
+        mm = pc.min_max(arr)
+        mn, mx = mm["min"].as_py(), mm["max"].as_py()
+    except pa.lib.ArrowNotImplementedError:
+        return None, None
+    if mn is None:
+        return None, None
+    return _zone_str(mn, arr.type), _zone_str(mx, arr.type)
 
 
 @dataclass
@@ -144,6 +178,9 @@ def _flush_block(block_id: int, cols: dict, part_id: int, zstd_threshold: float)
         )
         dt = time.perf_counter_ns() - t0
         stats = enc.meta.get("stats", {})
+        zmin, zmax = _zone_bounds(arr)
+        rows["zmin"].append(zmin)
+        rows["zmax"].append(zmax)
         rows["block_id"].append(block_id)
         rows["column"].append(colname)
         rows["codec"].append(enc.codec)
@@ -425,6 +462,54 @@ def dedup_blocks(enc: DataFrame) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------- zone maps
+
+
+_ZONE_CAST = {
+    "int64": "long",
+    "int32": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "large_string": "string",
+    "bool": "boolean",
+}
+
+
+def prune_blocks(
+    enc: DataFrame, column: str, lo=None, hi=None, arrow_type: str | None = None
+) -> DataFrame:
+    """Zone-map data skipping: block_ids whose ``column`` zone
+    ``[zmin, zmax]`` may intersect ``[lo, hi]`` (None = unbounded).
+
+    Conservative by construction — a block lacking zone stats is kept, so
+    the result is always a superset of the blocks containing matches.
+    This is the application-level analog of parquet row-group min/max
+    pruning, done on the (tiny) blocks manifest instead of the data; at
+    10^12 docs the manifest scan is O(#blocks), not O(rows).
+    """
+    z = enc.filter(F.col("column") == column)
+    if arrow_type is None:
+        row = z.select("arrow_type").first()
+        arrow_type = row["arrow_type"] if row else "string"
+    if arrow_type.startswith("timestamp"):
+        cast = "timestamp_ntz" if "tz=" not in arrow_type else "timestamp"
+        zmin, zmax = F.col("zmin").cast(cast), F.col("zmax").cast(cast)
+    elif arrow_type in ("binary", "large_binary"):
+        zmin, zmax = F.unhex("zmin"), F.unhex("zmax")
+    else:
+        cast = _ZONE_CAST.get(arrow_type)
+        if cast is None:
+            return z.select("block_id").distinct()  # unprunable type: keep all
+        zmin, zmax = F.col("zmin").cast(cast), F.col("zmax").cast(cast)
+    keep = F.lit(True)
+    if lo is not None:
+        keep = keep & (F.col("zmax").isNull() | (zmax >= F.lit(lo)))
+    if hi is not None:
+        keep = keep & (F.col("zmin").isNull() | (zmin <= F.lit(hi)))
+    return z.filter(keep).select("block_id").distinct()
+
+
 # --------------------------------------------------------------------- decode
 
 
@@ -475,8 +560,14 @@ def decode_table(
     table_dir: str,
     columns: list | None = None,
     snapshot_id: str | None = None,
+    blocks: DataFrame | None = None,
 ) -> DataFrame:
-    """Decode an encoded-blocks table back to rows (with ``_order``)."""
+    """Decode an encoded-blocks table back to rows (with ``_order``).
+
+    ``blocks``: optional DataFrame with a ``block_id`` column (e.g. from
+    :func:`prune_blocks`) — only those blocks are decoded (zone-map data
+    skipping; the block list is small, so it broadcasts).
+    """
     table = IceTable(table_dir)
     props = table.properties(snapshot_id)
     block_rows = int(props["block_rows"])
@@ -485,6 +576,12 @@ def decode_table(
     enc = table.read_table(spark, snapshot_id)
     if columns:
         enc = enc.filter(F.col("column").isin(cols))  # column pruning
+    if blocks is not None:
+        enc = enc.join(
+            F.broadcast(blocks.select("block_id").distinct()),
+            "block_id",
+            "left_semi",
+        )
     enc = dedup_blocks(enc)
     enc = enc.repartition("block_id").sortWithinPartitions("block_id", "column")
     out_schema = ", ".join(

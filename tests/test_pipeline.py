@@ -157,3 +157,42 @@ def test_lineage_recorded(spark, webtext, tmp_path):
     for key in ("blocks", "rows", "bytes_in", "bytes_out", "encode_mb_per_s"):
         assert key in row
     assert any(c["column"] == "lang" for c in lineage["columns"])
+
+
+def test_zonemap_prune_decode(spark, tmp_path):
+    """Zone maps (per-block min/max captured at encode) let decode skip
+    blocks whose range cannot match; pruned decode equals full decode
+    filtered, and actually skips blocks."""
+    from pyrle_spark.plans.encode_job import prune_blocks
+
+    out = str(tmp_path / "zm")
+    df = spark.range(0, 40_000, 1, 4).select(
+        F.col("id").alias("doc_seq"),
+        F.col("id").alias("v"),
+        F.concat(F.lit("k"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("s"),
+    )
+    encode_table(
+        spark, df, out, EncodeConfig(columns=["v", "s"], block_rows=4096)
+    )
+    enc = IceTable(out).read_table(spark)
+    live = prune_blocks(enc, "v", lo=9000, hi=10_000)
+    ids = sorted(r["block_id"] for r in live.collect())
+    assert ids == [2], ids  # 9000..10000 lives entirely in block 2
+    pruned = decode_table(spark, out, blocks=live)
+    full = decode_table(spark, out)
+    want = (
+        full.filter((F.col("v") >= 9000) & (F.col("v") <= 10_000))
+        .orderBy("v")
+        .collect()
+    )
+    got = (
+        pruned.filter((F.col("v") >= 9000) & (F.col("v") <= 10_000))
+        .orderBy("v")
+        .collect()
+    )
+    assert got == want and len(got) == 1001
+    # string zones prune too
+    live_s = prune_blocks(enc, "s", lo="k020000", hi="k020100")
+    assert sorted(r["block_id"] for r in live_s.collect()) == [4]
+    # conservative on blocks without stats: unprunable type keeps all
+    assert prune_blocks(enc, "v").count() == 10
