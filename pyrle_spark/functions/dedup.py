@@ -167,15 +167,22 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band bucket are candidates (banding → bucket equi-join, never a
     pairwise scan)."""
     sig = minhash_signatures(spark, sf_dir)
-    bands = None
-    for bi, (x, y) in enumerate(BANDS):
-        part = sig.select(
-            "doc_id",
-            F.lit(bi).alias("band"),
-            F.col(f"h{x}").alias("ba"),
-            F.col(f"h{y}").alias("bb"),
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    # one explode, not a per-band union: a union would replicate the
+    # whole signature subtree (shingle explode + groupBy) once per band
+    # in the plan — 4× the shuffles for identical data
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.col(f"h{x}").alias("ba"),
+                F.col(f"h{y}").alias("bb"),
+            )
+            for bi, (x, y) in enumerate(BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band", "b.ba", "b.bb"
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
