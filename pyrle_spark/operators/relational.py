@@ -174,13 +174,21 @@ def rle_add_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the pure-SQL form of the reference's two-pointer merge kernel
     (rle.pyx:20-78) — the positional full-outer as-of join of SURVEY §2.3."""
     cov = coverage_events(spark, sf_dir)
-    a = cov.filter(F.col("event_type") == "click").select(
-        F.col("start_pos").alias("pos"), F.col("cov_value").alias("av")
+    # the full-outer join on pos is expressed as one conditional pivot
+    # aggregation — a filter-twice-and-join form would replicate the
+    # entire coverage subtree per side (2× the shuffles for one input)
+    joined = (
+        cov.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(F.col("start_pos").alias("pos"))
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "click", F.col("cov_value"))
+            ).alias("av"),
+            F.max(
+                F.when(F.col("event_type") == "view", F.col("cov_value"))
+            ).alias("bv"),
+        )
     )
-    b = cov.filter(F.col("event_type") == "view").select(
-        F.col("start_pos").alias("pos"), F.col("cov_value").alias("bv")
-    )
-    joined = a.join(b, "pos", "full_outer")
     w = W.orderBy("pos")
     filled = joined.select(
         "pos",
