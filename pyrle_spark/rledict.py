@@ -131,6 +131,48 @@ class RleDict:
         # (rledict.py:254 vs :298-299)
         if isinstance(key, int):
             raise KeyError("integer keys not supported (rledict.py:232-233)")
+        if isinstance(key, pd.DataFrame):
+            # interval-table subset (the PyRanges branch of the reference,
+            # rledict.py:256-296, duck-typed here on the DataFrame shape):
+            # per-key batch range extraction, missing keys skipped
+            if key.empty:
+                return pd.DataFrame(
+                    columns="Chromosome Start End ID Run Value".split()
+                )
+            group_cols = (
+                ["Chromosome", "Strand"]
+                if self.stranded and "Strand" in key.columns
+                else ["Chromosome"]
+            )
+            frames = []
+            for gk, sub in key.groupby(group_cols, sort=False):
+                gk = gk if len(group_cols) == 2 else (
+                    gk[0] if isinstance(gk, tuple) else gk
+                )
+                if gk not in self.rles:
+                    continue
+                rle = self.rles[gk]
+                ids, starts, ends, runs, values = k.getitems(
+                    rle.runs,
+                    rle.values,
+                    sub["Start"].to_numpy(np.int64),
+                    sub["End"].to_numpy(np.int64),
+                )
+                df = pd.DataFrame(
+                    {"Start": starts, "End": ends, "ID": ids,
+                     "Run": runs, "Value": values}
+                )
+                if isinstance(gk, tuple):
+                    df.insert(0, "Chromosome", gk[0])
+                    df["Strand"] = gk[1]
+                else:
+                    df.insert(0, "Chromosome", gk)
+                frames.append(df)
+            if not frames:
+                return pd.DataFrame(
+                    columns="Chromosome Start End ID Run Value".split()
+                )
+            return pd.concat(frames, ignore_index=True)
         if isinstance(key, tuple):
             return self.rles.get(key, Rle([1], [0]))
         if key in ("+", "-") and self.stranded:

@@ -300,3 +300,28 @@ def test_str_aliases_repr():
     assert str(r) == repr(r)
     rd = RleDict({"c": r})
     assert str(rd) == repr(rd)
+
+
+def test_rledict_interval_dataframe_subset():
+    """Batch range extraction through RleDict[interval table]
+    (reference rledict.py:256-296): per-key getitems, clipped runs
+    tagged with query ID, missing chromosomes skipped."""
+    rd = RleDict({"chr1": Rle([3, 3], [1.0, 2.0]), "chr2": Rle([4], [5.0])})
+    q = pd.DataFrame(
+        {"Chromosome": ["chr1", "chr1", "chr2", "chr9"],
+         "Start": [0, 2, 1, 0], "End": [2, 5, 3, 1]}
+    )
+    out = rd[q]
+    assert list(out.columns) == ["Chromosome", "Start", "End", "ID", "Run", "Value"]
+    assert "chr9" not in set(out["Chromosome"])
+    chr1 = out[out.Chromosome == "chr1"]
+    # query [2,5) over runs (3,1.0),(3,2.0): 1 from the first run, 2 from the second
+    assert list(chr1[chr1.ID == 1][["Run", "Value"]].itertuples(index=False)) == [
+        (1, 1.0), (2, 2.0),
+    ]
+    rds = RleDict({("chr1", "+"): Rle([2], [7.0])})
+    qs = pd.DataFrame(
+        {"Chromosome": ["chr1"], "Strand": ["+"], "Start": [0], "End": [2]}
+    )
+    assert rds[qs]["Strand"].iloc[0] == "+"
+    assert rd[pd.DataFrame(columns=["Chromosome", "Start", "End"])].empty
