@@ -73,3 +73,63 @@ def test_streaming_encode_incremental(spark, webtext, tmp_path):
     assert verify_checksums(spark, table)["bad"] == 0
     snaps = IceTable(table).snapshots()
     assert len(snaps) >= 2
+
+
+def test_stateful_streaming_rle_matches_batch(spark, tmp_path):
+    """applyInPandasWithState RLE: runs spanning micro-batch boundaries
+    merge through per-key state; the completed-run stream equals the
+    batch find_runs encode of the concatenated input (flush sentinel
+    closes trailing runs)."""
+    import os
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from pyrle_spark.kernels.rlecore import find_runs
+    from pyrle_spark.streaming.stateful_rle import rle_runs_stream
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rng = np.random.default_rng(7)
+    seqs = {
+        "a": rng.integers(0, 3, 300).astype(float),
+        "b": rng.integers(0, 2, 250).astype(float),
+    }
+    chunks = []
+    for i in range(3):
+        frames = []
+        for key, v in seqs.items():
+            n = len(v) // 3
+            lo, hi = i * n, (i + 1) * n if i < 2 else len(v)
+            frames.append(
+                pd.DataFrame(
+                    {"key": key, "pos": np.arange(lo, hi, dtype=np.int64),
+                     "value": v[lo:hi]}
+                )
+            )
+        chunks.append(pd.concat(frames))
+    term = pd.DataFrame(
+        {"key": list(seqs), "pos": [10**9] * 2, "value": [float("nan")] * 2}
+    )
+    for i, c in enumerate(chunks + [term]):
+        p = f"{src}/f{i}.parquet"
+        c.to_parquet(p)
+        os.utime(p, (time.time() + i, time.time() + i))  # file-source order
+    q = rle_runs_stream(
+        spark, src, str(tmp_path / "ckpt"), query_name="rle_runs_t"
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("rle_runs_t")
+        .toPandas()
+        .sort_values(["key", "start_pos"])
+        .reset_index(drop=True)
+    )
+    for key, v in seqs.items():
+        runs, vals = find_runs(v)
+        starts = np.concatenate(([0], np.cumsum(runs[:-1])))
+        g = got[got.key == key].reset_index(drop=True)
+        assert (g.start_pos.to_numpy() == starts).all()
+        assert (g.run_len.to_numpy() == runs).all()
+        assert (g.value.to_numpy() == vals).all()
