@@ -584,22 +584,22 @@ def decode_table(
         )
     enc = dedup_blocks(enc)
     enc = enc.repartition("block_id").sortWithinPartitions("block_id", "column")
+    # ONE job resolves every column's arrow type (was one scan per column)
+    types = dict(
+        table.read_table(spark, snapshot_id)
+        .filter(F.col("column").isin(cols))
+        .select("column", "arrow_type")
+        .distinct()
+        .collect()
+    )
     out_schema = ", ".join(
-        ["_order long"]
-        + [f"{c} {_spark_type_of(props, c, spark, table_dir)}" for c in cols]
+        ["_order long"] + [f"{c} {_spark_type_of(types[c])}" for c in cols]
     )
     return enc.mapInArrow(_make_decode_fn(block_rows), out_schema)
 
 
-def _spark_type_of(props, col, spark, table_dir) -> str:
+def _spark_type_of(at: str) -> str:
     """Spark SQL type string for a decoded column, from its arrow type."""
-    table = IceTable(table_dir)
-    enc = table.read_table(spark)
-    at = (
-        enc.filter(F.col("column") == col)
-        .select("arrow_type")
-        .first()["arrow_type"]
-    )
     mapping = {
         "int64": "long",
         "int32": "int",
