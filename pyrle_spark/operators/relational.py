@@ -163,6 +163,58 @@ FROM cum WHERE run_len IS NOT NULL
 """
 
 
+def coverage_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-weighted coverage — the ``value_col`` form of the reference
+    constructor (RleDict(df, value_col=...), rledict.py:133-180 /
+    methods.py:147-148): each interval contributes ±value at its
+    boundaries instead of ±1.  Weights rounded to 3 decimals so the
+    cumsum is float-stable against the oracle."""
+    iv = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("event_id") % 997).alias("s"),
+        (F.col("event_id") % 997 + 1 + F.col("user_id") % 49).alias("e"),
+        F.round("value", 3).alias("wgt"),
+    )
+    ev = iv.select("event_type", F.col("s").alias("pos"), F.col("wgt").alias("d")).unionAll(
+        iv.select("event_type", F.col("e").alias("pos"), (-F.col("wgt")).alias("d"))
+    )
+    agg = ev.groupBy("event_type", "pos").agg(F.round(F.sum("d"), 3).alias("d"))
+    w = W.partitionBy("event_type").orderBy("pos")
+    cum = agg.select(
+        "event_type",
+        "pos",
+        F.round(F.sum("d").over(w), 3).alias("cov_value"),
+        (F.lead("pos").over(w) - F.col("pos")).alias("run_len"),
+    )
+    return cum.filter(F.col("run_len").isNotNull()).select(
+        "event_type", F.col("pos").alias("start_pos"), "run_len", "cov_value"
+    )
+
+
+_COVERAGE_WEIGHTED_SQL = """
+WITH iv AS (
+  SELECT event_type, event_id % 997 AS s,
+         event_id % 997 + 1 + user_id % 49 AS e,
+         round(value, 3) AS wgt
+  FROM events
+),
+ev AS (
+  SELECT event_type, s AS pos, wgt AS d FROM iv
+  UNION ALL
+  SELECT event_type, e AS pos, -wgt AS d FROM iv
+),
+agg AS (SELECT event_type, pos, round(sum(d), 3) AS d FROM ev GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, pos,
+         round(sum(d) OVER (PARTITION BY event_type ORDER BY pos), 3) AS cov_value,
+         lead(pos) OVER (PARTITION BY event_type ORDER BY pos) - pos AS run_len
+  FROM agg
+)
+SELECT event_type, pos AS start_pos, run_len, cov_value
+FROM cum WHERE run_len IS NOT NULL
+"""
+
+
 # --------------------------------------------------------------------- binary op
 
 
@@ -599,6 +651,7 @@ FROM documents WHERE n_chars >= 440 GROUP BY lang
 QUERIES = {
     "rle_encode_lang": rle_encode_lang,
     "zonemap_prune_agg": zonemap_prune_agg,
+    "coverage_weighted": coverage_weighted,
     "lang_counts_salted": lang_counts_salted,
     "rle_roundtrip_lang": rle_roundtrip_lang,
     "coverage_events": coverage_events,
@@ -617,6 +670,7 @@ QUERIES = {
 ORACLE_SQL = {
     "rle_encode_lang": _RLE_ENCODE_LANG_SQL,
     "zonemap_prune_agg": _ZONEMAP_PRUNE_AGG_SQL,
+    "coverage_weighted": _COVERAGE_WEIGHTED_SQL,
     "lang_counts_salted": _LANG_COUNTS_SALTED_SQL,
     "rle_roundtrip_lang": _RLE_ROUNDTRIP_LANG_SQL,
     "coverage_events": _COVERAGE_EVENTS_SQL,
