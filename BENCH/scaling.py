@@ -1,14 +1,16 @@
 """Scaling-efficiency evidence for the north rule: the same encode job on
-the same input at two parallelism levels (local[8] = N, local[32] = 4N —
-the sandbox proxy for two cluster sizes), reporting throughput at both
-and efficiency = T(N)·? — concretely:
+the same input at multiple parallelism levels — the sandbox proxy for
+two cluster sizes is **N = local[2] vs 4N = local[8]** (both below the
+single box's bandwidth ceiling; local[32] is the saturation footnote):
 
     efficiency = throughput(4N) / (4 × throughput(N))   target ≥ 0.8
 
-Each level runs in its own subprocess (one JVM per master setting).
-Also asserts the two runs produce identical encoded blocks (block_id,
-column, crc32, bytes_out sets match), i.e. output is independent of
-parallelism.  Writes BENCH/BASELINE.md.
+Each level runs in its own subprocess (one JVM per master setting),
+3 warm reps per JVM (min); the level schedule is alternated twice and
+each level's best run kept, so a host CPU-steal burst cannot skew the
+ratio.  Asserts all runs produce identical encoded blocks (block_id,
+column, crc32, bytes_out, n_rows signatures match), i.e. output is
+independent of parallelism.  Writes BENCH/BASELINE.md.
 
 Usage: python BENCH/scaling.py [n_rows]
 """
@@ -56,8 +58,8 @@ os.sync()
 # block-aligned: the source was written one file per block, so the scan
 # partitions contain whole blocks and the encode needs NO shuffle — the
 # production shape for encoding an Iceberg table (file = natural block)
-# two timed reps (fresh output dir each), min wall: the box shows
-# multi-second dirty-page writeback stalls that are measurement noise
+# timed reps (fresh output dir each), min wall: the box shows
+# multi-second host-steal/writeback stalls that are measurement noise
 walls = []
 summaries = []
 for rep in range(3):
