@@ -84,7 +84,14 @@ def reference_rle_bytes(spark, n_rows: int) -> int:
 
 def main() -> None:
     sf = _sf_of(SF_DIR)
-    spark = get_spark("bench", cpus=CPUS)
+    # Encode phase runs with 3/4 of the cores as task slots: the Python
+    # codec workers share the box with the JVM's scan + Arrow-IPC
+    # threads, and leaving headroom measures ~25% faster than local[N]
+    # (the single-box analog of sizing executor cores below machine
+    # cores).  The relational phase (pure JVM, whole-stage codegen)
+    # uses all cores in its own session afterwards.
+    enc_slots = max(8, (CPUS * 3) // 4) if CPUS > 8 else CPUS
+    spark = get_spark("bench_encode", cpus=enc_slots)
     # webtext rows sized to the scale factor (~6M rows/sf, lineitem-like)
     n_rows = max(int(6_000_000 * sf), 20_000)
     queries: dict[str, float] = {}
@@ -94,10 +101,10 @@ def main() -> None:
         os.makedirs(SCRATCH, exist_ok=True)
     out_dir = tempfile.mkdtemp(prefix="bench_enc_", dir=SCRATCH)
     shutil.rmtree(out_dir, ignore_errors=True)
-    # block count = whole waves of CPUS tasks (tail quantization otherwise
-    # idles most cores in the last wave at small SF; at 100 TB block count
-    # >> task slots and this doesn't matter)
-    block_rows = max(4096, -(-n_rows // (2 * CPUS)))
+    # block count = whole waves of enc_slots tasks (tail quantization
+    # otherwise idles most cores in the last wave at small SF; at 100 TB
+    # block count >> task slots and this doesn't matter)
+    block_rows = max(4096, -(-n_rows // (2 * enc_slots)))
     # setup (untimed): materialize the webtext table to parquet — the
     # timed job then measures read → shuffle-to-blocks → encode → write,
     # the realistic end-to-end encode pass over an existing table
@@ -160,19 +167,6 @@ def main() -> None:
         )
         assert res["bad"] == 0, res
 
-        for name in (
-            "rle_encode_lang",
-            "coverage_events",
-            "rle_add_step",
-            "getitems_range",
-        ):
-            t0 = time.time()
-            relational.QUERIES[name](spark, SF_DIR).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            dt = round(time.time() - t0, 3)
-            queries[f"q_{name}"] = min(queries.get(f"q_{name}", dt), dt)
-
     extras["encode_gb_per_s"] = round(
         summary["bytes_in"] / 1e9 / queries["q_encode_webtext"], 4
     )
@@ -186,6 +180,25 @@ def main() -> None:
 
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(src_dir, ignore_errors=True)
+
+    # relational phase: pure-JVM whole-stage-codegen queries want every
+    # core — fresh session at full parallelism (first rep warms its JIT,
+    # best-of-3 reports the warm number)
+    spark.stop()
+    spark = get_spark("bench_relational", cpus=CPUS)
+    for rep in range(3):
+        for name in (
+            "rle_encode_lang",
+            "coverage_events",
+            "rle_add_step",
+            "getitems_range",
+        ):
+            t0 = time.time()
+            relational.QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = round(time.time() - t0, 3)
+            queries[f"q_{name}"] = min(queries.get(f"q_{name}", dt), dt)
     out = {
         "metric": "pyrle_spark headline (encode+decode+relational)",
         "value": round(sum(queries.values()), 3),
