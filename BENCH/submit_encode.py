@@ -7,7 +7,12 @@ The script only uses the already-created SparkSession (spark-submit owns
 master/conf), so the same file runs unchanged on a real cluster:
 
     spark-submit --master yarn --num-executors 4N \\
+        --driver-memory 8g --executor-memory 8g \\
         --py-files pyrle_spark.zip BENCH/submit_encode.py s3://... s3://...
+
+(In local mode pass --driver-memory 8g — the single JVM hosts every
+task's parquet writer; spark-submit's 1g default is too small for
+32 concurrent block writers.)
 
 Build the zip with:  python BENCH/make_pyfiles_zip.py
 """

@@ -340,7 +340,14 @@ def _encode_pass_inner(
         mode="append",
         # buffers are already codec-compressed; parquet re-compression
         # would only burn JVM CPU next to 32 busy python workers
-        write_options={"compression": "none"},
+        write_options={
+            "compression": "none",
+            # encoded rows carry multi-MB pre-compressed buffers; the
+            # default 128MB row groups just inflate writer heap (the
+            # whole group buffers in memory per task) with zero scan
+            # benefit — blocks are fetched by block_id, not range-scanned
+            "parquet.block.size": str(16 * 1024 * 1024),
+        },
         properties={
             "kind": "encoded_blocks",
             "block_rows": config.block_rows,
