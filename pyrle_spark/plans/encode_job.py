@@ -56,6 +56,7 @@ __all__ = [
     "encode_table",
     "decode_table",
     "prune_blocks",
+    "scan_encoded",
     "verify_checksums",
 ]
 
@@ -515,6 +516,49 @@ def prune_blocks(
     if hi is not None:
         keep = keep & (F.col("zmin").isNull() | (zmin <= F.lit(hi)))
     return z.filter(keep).select("block_id").distinct()
+
+
+def scan_encoded(
+    spark: SparkSession,
+    table_dir: str,
+    columns: list | None = None,
+    predicates: list | None = None,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """Query the encoded table with pushdown: zone-map pruning + column
+    pruning + residual filter, in one call.
+
+    ``predicates``: list of ``(column, lo, hi)`` range/equality bounds
+    (None = unbounded on that side).  Blocks are decoded only if EVERY
+    predicate's zone can match (survivor sets intersect — conjunctive
+    pushdown, the SURVEY §4.1 "RLE-aware filter pushdown" done at the
+    application layer); the residual filter then enforces the exact
+    predicate on the decoded rows, so results equal a full decode +
+    filter while touching only surviving blocks.
+    """
+    table = IceTable(table_dir)
+    enc = table.read_table(spark, snapshot_id)
+    blocks = None
+    need_cols = set(columns or [])
+    for colname, lo, hi in predicates or []:
+        need_cols.add(colname) if columns else None
+        surv = prune_blocks(enc, colname, lo, hi)
+        blocks = surv if blocks is None else blocks.join(
+            surv, "block_id", "inner"
+        )
+    out = decode_table(
+        spark,
+        table_dir,
+        columns=sorted(need_cols) if columns else None,
+        snapshot_id=snapshot_id,
+        blocks=blocks,
+    )
+    for colname, lo, hi in predicates or []:
+        if lo is not None:
+            out = out.filter(F.col(colname) >= lo)
+        if hi is not None:
+            out = out.filter(F.col(colname) <= hi)
+    return out
 
 
 # --------------------------------------------------------------------- decode

@@ -196,3 +196,41 @@ def test_zonemap_prune_decode(spark, tmp_path):
     assert sorted(r["block_id"] for r in live_s.collect()) == [4]
     # conservative on blocks without stats: unprunable type keeps all
     assert prune_blocks(enc, "v").count() == 10
+
+
+def test_scan_encoded_pushdown(spark, tmp_path):
+    """scan_encoded = conjunctive zone-map pushdown + selective decode +
+    residual filter; equals full decode + filter exactly."""
+    from pyrle_spark.plans.encode_job import scan_encoded
+
+    out = str(tmp_path / "scan")
+    df = spark.range(0, 30_000, 1, 4).select(
+        F.col("id").alias("doc_seq"),
+        F.col("id").alias("v"),
+        (F.col("id") % 7).alias("m"),
+        F.concat(F.lit("s"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("s"),
+    )
+    encode_table(
+        spark, df, out, EncodeConfig(columns=["v", "m", "s"], block_rows=4096)
+    )
+    got = (
+        scan_encoded(
+            spark, out,
+            columns=["v", "s"],
+            predicates=[("v", 8000, 9000), ("m", 3, 3)],
+        )
+        .orderBy("v")
+        .toPandas()
+    )
+    full = (
+        decode_table(spark, out)
+        .filter((F.col("v") >= 8000) & (F.col("v") <= 9000) & (F.col("m") == 3))
+        .select("_order", "m", "s", "v")
+        .orderBy("v")
+        .toPandas()
+    )
+    assert list(got["v"]) == list(full["v"])
+    assert list(got["s"]) == list(full["s"])
+    # predicate columns are decoded for the residual filter even when not
+    # in the projection explicitly
+    assert "m" in got.columns
