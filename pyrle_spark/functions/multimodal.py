@@ -75,6 +75,83 @@ FROM pos GROUP BY doc_id, bin
 """
 
 
+def fake_resize(payload: bytes, h: int, w: int) -> bytes:
+    """Deterministic stand-in for image resize: the real pipeline would
+    decode → interpolate → re-encode; this produces an h*w-byte payload
+    that is a pure function of (payload, h, w), so batch shape, schema,
+    and determinism are testable without an imaging library."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if len(arr) == 0:
+        return bytes(h * w)
+    # nearest-neighbor index mapping onto the flat byte stream — the same
+    # sampling arithmetic a real resize kernel uses, minus the codec
+    idx = (np.arange(h * w, dtype=np.int64) * len(arr)) // (h * w)
+    return arr[idx].tobytes()
+
+
+def resize_images(
+    df: DataFrame, payload_col: str = "payload", h: int = 8, w: int = 8
+) -> DataFrame:
+    """Batch image resize over ``mapInPandas``: binary in → binary out
+    plus (height, width) metadata columns.  The decode/resample seam is
+    :func:`fake_resize` (stub; see :func:`decode_image`); the Spark
+    plumbing — Arrow batches, schema, vectorized loop per batch — is the
+    production shape."""
+    other = [c for c in df.columns if c != payload_col]
+    out_schema = ", ".join(
+        [f"{c} long" for c in other] + ["resized binary, height int, width int"]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: pdf[c] for c in other}
+            out["resized"] = [
+                fake_resize(bytes(p), h, w) for p in pdf[payload_col]
+            ]
+            out["height"] = h
+            out["width"] = w
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    frame_bytes: int = 256,
+    every_n: int = 4,
+) -> DataFrame:
+    """Video frame sampling plumbing: treat the binary payload as a
+    frame-striped container (``frame_bytes`` per frame), keep every
+    ``every_n``-th frame, emit one row per sampled frame with its index —
+    the exploded long-format a downstream feature extractor consumes.
+    The container parse is the deterministic stand-in; a real demuxer
+    slots into the same loop."""
+    other = [c for c in df.columns if c != payload_col]
+    out_schema = ", ".join(
+        [f"{c} long" for c in other] + ["frame_idx int, frame binary"]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys = {c: [] for c in other}
+            idxs = []
+            frames = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[payload_col])
+                n_frames = max(len(payload) // frame_bytes, 0)
+                for fi in range(0, n_frames, every_n):
+                    for c in other:
+                        keys[c].append(row[c])
+                    idxs.append(fi)
+                    frames.append(
+                        payload[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    )
+            yield pd.DataFrame({**keys, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(run, out_schema)
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata for an opaque binary column: byte length + a
     leading-byte tag (the magic-number sniff in real pipelines)."""

@@ -41,3 +41,46 @@ def test_fake_features_deterministic():
     assert np.array_equal(a, b)
     assert a.sum() == len(b"hello world")
     assert len(a) == multimodal.N_BINS
+
+
+def test_resize_images_plumbing(spark):
+    """Resize plumbing: schema, determinism, payload is a pure function
+    of (bytes, h, w), independent of partitioning."""
+    import pyspark.sql.functions as F
+
+    from pyrle_spark.functions.multimodal import fake_resize, resize_images
+
+    df = spark.range(0, 50, 1, 4).select(
+        F.col("id").alias("doc_id"),
+        F.encode(F.concat(F.lit("payload-"), F.col("id").cast("string")), "utf-8").alias(
+            "payload"
+        ),
+    )
+    out = resize_images(df, h=4, w=4).orderBy("doc_id").collect()
+    assert len(out) == 50
+    assert out[0].height == 4 and out[0].width == 4
+    assert all(len(r.resized) == 16 for r in out)
+    assert bytes(out[7].resized) == fake_resize(b"payload-7", 4, 4)
+    out2 = resize_images(df.repartition(7), h=4, w=4).orderBy("doc_id").collect()
+    assert [bytes(r.resized) for r in out2] == [bytes(r.resized) for r in out]
+
+
+def test_frame_sample_plumbing(spark):
+    """Frame sampling: every_n-th frame_bytes slice per row, exploded to
+    long format with frame indices."""
+    import pyspark.sql.functions as F
+
+    from pyrle_spark.functions.multimodal import frame_sample
+
+    payload = bytes(range(256)) * 10  # 2560 bytes = 10 frames of 256
+    df = spark.createDataFrame([(1, payload), (2, payload[:300])], "doc_id long, payload binary")
+    out = frame_sample(df, frame_bytes=256, every_n=4).orderBy(
+        "doc_id", "frame_idx"
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [r.frame_idx for r in by_doc[1]] == [0, 4, 8]
+    assert all(len(r.frame) == 256 for r in by_doc[1])
+    assert bytes(by_doc[1][1].frame) == payload[4 * 256 : 5 * 256]
+    assert [r.frame_idx for r in by_doc[2]] == [0]  # 300 bytes → 1 frame
