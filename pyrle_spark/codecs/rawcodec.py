@@ -68,9 +68,17 @@ class ZstdCodec:
 
     @staticmethod
     def unwrap(meta: dict, buffers: dict):
+        # only buffers recorded in zstd_sizes were compressed; buffers
+        # attached after wrap() (the validity bitmap) pass through as-is
         sizes = meta["zstd_sizes"]
         out = {
-            k: pa.decompress(v, decompressed_size=sizes[k], codec="zstd", asbytes=True)
+            k: (
+                pa.decompress(
+                    v, decompressed_size=sizes[k], codec="zstd", asbytes=True
+                )
+                if k in sizes
+                else v
+            )
             for k, v in buffers.items()
         }
         inner = dict(meta)

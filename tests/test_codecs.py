@@ -178,3 +178,17 @@ def test_negative_zero_and_nan_bits_preserved():
         enc = encode_with(codec, arr)
         out = decode_array(Encoded.from_row(enc.to_row()))
         assert np.array_equal(np.asarray(out).view(np.uint64), xs_bits)
+
+
+def test_nullable_zstd_roundtrip_regression():
+    """The validity bitmap is attached after zstd wrapping; unwrap must
+    pass it through instead of trying to decompress it (hypothesis-found
+    falsifying example: nullable strings with raw+zstd)."""
+    import pyarrow as pa
+
+    from pyrle_spark.codecs import decode_array, encode_with
+
+    a = pa.array(["0000\x80𐀀𐀀𐀀", None, "0000\x80𐀀𐀀𐀀"], type=pa.large_string())
+    e = encode_with("raw", a, zstd=True)
+    assert e.codec == "raw+zstd" and e.meta.get("has_validity")
+    assert decode_array(e).equals(a)
