@@ -456,12 +456,17 @@ def shift_rle(
             runs, values = normalize(runs, values)
         return runs, values
     dist = -dist
+    original_total = int(np.sum(runs))
     if dist < runs[0]:
         runs[0] -= dist
     else:
         cs = np.cumsum(runs)
         ix = int(np.argmax(cs > dist))
         if cs[-1] <= dist:
+            # everything shifted out; the reference crashes here
+            # (rle.py:1088 indexes values[-1] of an empty Rle) — we keep
+            # its documented intent: an all-fill vector when
+            # preserve_length, else empty
             runs = np.array([], dtype=_I8)
             values = np.array([], dtype=_F8)
         else:
@@ -470,11 +475,15 @@ def shift_rle(
             runs = runs.copy()
             runs[0] += leftover
     if preserve_length:
-        if len(values) and values[-1] == fill:
-            runs[-1] += dist
-        else:
-            runs = np.concatenate((runs, [dist]))
-            values = np.concatenate((values, [fill]))
+        # pad back to the original logical length (== dist when the shift
+        # stayed in bounds, == original_total when it consumed everything)
+        pad = original_total - int(np.sum(runs))
+        if pad > 0:
+            if len(values) and values[-1] == fill:
+                runs[-1] += pad
+            else:
+                runs = np.concatenate((runs, [pad]))
+                values = np.concatenate((values, [fill]))
     return runs, values
 
 

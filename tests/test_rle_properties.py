@@ -251,6 +251,8 @@ def test_shift_matches_dense(pair, dist):
     if dist >= 0:
         exp = np.concatenate([np.zeros(dist), d])[: len(d)]
     else:
-        exp = np.concatenate([d[-dist:], np.zeros(-dist)])
+        # slice to the original length: a shift beyond the vector is
+        # all-fill, not a longer vector
+        exp = np.concatenate([d[-dist:], np.zeros(-dist)])[: len(d)]
     assert got.length == a.length
     assert np.allclose(oracle.dense(got.runs, got.values), exp, equal_nan=True)
