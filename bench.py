@@ -186,17 +186,42 @@ def main() -> None:
     # best-of-3 reports the warm number)
     spark.stop()
     spark = get_spark("bench_relational", cpus=CPUS)
+
+    def q_rleframe_add(spark, sf_dir):
+        # the production distributed keyed path: per-key coverage of the
+        # events table (two interval sets) merged with the run-aligned
+        # add kernel inside grouped Arrow passes
+        from pyrle_spark.operators.rleframe import RleFrame
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        iv = ev.select(
+            "event_type",
+            (F.col("event_id") % 997).alias("Start"),
+            (F.col("event_id") % 997 + 1 + F.col("user_id") % 49).alias("End"),
+        )
+        a = RleFrame.from_intervals(
+            iv.filter(F.col("event_type") == "click"), key_cols=("event_type",)
+        )
+        b = RleFrame.from_intervals(
+            iv.filter(F.col("event_type") == "view").withColumn(
+                "event_type", F.lit("click")
+            ),
+            key_cols=("event_type",),
+        )
+        return (a + b).df.select("event_type", F.size("runs").alias("n_runs"))
+
+    from pyspark.sql import functions as F  # noqa: E402
+
     for rep in range(3):
-        for name in (
-            "rle_encode_lang",
-            "coverage_events",
-            "rle_add_step",
-            "getitems_range",
+        for name, fn in (
+            ("rle_encode_lang", relational.QUERIES["rle_encode_lang"]),
+            ("coverage_events", relational.QUERIES["coverage_events"]),
+            ("rle_add_step", relational.QUERIES["rle_add_step"]),
+            ("getitems_range", relational.QUERIES["getitems_range"]),
+            ("rleframe_add", q_rleframe_add),
         ):
             t0 = time.time()
-            relational.QUERIES[name](spark, SF_DIR).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
             queries[f"q_{name}"] = min(queries.get(f"q_{name}", dt), dt)
     out = {
