@@ -111,6 +111,8 @@ def _zone_bounds(arr: pa.Array):
         return None, None
     if mn is None:
         return None, None
+    if isinstance(mn, float) and mn == float("inf") and mx == float("-inf"):
+        return None, None  # all-NaN block: min_max returns its identities
     return _zone_str(mn, arr.type), _zone_str(mx, arr.type)
 
 

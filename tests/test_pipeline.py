@@ -234,3 +234,28 @@ def test_scan_encoded_pushdown(spark, tmp_path):
     # predicate columns are decoded for the residual filter even when not
     # in the projection explicitly
     assert "m" in got.columns
+
+
+def test_zone_bounds_nan_and_float(spark, tmp_path):
+    """Float zones skip NaN (NaN never matches a range predicate); an
+    all-NaN block has no zone and stays conservatively unprunable."""
+    from pyrle_spark.plans.encode_job import prune_blocks
+
+    out = str(tmp_path / "zf")
+    df = spark.range(0, 8192, 1, 2).select(
+        F.col("id").alias("doc_seq"),
+        F.when(F.col("id") < 4096, F.lit(float("nan")))
+        .otherwise(F.col("id").cast("double"))
+        .alias("x"),
+    )
+    encode_table(spark, df, out, EncodeConfig(columns=["x"], block_rows=4096))
+    enc = IceTable(out).read_table(spark)
+    zones = {
+        r["block_id"]: (r["zmin"], r["zmax"])
+        for r in enc.filter("column='x'").select("block_id", "zmin", "zmax").collect()
+    }
+    assert zones[0] == (None, None)  # all-NaN block: no zone
+    assert float(zones[1][0]) == 4096.0
+    live = prune_blocks(enc, "x", lo=5000.0, hi=5100.0)
+    ids = sorted(r["block_id"] for r in live.collect())
+    assert ids == [0, 1]  # block 0 kept conservatively (no stats), block 1 matches

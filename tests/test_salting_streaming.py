@@ -133,3 +133,34 @@ def test_stateful_streaming_rle_matches_batch(spark, tmp_path):
         assert (g.start_pos.to_numpy() == starts).all()
         assert (g.run_len.to_numpy() == runs).all()
         assert (g.value.to_numpy() == vals).all()
+
+
+def test_stateful_streaming_rle_gap_closes_run(spark, tmp_path):
+    """A position gap closes the open run and starts a new one at the
+    gap (the stream analog of a new block)."""
+    import os
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from pyrle_spark.streaming.stateful_rle import rle_runs_stream
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    c1 = pd.DataFrame({"key": "k", "pos": [0, 1, 2], "value": [5.0, 5.0, 5.0]})
+    c2 = pd.DataFrame({"key": "k", "pos": [10, 11], "value": [5.0, 7.0]})  # gap at 3..9
+    term = pd.DataFrame({"key": ["k"], "pos": [10**9], "value": [float("nan")]})
+    for i, c in enumerate([c1, c2, term]):
+        p = f"{src}/f{i}.parquet"
+        c.to_parquet(p)
+        os.utime(p, (time.time() + i, time.time() + i))
+    q = rle_runs_stream(spark, src, str(tmp_path / "ck"), query_name="rle_gap_t")
+    q.awaitTermination(120)
+    got = (
+        spark.table("rle_gap_t").toPandas().sort_values("start_pos").reset_index(drop=True)
+    )
+    # run [0,3) of 5.0 closed by the gap; new run [10,11) of 5.0; [11,12) of 7.0
+    assert list(got["start_pos"]) == [0, 10, 11]
+    assert list(got["run_len"]) == [3, 1, 1]
+    assert list(got["value"]) == [5.0, 5.0, 7.0]
