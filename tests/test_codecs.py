@@ -18,7 +18,7 @@ from pyrle_spark import codecs
 from pyrle_spark.codecs import Encoded, decode_array, encode_array, encode_with
 from pyrle_spark.codecs.fsst import decode_buffer, encode_buffer, train
 
-MAX_EXAMPLES = 60
+MAX_EXAMPLES = int(__import__("os").environ.get("PYRLE_MAX_EXAMPLES", "60"))
 
 
 def roundtrip(enc: Encoded, arr: pa.Array, via_row: bool = True):

@@ -24,7 +24,7 @@ from pyrle_spark.kernels import rlecore as k
 
 from tests import oracle_rle as oracle
 
-MAX_EXAMPLES = 100
+MAX_EXAMPLES = int(__import__("os").environ.get("PYRLE_MAX_EXAMPLES", "100"))
 
 # Mirrors tests/hypothesis_helper.py:25-33 — integer values because float
 # equality vs an independent oracle is fragile; runs bounded lower here
