@@ -255,6 +255,91 @@ def rle_add_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("run_len").isNotNull())
 
 
+def rle_eq_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``==`` comparison operator as a relational plan (Rle.__eq__,
+    rle.py:248-276): boundary-union + as-of fill both sides, emit a
+    0/1-valued step function, then defragment — merge adjacent runs with
+    equal values via gaps-and-islands (the §1.3-2 invariant the
+    reference's constructor enforces on comparison output)."""
+    cov = coverage_events(spark, sf_dir)
+    joined = (
+        cov.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(F.col("start_pos").alias("pos"))
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "click", F.col("cov_value"))
+            ).alias("av"),
+            F.max(
+                F.when(F.col("event_type") == "view", F.col("cov_value"))
+            ).alias("bv"),
+        )
+    )
+    w = W.orderBy("pos")
+    filled = joined.select(
+        "pos",
+        F.coalesce(F.last("av", ignorenulls=True).over(w), F.lit(0.0)).alias("af"),
+        F.coalesce(F.last("bv", ignorenulls=True).over(w), F.lit(0.0)).alias("bf"),
+    )
+    stepped = filled.select(
+        "pos",
+        (F.lead("pos").over(w) - F.col("pos")).alias("run_len"),
+        F.when(F.col("af") == F.col("bf"), F.lit(1.0)).otherwise(0.0).alias("eq"),
+    ).filter(F.col("run_len").isNotNull())
+    flagged = stepped.withColumn(
+        "chg",
+        F.when(
+            F.coalesce(F.lag("eq").over(w), F.lit(-1.0)) != F.col("eq"), 1
+        ).otherwise(0),
+    )
+    return (
+        flagged.withColumn("grp", F.sum("chg").over(w))
+        .groupBy("grp")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            F.sum("run_len").alias("run_len"),
+            F.first("eq").alias("eq_value"),
+        )
+        .select("start_pos", "run_len", "eq_value")
+    )
+
+
+_RLE_EQ_STEP_SQL = f"""
+WITH cov AS ({_COVERAGE_EVENTS_SQL}),
+a AS (SELECT start_pos AS pos, cov_value AS av FROM cov WHERE event_type = 'click'),
+b AS (SELECT start_pos AS pos, cov_value AS bv FROM cov WHERE event_type = 'view'),
+joined AS (
+  SELECT coalesce(a.pos, b.pos) AS pos, a.av, b.bv
+  FROM a FULL OUTER JOIN b ON a.pos = b.pos
+),
+filled AS (
+  SELECT pos,
+         coalesce(last_value(av IGNORE NULLS) OVER (ORDER BY pos), 0) AS af,
+         coalesce(last_value(bv IGNORE NULLS) OVER (ORDER BY pos), 0) AS bf
+  FROM joined
+),
+stepped AS (
+  SELECT pos,
+         lead(pos) OVER (ORDER BY pos) - pos AS run_len,
+         CASE WHEN af = bf THEN 1.0 ELSE 0.0 END AS eq
+  FROM filled QUALIFY run_len IS NOT NULL
+),
+flagged AS (
+  SELECT pos, run_len, eq,
+         CASE WHEN coalesce(lag(eq) OVER (ORDER BY pos), -1.0) != eq
+              THEN 1 ELSE 0 END AS chg
+  FROM stepped
+),
+grps AS (
+  SELECT pos, run_len, eq,
+         sum(chg) OVER (ORDER BY pos) AS grp
+  FROM flagged
+)
+SELECT min(pos) AS start_pos, CAST(sum(run_len) AS BIGINT) AS run_len,
+       first(eq ORDER BY pos) AS eq_value
+FROM grps GROUP BY grp
+"""
+
+
 _RLE_ADD_STEP_SQL = f"""
 WITH cov AS ({_COVERAGE_EVENTS_SQL}),
 a AS (SELECT start_pos AS pos, cov_value AS av FROM cov WHERE event_type = 'click'),
@@ -656,6 +741,7 @@ QUERIES = {
     "rle_roundtrip_lang": rle_roundtrip_lang,
     "coverage_events": coverage_events,
     "rle_add_step": rle_add_step,
+    "rle_eq_step": rle_eq_step,
     "defragment_runs": defragment_runs,
     "getitems_range": getitems_range,
     "shift_lag": shift_lag,
@@ -675,6 +761,7 @@ ORACLE_SQL = {
     "rle_roundtrip_lang": _RLE_ROUNDTRIP_LANG_SQL,
     "coverage_events": _COVERAGE_EVENTS_SQL,
     "rle_add_step": _RLE_ADD_STEP_SQL,
+    "rle_eq_step": _RLE_EQ_STEP_SQL,
     "defragment_runs": _DEFRAGMENT_RUNS_SQL,
     "getitems_range": _GETITEMS_RANGE_SQL,
     "shift_lag": _SHIFT_LAG_SQL,
