@@ -175,6 +175,13 @@ def encode_payload_auto(
         distinct_ratio = stats["distinct_est"] / max(stats["sample_n"], 1)
         if distinct_ratio < 0.5:
             codec = "dict"
+            # dict output is small (codes + dictionary); trialing a zstd
+            # wrap on the real encoded buffers costs ~nothing and wins
+            # whenever the dictionary bytes themselves compress
+            meta_d, bufs_d = _encode_payload("dict", kind, payload)
+            if HAVE_ZSTD:
+                _, bufs_dz = ZstdCodec.wrap(meta_d, bufs_d)
+                zstd = _buffers_size(bufs_dz) < _buffers_size(bufs_d)
         else:
             sample = _sample_var(payload)
             candidates = [("fsst", False), ("raw", False)]
