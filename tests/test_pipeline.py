@@ -259,3 +259,45 @@ def test_zone_bounds_nan_and_float(spark, tmp_path):
     live = prune_blocks(enc, "x", lo=5000.0, hi=5100.0)
     ids = sorted(r["block_id"] for r in live.collect())
     assert ids == [0, 1]  # block 0 kept conservatively (no stats), block 1 matches
+
+
+def test_encode_driver_tables(spark, tmp_path):
+    """The block pipeline handles the driver's real testdata tables
+    (documents: int64/string mix keyed by doc_id; events: timestamp +
+    double + skewed strings keyed by event_id) — full roundtrip via
+    stored checksums."""
+    from pyrle_spark.plans.encode_job import verify_checksums
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out1 = str(tmp_path / "docs")
+    s1 = encode_table(
+        spark,
+        docs,
+        out1,
+        EncodeConfig(
+            columns=["text", "lang", "source", "n_chars"],
+            order_col="doc_id",
+            block_rows=128,
+        ),
+    )
+    assert s1["bytes_out"] < s1["bytes_in"]
+    assert verify_checksums(spark, out1)["bad"] == 0
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out2 = str(tmp_path / "events")
+    s2 = encode_table(
+        spark,
+        ev,
+        out2,
+        EncodeConfig(
+            columns=["ts", "user_id", "event_type", "value", "props"],
+            order_col="event_id",
+            block_rows=1024,
+        ),
+    )
+    assert verify_checksums(spark, out2)["bad"] == 0
+    dec = decode_table(spark, out2, columns=["ts", "event_type"])
+    got = dec.orderBy("_order").limit(5).collect()
+    exp = ev.orderBy("event_id").limit(5).collect()
+    assert [r.ts for r in got] == [r.ts for r in exp]
+    assert [r.event_type for r in got] == [r.event_type for r in exp]
