@@ -9,8 +9,8 @@ match the duckdb oracle in :data:`ORACLE_SQL` — the driver's correctness
 gate compares them value-by-value.
 
 Scale note: these forms keep windows partitioned by a real key
-(source / event_type), so Catalyst parallelizes them; the two
-deliberately-global windows (``rle_add_step``) exist for oracle parity
+(source / event_type), so Catalyst parallelizes them; the
+deliberately-global windows (``rle_add_step``, ``rle_eq_step``) exist for oracle parity
 of the boundary-union algorithm — the production path for that operation
 is the kernel inside :mod:`pyrle_spark.operators.rleframe`, which
 co-partitions by key and never sees a global window.
