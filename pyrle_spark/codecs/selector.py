@@ -28,6 +28,12 @@ def column_stats(kind: str, payload) -> dict:
         n = len(arr)
         runs, _ = exact_find_runs(arr)
         stats = {"n": n, "n_runs": int(len(runs))}
+        if len(runs):
+            # log2-bucketed run-length histogram (16 buckets, last open):
+            # distinguishes many-short-runs (dict/bitpack territory) from
+            # few-long-runs (RLE territory) beyond the mean run length
+            lg = np.minimum(np.log2(runs).astype(np.int64), 15)
+            stats["run_hist_log2"] = np.bincount(lg, minlength=16).tolist()
         if arr.dtype.kind in "iu" and n:
             stats["vmin"] = int(arr.min())
             stats["vmax"] = int(arr.max())
