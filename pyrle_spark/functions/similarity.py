@@ -131,6 +131,45 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2 — each query searches its two nearest cells,
+    trading back some of nprobe=1's recall loss for 2/K of the table
+    scanned instead of 1/K (every vector still lives in exactly one
+    cell, so probing two cells cannot double-count candidates)."""
+    emb = _emb(spark, sf_dir).select("vec_id", _dvec("embedding").alias("v"))
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    sims = emb.join(F.broadcast(cents)).select(
+        "vec_id", "v", "cid", F.round(_cos(F.col("v"), F.col("cv")), 6).alias("sim")
+    )
+    wa = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    ranked = sims.withColumn("rn", F.row_number().over(wa))
+    assigned = ranked.filter(F.col("rn") == 1).select("vec_id", "v", "cid")
+    probes = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= 2)
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("cid").alias("probe_cid"),
+    )
+    scored = assigned.join(
+        F.broadcast(probes),
+        (F.col("cid") == F.col("probe_cid")) & (F.col("vec_id") != F.col("q_id")),
+    ).select(
+        "q_id",
+        "vec_id",
+        "cid",
+        F.round(_cos(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+    )
+    wr = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "vec_id", "cid", "cos_sim", "rank")
+    )
+
+
 def _cos_sql(a: str, b: str) -> str:
     """Left-to-right float64 fold of cosine(a, b) — same order as Spark."""
     return f"""
@@ -170,6 +209,37 @@ ranked AS (
   FROM scored
 )
 SELECT q_id, vec_id, cid, cos_sim, rank FROM ranked WHERE rank <= 3
+"""
+
+
+_ANN_IVF_PROBE2_SQL = f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+           WHERE vec_id < {N_CENTROIDS}),
+sims AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         round({_cos_sql('e.embedding', 'c.cv')}, 6) AS sim
+  FROM embeddings e CROSS JOIN c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, cid ASC) AS rn
+  FROM sims
+),
+assigned AS (SELECT vec_id, embedding, cid FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id AS q_id, embedding AS qv, cid AS probe_cid
+           FROM ranked WHERE vec_id < {N_QUERIES} AND rn <= 2),
+scored AS (
+  SELECT p.q_id, a.vec_id, a.cid,
+         round({_cos_sql('p.qv', 'a.embedding')}, 6) AS cos_sim
+  FROM assigned a JOIN probes p
+    ON a.cid = p.probe_cid AND a.vec_id != p.q_id
+),
+topk AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cid, cos_sim, rank FROM topk WHERE rank <= 3
 """
 
 
@@ -239,10 +309,12 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_probe2": ann_ivf_probe2,
 }
 
 ORACLE_SQL = {
     "ann_cosine_topk": _ANN_TOPK_SQL,
     "ann_lsh_buckets": _ann_lsh_sql(),
     "ann_ivf_topk": _ANN_IVF_SQL,
+    "ann_ivf_probe2": _ANN_IVF_PROBE2_SQL,
 }
