@@ -697,6 +697,46 @@ FROM documents GROUP BY lang
 """
 
 
+def numbers_only_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``numbers_only`` as a column expression (Rle.numbers_only,
+    rle.py:961-998): NaN → 0, +inf → 2147483647, -inf → -2147483648.
+    Specials are injected deterministically by event_id so both engines
+    clean the identical input."""
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    x = (
+        F.when(F.col("event_id") % 4 == 0, F.lit(float("nan")))
+        .when(F.col("event_id") % 4 == 1, F.lit(float("inf")))
+        .when(F.col("event_id") % 4 == 2, F.lit(float("-inf")))
+        .otherwise(F.round("value", 3))
+    )
+    cleaned = (
+        F.when(F.isnan(x), F.lit(0.0))
+        .when(x == F.lit(float("inf")), F.lit(2147483647.0))
+        .when(x == F.lit(float("-inf")), F.lit(-2147483648.0))
+        .otherwise(x)
+    )
+    return ev.select("event_id", cleaned.alias("cleaned"))
+
+
+_NUMBERS_ONLY_SQL = """
+WITH injected AS (
+  SELECT event_id,
+         CASE CAST(event_id % 4 AS INT)
+           WHEN 0 THEN CAST('NaN' AS DOUBLE)
+           WHEN 1 THEN CAST('Infinity' AS DOUBLE)
+           WHEN 2 THEN CAST('-Infinity' AS DOUBLE)
+           ELSE round(value, 3) END AS x
+  FROM events
+)
+SELECT event_id,
+       CASE WHEN isnan(x) THEN 0.0
+            WHEN x = CAST('Infinity' AS DOUBLE) THEN 2147483647.0
+            WHEN x = CAST('-Infinity' AS DOUBLE) THEN -2147483648.0
+            ELSE x END AS cleaned
+FROM injected
+"""
+
+
 def zonemap_prune_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map data skipping as a relational plan: build per-block
     (min, max) zones over ``documents.n_chars`` (block = 512 doc_ids,
@@ -736,6 +776,7 @@ FROM documents WHERE n_chars >= 440 GROUP BY lang
 QUERIES = {
     "rle_encode_lang": rle_encode_lang,
     "zonemap_prune_agg": zonemap_prune_agg,
+    "numbers_only_events": numbers_only_events,
     "coverage_weighted": coverage_weighted,
     "lang_counts_salted": lang_counts_salted,
     "rle_roundtrip_lang": rle_roundtrip_lang,
@@ -756,6 +797,7 @@ QUERIES = {
 ORACLE_SQL = {
     "rle_encode_lang": _RLE_ENCODE_LANG_SQL,
     "zonemap_prune_agg": _ZONEMAP_PRUNE_AGG_SQL,
+    "numbers_only_events": _NUMBERS_ONLY_SQL,
     "coverage_weighted": _COVERAGE_WEIGHTED_SQL,
     "lang_counts_salted": _LANG_COUNTS_SALTED_SQL,
     "rle_roundtrip_lang": _RLE_ROUNDTRIP_LANG_SQL,
