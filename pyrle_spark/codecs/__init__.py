@@ -80,6 +80,28 @@ def _buffers_size(buffers: dict) -> int:
     return sum(len(b) for b in buffers.values())
 
 
+def _assemble(
+    name: str,
+    meta: dict,
+    buffers: dict,
+    kind: str,
+    validity,
+    arrow_type: str,
+    n_rows: int,
+    stats: dict | None,
+) -> Encoded:
+    """Finish an already-encoded (meta, buffers) pair into an Encoded."""
+    meta["kind"] = kind
+    if stats:
+        meta["stats"] = stats
+    if validity is not None:
+        buffers["validity"] = np.packbits(validity).tobytes()
+        meta["has_validity"] = True
+    return Encoded(
+        codec=name, arrow_type=arrow_type, n_rows=n_rows, meta=meta, buffers=buffers
+    )
+
+
 def encode_payload(
     codec: str,
     kind: str,
@@ -97,15 +119,7 @@ def encode_payload(
     if zstd and HAVE_ZSTD:
         meta, buffers = ZstdCodec.wrap(meta, buffers)
         name = f"{codec}+zstd"
-    meta["kind"] = kind
-    if stats:
-        meta["stats"] = stats
-    if validity is not None:
-        buffers["validity"] = np.packbits(validity).tobytes()
-        meta["has_validity"] = True
-    return Encoded(
-        codec=name, arrow_type=arrow_type, n_rows=n_rows, meta=meta, buffers=buffers
-    )
+    return _assemble(name, meta, buffers, kind, validity, arrow_type, n_rows, stats)
 
 
 def encode_with(
@@ -167,6 +181,7 @@ def encode_payload_auto(
     """
     stats = column_stats(kind, payload)
     zstd = False
+    pre = None  # (name, meta, buffers) already encoded — reuse, don't re-encode
     if kind == "fixed":
         codec = choose_fixed(stats, np.asarray(payload).dtype.kind)
         raw_size = len(payload) * payload.dtype.itemsize
@@ -176,12 +191,16 @@ def encode_payload_auto(
         if distinct_ratio < 0.5:
             codec = "dict"
             # dict output is small (codes + dictionary); trialing a zstd
-            # wrap on the real encoded buffers costs ~nothing and wins
-            # whenever the dictionary bytes themselves compress
+            # wrap on the real encoded buffers is cheap and wins whenever
+            # the dictionary bytes themselves compress.  Whichever form
+            # wins is kept as-is — no second encode pass.
             meta_d, bufs_d = _encode_payload("dict", kind, payload)
+            pre = ("dict", meta_d, bufs_d)
             if HAVE_ZSTD:
-                _, bufs_dz = ZstdCodec.wrap(meta_d, bufs_d)
-                zstd = _buffers_size(bufs_dz) < _buffers_size(bufs_d)
+                meta_dz, bufs_dz = ZstdCodec.wrap(meta_d, bufs_d)
+                if _buffers_size(bufs_dz) < _buffers_size(bufs_d):
+                    zstd = True
+                    pre = ("dict+zstd", meta_dz, bufs_dz)
         else:
             sample = _sample_var(payload)
             candidates = [("fsst", False), ("raw", False)]
@@ -190,7 +209,13 @@ def encode_payload_auto(
             sizes = {(c, z): _trial_size(c, sample, z) for c, z in candidates}
             codec, zstd = min(sizes, key=sizes.get)
         stats["selected_by"] = "distinct" if codec == "dict" else "trial"
-    enc = encode_payload(codec, kind, payload, validity, arrow_type, n_rows, zstd, stats)
+    if pre is not None:
+        name, meta_e, bufs_e = pre
+        enc = _assemble(name, meta_e, bufs_e, kind, validity, arrow_type, n_rows, stats)
+    else:
+        enc = encode_payload(
+            codec, kind, payload, validity, arrow_type, n_rows, zstd, stats
+        )
     if codec != "raw" and _buffers_size(enc.buffers) >= raw_size:
         raw = encode_payload(
             "raw",

@@ -638,7 +638,10 @@ def codec_selector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("lang").alias("n_distinct"),
         F.sum("chg").alias("n_runs"),
-        F.avg("text_len").alias("avg_text_len"),
+        # round(·, 3) on both engines: Spark's and DuckDB's float summation
+        # orders differ in the last ulp, which flips the driver's value-hash
+        # (same discipline as coverage_weighted).
+        F.round(F.avg("text_len"), 3).alias("avg_text_len"),
     )
     run_ratio = F.col("n_runs") / F.col("n")
     distinct_ratio = F.col("n_distinct") / F.col("n")
@@ -664,7 +667,7 @@ WITH marked AS (
 ),
 agg AS (
   SELECT source, count(*) AS n, count(DISTINCT lang) AS n_distinct,
-         sum(chg) AS n_runs, avg(text_len) AS avg_text_len
+         sum(chg) AS n_runs, round(avg(text_len), 3) AS avg_text_len
   FROM marked GROUP BY source
 )
 SELECT source, n, n_distinct, n_runs, avg_text_len,

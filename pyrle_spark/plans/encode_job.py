@@ -502,21 +502,28 @@ def prune_blocks(
     if arrow_type is None:
         row = z.select("arrow_type").first()
         arrow_type = row["arrow_type"] if row else "string"
+    # try_cast, not cast: under ANSI mode a malformed zone string would make
+    # the whole prune job THROW; try_cast yields NULL and the null-check
+    # below keeps the block conservatively.
     if arrow_type.startswith("timestamp"):
         cast = "timestamp_ntz" if "tz=" not in arrow_type else "timestamp"
-        zmin, zmax = F.col("zmin").cast(cast), F.col("zmax").cast(cast)
+        zmin, zmax = F.col("zmin").try_cast(cast), F.col("zmax").try_cast(cast)
     elif arrow_type in ("binary", "large_binary"):
         zmin, zmax = F.unhex("zmin"), F.unhex("zmax")
     else:
         cast = _ZONE_CAST.get(arrow_type)
         if cast is None:
             return z.select("block_id").distinct()  # unprunable type: keep all
-        zmin, zmax = F.col("zmin").cast(cast), F.col("zmax").cast(cast)
+        zmin, zmax = F.col("zmin").try_cast(cast), F.col("zmax").try_cast(cast)
+    # Null-check the CAST value, not the raw string: a zone string the cast
+    # can't parse (e.g. isoformat ns-precision timestamps) casts to NULL, and
+    # `NULL >= lo` would silently drop the block — keep it instead so the
+    # result stays a superset (the residual filter catches false positives).
     keep = F.lit(True)
     if lo is not None:
-        keep = keep & (F.col("zmax").isNull() | (zmax >= F.lit(lo)))
+        keep = keep & (zmax.isNull() | (zmax >= F.lit(lo)))
     if hi is not None:
-        keep = keep & (F.col("zmin").isNull() | (zmin <= F.lit(hi)))
+        keep = keep & (zmin.isNull() | (zmin <= F.lit(hi)))
     return z.filter(keep).select("block_id").distinct()
 
 
@@ -637,14 +644,23 @@ def decode_table(
         )
     enc = dedup_blocks(enc)
     enc = enc.repartition("block_id").sortWithinPartitions("block_id", "column")
-    # ONE job resolves every column's arrow type (was one scan per column)
+    # ONE job resolves every column's arrow type (was one scan per column).
+    # Types come from dedup_blocks so a re-encoded column's latest arrow type
+    # wins deterministically (raw distinct() could yield two rows per column).
     types = dict(
-        table.read_table(spark, snapshot_id)
-        .filter(F.col("column").isin(cols))
+        dedup_blocks(
+            table.read_table(spark, snapshot_id).filter(F.col("column").isin(cols))
+        )
         .select("column", "arrow_type")
         .distinct()
         .collect()
     )
+    missing = [c for c in cols if c not in types]
+    if missing:
+        raise KeyError(
+            f"columns {missing} not present in snapshot "
+            f"{snapshot_id or '(latest)'}; available: {sorted(types)}"
+        )
     out_schema = ", ".join(
         ["_order long"] + [f"{c} {_spark_type_of(types[c])}" for c in cols]
     )

@@ -53,31 +53,44 @@ def _update_key(key, pdfs, state):
         out_run.append(run)
         out_val.append(val)
 
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
+    # Concatenate ALL chunks of this batch before encoding: with
+    # maxFilesPerTrigger > 1 a key's rows can arrive split across (and
+    # interleaved between) pandas chunks, and per-chunk sorting would
+    # mis-order them.  One sort over the whole batch restores the protocol.
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
         pdf = pdf.sort_values("pos")
         pos = pdf["pos"].to_numpy(np.int64)
         vals = pdf["value"].to_numpy(np.float64)
         flush = np.isnan(vals)
-        if flush.any():
+        flushed = bool(flush.any())
+        if flushed:
             # sentinel closes the stream for this key; ignore rows after it
             cut = int(np.argmax(flush))
             pos, vals = pos[:cut], vals[:cut]
         if len(vals):
-            runs, rvals = find_runs(vals)
-            starts = pos[0] + np.concatenate(([0], np.cumsum(runs[:-1])))
-            for i in range(len(runs)):
-                r, v, st = int(runs[i]), float(rvals[i]), int(starts[i])
-                if open_run and st == s_next and v == s_val:
-                    s_run += r
-                    s_next += r
-                    continue
-                if open_run:
-                    emit(s_start, s_run, s_val)
-                s_val, s_run, s_start, s_next = v, r, st, st + r
-                open_run = True
-        if flush.any():
+            # A position gap INSIDE the batch also closes the open run
+            # (docstring rule): split at non-contiguous steps and encode
+            # each contiguous segment independently — same semantics as a
+            # new-block boundary in the batch encoder.
+            seg_bounds = np.flatnonzero(np.diff(pos) != 1) + 1
+            for seg_pos, seg_vals in zip(
+                np.split(pos, seg_bounds), np.split(vals, seg_bounds)
+            ):
+                runs, rvals = find_runs(seg_vals)
+                starts = seg_pos[0] + np.concatenate(([0], np.cumsum(runs[:-1])))
+                for i in range(len(runs)):
+                    r, v, st = int(runs[i]), float(rvals[i]), int(starts[i])
+                    if open_run and st == s_next and v == s_val:
+                        s_run += r
+                        s_next += r
+                        continue
+                    if open_run:
+                        emit(s_start, s_run, s_val)
+                    s_val, s_run, s_start, s_next = v, r, st, st + r
+                    open_run = True
+        if flushed:
             if open_run:
                 emit(s_start, s_run, s_val)
             open_run = False

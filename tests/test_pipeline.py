@@ -261,6 +261,28 @@ def test_zone_bounds_nan_and_float(spark, tmp_path):
     assert ids == [0, 1]  # block 0 kept conservatively (no stats), block 1 matches
 
 
+def test_zone_cast_failure_keeps_block(spark):
+    """A zone string the cast can't parse casts to NULL; the keep
+    predicate must null-check the CAST value (not the raw string) so the
+    block stays conservatively kept — a superset, never a dropped match."""
+    import datetime
+
+    from pyrle_spark.plans.encode_job import prune_blocks
+
+    rows = [
+        (0, "t", "timestamp[ns]", "not-a-timestamp", "also-not"),
+        (1, "t", "timestamp[ns]", "2024-06-01 00:00:00", "2024-06-02 00:00:00"),
+        (2, "t", "timestamp[ns]", "2023-01-01 00:00:00", "2023-01-02 00:00:00"),
+    ]
+    enc = spark.createDataFrame(
+        rows, "block_id long, column string, arrow_type string, zmin string, zmax string"
+    )
+    live = prune_blocks(enc, "t", lo=datetime.datetime(2024, 5, 1), hi=None)
+    ids = sorted(r["block_id"] for r in live.collect())
+    # block 0: unparsable zone → kept; block 1: zmax >= lo → kept; block 2 pruned
+    assert ids == [0, 1], ids
+
+
 def test_encode_driver_tables(spark, tmp_path):
     """The block pipeline handles the driver's real testdata tables
     (documents: int64/string mix keyed by doc_id; events: timestamp +

@@ -164,3 +164,47 @@ def test_stateful_streaming_rle_gap_closes_run(spark, tmp_path):
     assert list(got["start_pos"]) == [0, 10, 11]
     assert list(got["run_len"]) == [3, 1, 1]
     assert list(got["value"]) == [5.0, 5.0, 7.0]
+
+
+def test_stateful_streaming_rle_gap_within_batch(spark, tmp_path):
+    """Gaps INSIDE one micro-batch are detected too: with
+    maxFilesPerTrigger > 1 several files land in a single batch, so a gap
+    can sit inside a pandas chunk rather than at a batch boundary, and
+    rows of one key may be split across chunks — the encoder must
+    concatenate+sort the whole batch and split runs at every gap."""
+    import os
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from pyrle_spark.streaming.stateful_rle import rle_runs_stream
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # f0 has a gap at 3..6 inside the file; f1 continues pos 9 contiguously
+    f0 = pd.DataFrame(
+        {"key": "k", "pos": np.array([0, 1, 2, 7, 8], dtype=np.int64),
+         "value": [5.0, 5.0, 5.0, 5.0, 5.0]}
+    )
+    f1 = pd.DataFrame({"key": "k", "pos": [9, 10], "value": [5.0, 6.0]})
+    term = pd.DataFrame({"key": ["k"], "pos": [10**9], "value": [float("nan")]})
+    for i, c in enumerate([f0, f1, term]):
+        p = f"{src}/f{i}.parquet"
+        c.to_parquet(p)
+        os.utime(p, (time.time() + i, time.time() + i))
+    q = rle_runs_stream(
+        spark, src, str(tmp_path / "ck"), query_name="rle_gap_batch_t",
+        max_files_per_trigger=10,  # all three files in ONE micro-batch
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("rle_gap_batch_t")
+        .toPandas()
+        .sort_values("start_pos")
+        .reset_index(drop=True)
+    )
+    # [0,3)=5.0 closed by in-chunk gap; [7,10)=5.0 spans the f0/f1 seam; [10,11)=6.0
+    assert list(got["start_pos"]) == [0, 7, 10]
+    assert list(got["run_len"]) == [3, 3, 1]
+    assert list(got["value"]) == [5.0, 5.0, 6.0]
