@@ -217,21 +217,42 @@ FROM cum WHERE run_len IS NOT NULL
 
 # --------------------------------------------------------------------- binary op
 
+# Position-range bucket width for the partitioned boundary-union scan.
+# Rows shuffle once on floor(pos/BUCKET); the per-bucket edge summary is
+# O(#buckets) = O(pos_range / width) — tiny relative to the data — and
+# is the only sequential stage (SURVEY "What's hard" #1 edge-stitch
+# rule).  512 keeps >1 bucket even at sf0.01 so the driver's own
+# correctness gate exercises the edge stitching.
+_FILL_BUCKET = 512
 
-def rle_add_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run-aligned addition of two step functions (click + view coverage):
-    union both sides' boundaries, as-of fill each side with
-    last(value, ignorenulls) over position order, add, re-run-length.
 
-    This is the pure-SQL form of the reference's two-pointer merge kernel
-    (rle.pyx:20-78) — the positional full-outer as-of join of SURVEY §2.3."""
-    cov = coverage_events(spark, sf_dir)
-    # the full-outer join on pos is expressed as one conditional pivot
-    # aggregation — a filter-twice-and-join form would replicate the
-    # entire coverage subtree per side (2× the shuffles for one input)
-    joined = (
+def _bucketed_fill(cov: DataFrame, bucket: int = _FILL_BUCKET) -> DataFrame:
+    """Boundary union + as-of fill + lead over position order WITHOUT a
+    global window.
+
+    The click/view coverage is pivoted into one sparse boundary table
+    (pos, av, bv) — a conditional pivot aggregation, not a
+    filter-twice-and-join, which would replicate the coverage subtree per
+    side.  The pivot groups on (bkt, pos) after ONE ``repartition(bkt)``
+    (hash partitioning on ``bkt = floor(pos/bucket)`` satisfies the
+    clustering of every downstream groupBy/window here, so the whole fill
+    runs on a single data shuffle).
+
+    Two-level scan: per-bucket windows compute local fills; the bucket
+    summary is read off the SAME windowed pass (first/last row per
+    bucket — so Catalyst reuses the data exchange instead of recomputing
+    the subtree); a tiny O(#buckets) edge table carries last non-null
+    values and next-bucket start positions across edges and broadcasts
+    back.  Result: ``(bkt, pos, af, bf, next_pos)`` — af/bf are the
+    zero-defaulted filled sides, next_pos the next boundary (NULL only
+    at the global end).  Semantics equal ``last(·, ignorenulls) OVER
+    (ORDER BY pos)`` + ``lead(pos)``, but no WindowExec ever sees the
+    whole table in one partition."""
+    j = (
         cov.filter(F.col("event_type").isin("click", "view"))
-        .groupBy(F.col("start_pos").alias("pos"))
+        .withColumn("bkt", F.floor(F.col("start_pos") / F.lit(bucket)))
+        .repartition("bkt")
+        .groupBy("bkt", F.col("start_pos").alias("pos"))
         .agg(
             F.max(
                 F.when(F.col("event_type") == "click", F.col("cov_value"))
@@ -241,15 +262,65 @@ def rle_add_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bv"),
         )
     )
-    w = W.orderBy("pos")
-    filled = joined.select(
+    wb = W.partitionBy("bkt").orderBy("pos")
+    local = j.select(
+        "bkt",
         "pos",
-        F.coalesce(F.last("av", ignorenulls=True).over(w), F.lit(0.0)).alias("af"),
-        F.coalesce(F.last("bv", ignorenulls=True).over(w), F.lit(0.0)).alias("bf"),
+        F.last("av", ignorenulls=True).over(wb).alias("af_loc"),
+        F.last("bv", ignorenulls=True).over(wb).alias("bf_loc"),
+        F.lead("pos").over(wb).alias("next_loc"),
     )
+    # bucket summary straight off j: both this aggregate and the window
+    # above consume the IDENTICAL Exchange(bkt) subtree, so ReuseExchange
+    # shuffles the data once; the aggregate itself needs no new exchange
+    # (j is already clustered by bkt).  max_by skips rows whose key
+    # expression is NULL → last non-null value per bucket.
+    summary = j.groupBy("bkt").agg(
+        F.min("pos").alias("min_pos"),
+        F.max_by("av", F.when(F.col("av").isNotNull(), F.col("pos"))).alias(
+            "last_av"
+        ),
+        F.max_by("bv", F.when(F.col("bv").isNotNull(), F.col("pos"))).alias(
+            "last_bv"
+        ),
+    )
+    # window over the summary only: #buckets rows, deliberately a single
+    # partition — the edge scan is sequential by nature and tiny; this is
+    # NOT a window over the data.  pmod(bkt,1) is a constant key Catalyst
+    # can't fold away (lit(0) would be optimized into an empty partition
+    # spec and trip the WindowExec single-partition warning).
+    one = F.pmod(F.col("bkt"), F.lit(1))
+    ws = W.partitionBy(one).orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    wn = W.partitionBy(one).orderBy("bkt")
+    edges = summary.select(
+        "bkt",
+        F.last("last_av", ignorenulls=True).over(ws).alias("carry_av"),
+        F.last("last_bv", ignorenulls=True).over(ws).alias("carry_bv"),
+        F.lead("min_pos").over(wn).alias("next_bkt_pos"),
+    )
+    return local.join(F.broadcast(edges), "bkt", "left").select(
+        "bkt",
+        "pos",
+        F.coalesce("af_loc", "carry_av", F.lit(0.0)).alias("af"),
+        F.coalesce("bf_loc", "carry_bv", F.lit(0.0)).alias("bf"),
+        F.coalesce("next_loc", "next_bkt_pos").alias("next_pos"),
+    )
+
+
+def rle_add_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-aligned addition of two step functions (click + view coverage):
+    union both sides' boundaries, as-of fill each side with
+    last(value, ignorenulls) over position order, add, re-run-length.
+
+    This is the pure-SQL form of the reference's two-pointer merge kernel
+    (rle.pyx:20-78) — the positional full-outer as-of join of SURVEY §2.3.
+    The fill is bucket-partitioned (:func:`_bucketed_fill`) so no window
+    moves the whole table to one partition."""
+    cov = coverage_events(spark, sf_dir)
+    filled = _bucketed_fill(cov)
     out = filled.select(
         F.col("pos").alias("start_pos"),
-        (F.lead("pos").over(w) - F.col("pos")).alias("run_len"),
+        (F.col("next_pos") - F.col("pos")).alias("run_len"),
         (F.col("af") + F.col("bf")).alias("sum_value"),
     )
     return out.filter(F.col("run_len").isNotNull())
@@ -259,47 +330,69 @@ def rle_eq_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``==`` comparison operator as a relational plan (Rle.__eq__,
     rle.py:248-276): boundary-union + as-of fill both sides, emit a
     0/1-valued step function, then defragment — merge adjacent runs with
-    equal values via gaps-and-islands (the §1.3-2 invariant the
-    reference's constructor enforces on comparison output)."""
+    equal values (the §1.3-2 invariant the reference's constructor
+    enforces on comparison output).
+
+    Scale shape: the step rows TILE the covered range contiguously
+    (each run ends where the next begins), so an island's length is
+    simply ``next island start − island start``.  Defragment therefore
+    needs no global prefix-sum of island ids: compress islands
+    per-bucket (bucket-partitioned windows, no aggregation), then merge
+    across bucket edges with one tiny window over the island rows —
+    whose count is O(output + #buckets), not O(data)."""
     cov = coverage_events(spark, sf_dir)
-    joined = (
-        cov.filter(F.col("event_type").isin("click", "view"))
-        .groupBy(F.col("start_pos").alias("pos"))
-        .agg(
-            F.max(
-                F.when(F.col("event_type") == "click", F.col("cov_value"))
-            ).alias("av"),
-            F.max(
-                F.when(F.col("event_type") == "view", F.col("cov_value"))
-            ).alias("bv"),
-        )
-    )
-    w = W.orderBy("pos")
-    filled = joined.select(
-        "pos",
-        F.coalesce(F.last("av", ignorenulls=True).over(w), F.lit(0.0)).alias("af"),
-        F.coalesce(F.last("bv", ignorenulls=True).over(w), F.lit(0.0)).alias("bf"),
-    )
+    filled = _bucketed_fill(cov)
+    wb = W.partitionBy("bkt").orderBy("pos")
     stepped = filled.select(
+        "bkt",
         "pos",
-        (F.lead("pos").over(w) - F.col("pos")).alias("run_len"),
+        (F.col("next_pos") - F.col("pos")).alias("run_len"),
         F.when(F.col("af") == F.col("bf"), F.lit(1.0)).otherwise(0.0).alias("eq"),
     ).filter(F.col("run_len").isNotNull())
-    flagged = stepped.withColumn(
-        "chg",
+    # per-bucket island compress: keep only change rows; an island runs to
+    # the next change row, or to the bucket's end (= max pos+run_len)
+    wbf = wb.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    flagged = stepped.select(
+        "bkt",
+        "pos",
+        "eq",
         F.when(
-            F.coalesce(F.lag("eq").over(w), F.lit(-1.0)) != F.col("eq"), 1
-        ).otherwise(0),
-    )
-    return (
-        flagged.withColumn("grp", F.sum("chg").over(w))
-        .groupBy("grp")
-        .agg(
-            F.min("pos").alias("start_pos"),
-            F.sum("run_len").alias("run_len"),
-            F.first("eq").alias("eq_value"),
+            F.coalesce(F.lag("eq").over(wb), F.lit(-1.0)) != F.col("eq"), 1
         )
-        .select("start_pos", "run_len", "eq_value")
+        .otherwise(0)
+        .alias("chg"),
+        F.max(F.col("pos") + F.col("run_len")).over(wbf).alias("bkt_end"),
+    )
+    islands = flagged.filter(F.col("chg") == 1).select(
+        "bkt",
+        "pos",
+        "eq",
+        (
+            F.coalesce(F.lead("pos").over(wb), F.col("bkt_end")) - F.col("pos")
+        ).alias("run_len"),
+    )
+    # cross-edge merge over the island rows only (tiny): same compress,
+    # single intentional partition via the non-foldable pmod key
+    one = F.pmod(F.col("bkt"), F.lit(1))
+    wg = W.partitionBy(one).orderBy("pos")
+    wgf = wg.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    merged = islands.select(
+        "bkt",
+        "pos",
+        "eq",
+        F.when(
+            F.coalesce(F.lag("eq").over(wg), F.lit(-1.0)) != F.col("eq"), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+        F.max(F.col("pos") + F.col("run_len")).over(wgf).alias("g_end"),
+    )
+    return merged.filter(F.col("chg") == 1).select(
+        F.col("pos").alias("start_pos"),
+        (F.coalesce(F.lead("pos").over(wg), F.col("g_end")) - F.col("pos")).alias(
+            "run_len"
+        ),
+        F.col("eq").alias("eq_value"),
     )
 
 
