@@ -89,25 +89,28 @@ _SHINGLES_SQL = r"""
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by exact shingle-set Jaccard ≥ 0.5 within the
-    same lang.  |∩| from a shared-shingle self-join, |∪| = |A|+|B|−|∩|."""
-    sh = _shingles(spark, sf_dir).cache()
+    """Near-duplicate pairs by exact shingle-set Jaccard ≥ 0.5, computed
+    ONLY over MinHash-LSH candidate pairs (the scale-safe shape: the
+    shared-shingle self-join form is quadratic in per-shingle document
+    frequency — one hot boilerplate shingle at web scale emits billions
+    of pairs; LSH banding makes candidate generation an equi-join, and
+    exact Jaccard is then two linear joins of the candidate list against
+    the shingle table).  |∩| per candidate from the double join,
+    |∪| = |A|+|B|−|∩|."""
+    sh = _shingles(spark, sf_dir).cache()  # 4 consumers: sig, sizes, d1/d2 joins
+    cand = minhash_lsh_pairs(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    x = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    y = sh.select(F.col("doc_id").alias("d2"), "shingle")
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        cand.join(x, "d1")
+        .join(y, ["d2", "shingle"])
+        .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
-    out = (
+    return (
         inter.join(sa, "d1")
         .join(sb, "d2")
         .select(
@@ -119,24 +122,6 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.5)
     )
-    return out
-
-
-_NGRAM_JACCARD_SQL = rf"""
-WITH sh AS ({_SHINGLES_SQL}),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-  FROM sh a JOIN sh b
-    ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-)
-SELECT d1, d2, i * 1.0 / (sa.n + sb.n - i) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = d1
-JOIN sizes sb ON sb.doc_id = d2
-WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
-"""
 
 
 # ------------------------------------------------------------------ minhash
@@ -154,12 +139,55 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def _minhash_sig_sql() -> str:
+def _sig_select() -> str:
+    """SELECT body for the signature CTE (expects a ``sh`` CTE in scope)."""
     cols = ",\n       ".join(
         f"min(({a} * {_hash32_sql('shingle')} + {b}) % {MOD}) AS h{j}"
         for j, (a, b) in enumerate(MINHASH_FNS)
     )
-    return f"WITH sh AS ({_SHINGLES_SQL})\nSELECT doc_id, {cols} FROM sh GROUP BY doc_id"
+    return f"SELECT doc_id, {cols} FROM sh GROUP BY doc_id"
+
+
+def _bands_select() -> str:
+    """SELECT body for the bands CTE (expects ``sig``)."""
+    return "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {bi} AS band, h{x} AS ba, h{y} AS bb FROM sig"
+        for bi, (x, y) in enumerate(BANDS)
+    )
+
+
+_CAND_SELECT = """SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.ba = b.ba AND a.bb = b.bb AND a.doc_id < b.doc_id"""
+
+
+def _minhash_sig_sql() -> str:
+    return f"WITH sh AS ({_SHINGLES_SQL})\n{_sig_select()}"
+
+
+def _ngram_jaccard_sql() -> str:
+    """Oracle twin of the LSH-gated exact Jaccard."""
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS ({_sig_select()}),
+bands AS (
+{_bands_select()}
+),
+cand AS ({_CAND_SELECT}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, count(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.d1
+  JOIN sh y ON y.doc_id = c.d2 AND y.shingle = x.shingle
+  GROUP BY c.d1, c.d2
+)
+SELECT d1, d2, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = d1
+JOIN sizes sb ON sb.doc_id = d2
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+"""
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,18 +227,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_lsh_sql() -> str:
-    band_rows = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {bi} AS band, h{x} AS ba, h{y} AS bb FROM sig"
-        for bi, (x, y) in enumerate(BANDS)
-    )
     return f"""
-WITH sig AS ({_minhash_sig_sql()}),
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS ({_sig_select()}),
 bands AS (
-{band_rows}
+{_bands_select()}
 )
-SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.ba = b.ba AND a.bb = b.bb AND a.doc_id < b.doc_id
+{_CAND_SELECT}
 """
 
 
@@ -253,16 +276,43 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM agg
 # ------------------------------------------------------------------ embeddings
 
 
+# deterministic near-dup injection: the first N_DUP vectors reappear,
+# scaled ×2, under vec_id + DUP_OFFSET — cosine(v, 2v) = 1.0 exactly, so
+# the query is guaranteed non-vacuous at every sf (the r01 form returned
+# 0 rows at sf0.01, a vacuous oracle) and the full bucket-gate → exact
+# verify path is exercised end-to-end.
+DUP_OFFSET = 1_000_000
+N_DUP = 20
+
+
 def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs: same label, cosine ≥ 0.99 (rounded
-    to 6 decimals on both engines before compare/output)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    """Embedding near-duplicate pairs: cosine ≥ 0.99 within (LSH bucket,
+    label) candidate groups — never an all-pairs join.
+
+    The r01 form joined all pairs within a label (quadratic in label
+    group size — a 100 TB blocker).  Candidates now come from the shared
+    random-hyperplane buckets (similarity.lsh_bucket): near-identical
+    vectors land in the same bucket with overwhelming probability (a
+    scaled duplicate has identical hyperplane signs, hence the same
+    bucket), so the equi-join on (bucket, label) is linear in bucket
+    occupancy and the exact cosine is only a verifier."""
+    from pyrle_spark.functions.similarity import lsh_bucket
+
+    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
+    dups = raw.filter(F.col("vec_id") < N_DUP).select(
+        (F.col("vec_id") + DUP_OFFSET).alias("vec_id"),
+        "label",
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+    )
+    base = raw.unionByName(dups).withColumn(
+        "bucket", lsh_bucket(F.col("embedding"))
+    )
+    a = base.alias("a")
+    b = base.alias("b")
     dot = F.aggregate(
         F.zip_with("a.embedding", "b.embedding", lambda x, y: x * y),
         F.lit(0.0),
@@ -279,7 +329,8 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
@@ -301,11 +352,28 @@ _PAIR_COS_SQL = """
                                     k -> CAST(b.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)))))
 """
 
-_EMB_DUPS_SQL = f"""
+
+def _emb_dups_sql() -> str:
+    from pyrle_spark.functions.similarity import lsh_bucket_sql
+
+    return f"""
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + {DUP_OFFSET}, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)
+  FROM embeddings WHERE vec_id < {N_DUP}
+),
+assigned AS (
+  SELECT vec_id, label, embedding, {lsh_bucket_sql('embedding')} AS bucket
+  FROM base
+)
 SELECT a.vec_id AS v1, b.vec_id AS v2,
        round({_PAIR_COS_SQL}, 6) AS cos_sim
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
+FROM assigned a JOIN assigned b
+  ON a.bucket = b.bucket AND a.label = b.label AND a.vec_id < b.vec_id
 WHERE round({_PAIR_COS_SQL}, 6) >= 0.99
 """
 
@@ -321,9 +389,9 @@ QUERIES = {
 
 ORACLE_SQL = {
     "dedup_exact": _DEDUP_EXACT_SQL,
-    "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+    "ngram_jaccard_pairs": _ngram_jaccard_sql(),
     "minhash_signatures": _minhash_sig_sql(),
     "minhash_lsh_pairs": _minhash_lsh_sql(),
     "simhash16": _simhash_sql(),
-    "embedding_cosine_dups": _EMB_DUPS_SQL,
+    "embedding_cosine_dups": _emb_dups_sql(),
 }

@@ -268,21 +268,41 @@ def _plane_weights_col(j: int):
     )
 
 
-def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH bucket assignment + bucket sizes: 8 planes →
-    8-bit bucket id.  At scale, queries hash to a bucket and search only
-    it (plus neighbours by hamming distance)."""
-    emb = _emb(spark, sf_dir).select("vec_id", _dvec("embedding").alias("v"))
+def lsh_bucket(vcol) -> "F.Column":
+    """Random-hyperplane LSH bucket id (8 planes → 8-bit long) for an
+    array<double> column — the shared candidate generator for ANN search
+    and for near-duplicate gating (dedup.embedding_cosine_dups)."""
     bucket = None
     for j in range(N_PLANES):
         dot = F.aggregate(
-            F.zip_with("v", _plane_weights_col(j), lambda x, w: x * w),
+            F.zip_with(vcol, _plane_weights_col(j), lambda x, w: x * w),
             F.lit(0.0),
             lambda acc, t: acc + t,
         )
         bit = F.when(dot >= 0, F.lit(1 << j)).otherwise(0)
         bucket = bit if bucket is None else bucket + bit
-    assigned = emb.select("vec_id", bucket.cast("long").alias("bucket"))
+    return bucket.cast("long")
+
+
+def lsh_bucket_sql(emb_expr: str) -> str:
+    """DuckDB twin of :func:`lsh_bucket` as one inline expression over
+    ``emb_expr`` (a DOUBLE[] expression)."""
+    cases = []
+    for j in range(N_PLANES):
+        dot = (
+            f"list_sum(list_transform(generate_series(1, {DIM}), "
+            f"k -> CAST({emb_expr}[k] AS DOUBLE) * ({_plane_weight_sql(j, '(k - 1)')})))"
+        )
+        cases.append(f"CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END")
+    return "CAST(" + " + ".join(cases) + " AS BIGINT)"
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment + bucket sizes: 8 planes →
+    8-bit bucket id.  At scale, queries hash to a bucket and search only
+    it (plus neighbours by hamming distance)."""
+    emb = _emb(spark, sf_dir).select("vec_id", _dvec("embedding").alias("v"))
+    assigned = emb.select("vec_id", lsh_bucket(F.col("v")).alias("bucket"))
     return assigned.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
     )

@@ -84,3 +84,31 @@ def test_frame_sample_plumbing(spark):
     assert all(len(r.frame) == 256 for r in by_doc[1])
     assert bytes(by_doc[1][1].frame) == payload[4 * 256 : 5 * 256]
     assert [r.frame_idx for r in by_doc[2]] == [0]  # 300 bytes → 1 frame
+
+
+def test_embedding_dups_finds_injected_pairs(spark):
+    """The bucket-gated near-dup query is non-vacuous: every injected
+    scaled duplicate (cosine exactly 1.0, same hyperplane signs → same
+    bucket) is recovered as a (v, v+DUP_OFFSET) pair."""
+    from pyrle_spark.functions.dedup import DUP_OFFSET, N_DUP, embedding_cosine_dups
+
+    got = embedding_cosine_dups(spark, SF_SMALL).toPandas()
+    assert len(got) >= N_DUP
+    pairs = set(zip(got["v1"].astype(int), got["v2"].astype(int)))
+    for v in range(N_DUP):
+        assert (v, v + DUP_OFFSET) in pairs, f"missing injected dup pair for {v}"
+    assert (got["cos_sim"] >= 0.99).all()
+
+
+def test_ngram_jaccard_is_lsh_gated(spark):
+    """Exact Jaccard only scores MinHash-LSH candidates (the scale-safe
+    shape): every emitted pair must be an LSH candidate pair."""
+    from pyrle_spark.functions.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    jac = ngram_jaccard_pairs(spark, SF_SMALL).toPandas()
+    cand = minhash_lsh_pairs(spark, SF_SMALL).toPandas()
+    cand_pairs = set(zip(cand["d1"].astype(int), cand["d2"].astype(int)))
+    assert len(jac) > 0
+    for d1, d2 in zip(jac["d1"].astype(int), jac["d2"].astype(int)):
+        assert (d1, d2) in cand_pairs
+    assert (jac["jaccard"] >= 0.5).all()
