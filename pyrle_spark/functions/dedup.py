@@ -378,12 +378,180 @@ WHERE round({_PAIR_COS_SQL}, 6) >= 0.99
 """
 
 
+# ------------------------------------------------------------- simhash pairs
+
+SIMHASH_BANDS = 4  # 16 bits → 4 bands of 4; any pair with hamming ≤ 3
+MAX_HAMMING = 2  # shares at least one untouched band → equi-join-complete
+
+
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ 2 — the pair
+    query the r01 fingerprint operator lacked.
+
+    Scale shape mirrors MinHash LSH: the 16-bit fingerprint splits into
+    4 bands of 4 bits; ≤2 differing bits can touch at most 2 bands, so
+    every qualifying pair shares ≥2 identical bands and a band-bucket
+    equi-join (never an all-pairs scan) generates a complete candidate
+    set; ``bit_count(xor)`` then verifies the exact distance."""
+    sig = simhash16(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftright(F.col("simhash"), 4 * bi).bitwiseAND(15).alias("bv"),
+            )
+            for bi in range(SIMHASH_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", "simhash", F.explode(band_structs).alias("b")).select(
+        "doc_id", "simhash", "b.band", "b.bv"
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return cand.select("d1", "d2", ham.alias("hamming")).filter(
+        F.col("hamming") <= MAX_HAMMING
+    )
+
+
+def _simhash_hamming_sql() -> str:
+    votes = ",\n       ".join(
+        f"sum(CASE WHEN (({_hash32_sql('shingle')} >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(16)
+    )
+    bits = " + ".join(
+        f"CASE WHEN v{b} >= 0 THEN {1 << b} ELSE 0 END" for b in range(16)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {bi} AS band, (simhash >> {4 * bi}) & 15 AS bv FROM sig"
+        for bi in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+agg AS (SELECT doc_id, {votes} FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM agg),
+bands AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         a.simhash AS s1, b.simhash AS s2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(s1, s2)) <= {MAX_HAMMING}
+"""
+
+
+# --------------------------------------------------------------- components
+
+COMPONENT_MAX_ROUNDS = 15
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS, not just pairs: connected components over
+    the MinHash-LSH candidate graph, ``keep_doc_id = min(component)`` —
+    the keeper convention of :func:`dedup_exact`.  A training pipeline
+    drops every doc whose ``doc_id != keep_doc_id``.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbours' labels; converges in
+    O(component diameter) rounds (dup clusters are shallow; bounded at
+    ``COMPONENT_MAX_ROUNDS`` with an early-exit convergence check — the
+    classic alternative for adversarially long chains is
+    large-star/small-star, which this loop structure accommodates).
+    Each round is one shuffle join on doc_id; no driver-side data beyond
+    the single converged-count scalar."""
+    edges = minhash_lsh_pairs(spark, sf_dir)
+    und = edges.union(
+        edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    )  # both directions: (src=d1, dst=d2)
+    labels = (
+        und.select(F.col("d1").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()  # materialize so each round builds on a flat cache
+    for _ in range(COMPONENT_MAX_ROUNDS):
+        neigh = (
+            und.join(labels, und["d2"] == labels["doc_id"])
+            .groupBy(F.col("d1").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "new_label"
+                ),
+                "label",
+            )
+            .persist()
+        )
+        changed = new_labels.filter(F.col("new_label") != F.col("label")).count()
+        old = labels
+        labels = new_labels.select("doc_id", F.col("new_label").alias("label")).persist()
+        labels.count()
+        old.unpersist()
+        new_labels.unpersist()
+        if changed == 0:
+            break
+    out = labels.select("doc_id", F.col("label").alias("keep_doc_id"))
+    return out
+
+
+def _dedup_components_sql() -> str:
+    """Recursive-CTE oracle: min reachable id per node over the
+    undirected LSH candidate graph (UNION dedups, so the closure
+    terminates)."""
+    return f"""
+WITH RECURSIVE
+sh AS ({_SHINGLES_SQL}),
+sig AS ({_sig_select()}),
+bands AS (
+{_bands_select()}
+),
+cand AS ({_CAND_SELECT}),
+und AS (
+  SELECT d1 AS src, d2 AS dst FROM cand
+  UNION ALL
+  SELECT d2, d1 FROM cand
+),
+reach(doc_id, r) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT reach.doc_id, und.dst FROM reach JOIN und ON reach.r = und.src
+)
+SELECT doc_id, min(r) AS keep_doc_id FROM reach GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash16": simhash16,
+    "simhash_hamming_pairs": simhash_hamming_pairs,
+    "dedup_components": dedup_components,
     "embedding_cosine_dups": embedding_cosine_dups,
 }
 
@@ -393,5 +561,7 @@ ORACLE_SQL = {
     "minhash_signatures": _minhash_sig_sql(),
     "minhash_lsh_pairs": _minhash_lsh_sql(),
     "simhash16": _simhash_sql(),
+    "simhash_hamming_pairs": _simhash_hamming_sql(),
+    "dedup_components": _dedup_components_sql(),
     "embedding_cosine_dups": _emb_dups_sql(),
 }

@@ -112,3 +112,19 @@ def test_ngram_jaccard_is_lsh_gated(spark):
     for d1, d2 in zip(jac["d1"].astype(int), jac["d2"].astype(int)):
         assert (d1, d2) in cand_pairs
     assert (jac["jaccard"] >= 0.5).all()
+
+
+def test_dedup_components_transitive(spark):
+    """Connected-components invariants on the LSH pair graph: both ends
+    of every candidate edge share a keeper, the keeper is a member of
+    its own component, and keeper = min(component)."""
+    from pyrle_spark.functions.dedup import dedup_components, minhash_lsh_pairs
+
+    comp = dedup_components(spark, SF_SMALL).toPandas()
+    pairs = minhash_lsh_pairs(spark, SF_SMALL).toPandas()
+    keep = dict(zip(comp["doc_id"].astype(int), comp["keep_doc_id"].astype(int)))
+    for d1, d2 in zip(pairs["d1"].astype(int), pairs["d2"].astype(int)):
+        assert keep[d1] == keep[d2], (d1, d2)
+    for doc, k in keep.items():
+        assert keep[k] == k  # keeper is its own keeper
+        assert k <= doc  # min-label convention
