@@ -1,19 +1,41 @@
-"""RleFrame — the distributed RleDict: a DataFrame of one RLE per key.
+"""RleFrame — the distributed RleDict: a DataFrame of RLEs.
 
-Schema: ``(key columns ..., runs array<bigint>, values array<double>)``.
-The reference's dict-of-Rle (rledict.py:37-131) becomes rows; its
-full-outer key alignment for binary ops (methods.py:68-120) becomes a
-full-outer join; its per-key ray parallelism (rledict.py:155-176)
-becomes Spark tasks.  The run/value kernels are the same vectorized
-numpy as the driver-side compat layer (pyrle_spark.kernels.rlecore), so
-both layers share exact semantics — including the zero-extension and
-normalization quirks.
+Two layouts share one class:
 
-Per-key work runs in Arrow-batched UDFs; each key's arrays live in one
-row, so a binary op is a *row-local* kernel call after the join — no
-second shuffle.  Keys are chromosome-scale (few, large); hot-key skew in
-keyed construction is mitigated by the two-phase event pre-aggregation
-(events collapse per (key, pos) before the per-key kernel).
+- **unblocked** (default): one row per key — ``(key columns ..., runs
+  array<bigint>, values array<double>)``.  The reference's dict-of-Rle
+  (rledict.py:37-131) becomes rows; its full-outer key alignment for
+  binary ops (methods.py:68-120) becomes a full-outer join; its per-key
+  ray parallelism (rledict.py:155-176) becomes Spark tasks.
+- **blocked** (``block_positions`` set): ``(key columns ..., block_id,
+  runs, values)`` — each row holds the fixed position span
+  ``[block_id·B, block_id·B + span)`` of its key's RLE.  This removes
+  the one-row-per-key memory cap (at 100× a single key's arrays would
+  otherwise live in one Arrow row on one task) and gives intra-key
+  parallelism: binary ops join on (key, block_id) and run block-local
+  kernels; block edges are stitched on conversion out (``unchunk``)
+  with the reference's own merge predicate.  The same chunking strategy
+  as the column pipeline (plans/encode_job.py), applied to the RLE
+  layer.
+
+The run/value kernels are the same vectorized numpy as the driver-side
+compat layer (pyrle_spark.kernels.rlecore), so both layers share exact
+semantics — including the zero-extension and normalization quirks.
+
+Blocked-mode semantics notes:
+- a missing BLOCK of a key that exists on both sides is a tail
+  extension: arithmetic extends with 0, comparisons with NaN — exactly
+  the reference's ``equalize`` rules (rle.py:17-31); a key missing
+  ENTIRELY on one side is a zero-Rle (methods.py:104-111), same as the
+  unblocked path;
+- operations that change run spans (shift, apply_runs, apply, getitems)
+  require ``unchunk()`` first and raise a descriptive error — a blocked
+  variant would need cross-block carry, which ``unchunk`` makes
+  explicit instead of silent;
+- ``remove_dupes``'s stateful 1e-5/float32 tolerance chain is applied
+  per block + pairwise at block edges; results match the unblocked path
+  except for pathological tolerance chains that span an edge (values
+  within 1e-5 of each other across many runs).
 """
 
 from __future__ import annotations
@@ -35,15 +57,60 @@ __all__ = ["RleFrame"]
 _RLE_SCHEMA_SUFFIX = "runs array<bigint>, values array<double>"
 
 
-def _keyed_schema(key_cols):
+def _keyed_schema(key_cols, blocked: bool = False):
     keys = ", ".join(f"{c} string" for c in key_cols)
-    return f"{keys}, {_RLE_SCHEMA_SUFFIX}"
+    block = "block_id long, " if blocked else ""
+    return f"{keys}, {block}{_RLE_SCHEMA_SUFFIX}"
+
+
+def _empty_rle():
+    return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+
+
+def _split_blocks(runs, values, block_positions: int):
+    """Split one RLE into fixed-span blocks: yields (block_id, runs,
+    values) with sum(runs) == block span (last block may be short).
+    A run crossing an edge is split; its value appears on both sides,
+    so an exact-equality edge merge reverses the split losslessly."""
+    runs = np.asarray(runs, dtype=np.int64)
+    values = np.asarray(values, dtype=np.float64)
+    ends = np.cumsum(runs)
+    total = int(ends[-1]) if len(ends) else 0
+    if total == 0:
+        yield 0, runs, values
+        return
+    starts = ends - runs
+    n_blocks = -(-total // block_positions)
+    for b in range(n_blocks):
+        lo = b * block_positions
+        hi = min(lo + block_positions, total)
+        i = int(np.searchsorted(ends, lo, side="right"))
+        j = int(np.searchsorted(starts, hi, side="left"))
+        lens = np.minimum(ends[i:j], hi) - np.maximum(starts[i:j], lo)
+        yield b, lens.astype(np.int64), values[i:j].copy()
 
 
 class RleFrame:
-    def __init__(self, df: DataFrame, key_cols=("key",)):
+    def __init__(self, df: DataFrame, key_cols=("key",), block_positions=None):
         self.df = df
         self.key_cols = list(key_cols)
+        self.block_positions = block_positions
+
+    @property
+    def blocked(self) -> bool:
+        return self.block_positions is not None
+
+    @property
+    def _group_cols(self):
+        return self.key_cols + (["block_id"] if self.blocked else [])
+
+    def _require_unblocked(self, opname: str):
+        if self.blocked:
+            raise ValueError(
+                f"RleFrame.{opname} changes run spans and is not block-local; "
+                "call .unchunk() first (explicit cross-block carry), then "
+                ".rechunk(block_positions) if the blocked layout is still wanted"
+            )
 
     # ------------------------------------------------------------ construction
 
@@ -104,9 +171,10 @@ class RleFrame:
         return cls(df, key_cols)
 
     def to_rledict(self) -> RleDict:
+        src = self.unchunk() if self.blocked else self
         out = {}
-        for row in self.df.collect():
-            key = tuple(row[c] for c in self.key_cols)
+        for row in src.df.collect():
+            key = tuple(row[c] for c in src.key_cols)
             if len(key) == 1:
                 key = key[0]
             rle = Rle.__new__(Rle)
@@ -115,43 +183,163 @@ class RleFrame:
             out[key] = rle
         return RleDict(out)
 
+    # ------------------------------------------------------------ chunking
+
+    def rechunk(self, block_positions: int) -> "RleFrame":
+        """One row per key → fixed-span ``(key, block_id)`` rows.
+
+        Each block covers positions ``[block_id·B, block_id·B + B)`` of
+        its key (last block short).  Runs crossing an edge are split —
+        losslessly, since ``unchunk`` re-merges exactly-equal edge runs.
+        Removes the per-key row size cap: downstream binary ops join on
+        (key, block_id) and each task holds one block, not one key."""
+        if block_positions <= 0:
+            raise ValueError("block_positions must be positive")
+        if self.blocked:
+            return self.unchunk().rechunk(block_positions)
+        key_cols = self.key_cols
+
+        def split(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            for batch in batches:
+                pdf = batch.to_pandas()
+                rows = []
+                for row in pdf.itertuples(index=False):
+                    rd = row._asdict()
+                    for bid, runs, values in _split_blocks(
+                        rd["runs"], rd["values"], block_positions
+                    ):
+                        rows.append(
+                            tuple(rd[c] for c in key_cols) + (bid, runs, values)
+                        )
+                if rows:
+                    out = pd.DataFrame(
+                        rows, columns=[*key_cols, "block_id", "runs", "values"]
+                    )
+                    yield pa.RecordBatch.from_pandas(out, preserve_index=False)
+
+        df = self.df.mapInArrow(split, _keyed_schema(key_cols, blocked=True))
+        return RleFrame(df, key_cols, block_positions=block_positions)
+
+    def unchunk(self) -> "RleFrame":
+        """Blocked → one row per key: concatenate blocks in order and
+        merge ONLY at block edges, using the reference's merge predicate
+        (float32 cast, 1e-5 tolerance, NaN/±inf merge —
+        coverage.pyx:87-183) on each boundary pair.  Interior values are
+        untouched — running full ``remove_dupes`` here would float32-cast
+        every non-first value (its deliberate C-float quirk), which the
+        unblocked path never does at this point.  A run split by
+        ``rechunk`` has exactly equal values on both sides, so it always
+        re-merges → byte-identical round trip."""
+        if not self.blocked:
+            return self
+        key_cols = self.key_cols
+
+        def edge_merges(prev_val: float, next_val: float) -> bool:
+            v32 = float(np.float32(next_val))
+            if np.isnan(v32) and np.isnan(prev_val):
+                return True
+            if (v32 == np.inf and prev_val == np.inf) or (
+                v32 == -np.inf and prev_val == -np.inf
+            ):
+                return True
+            return abs(v32 - prev_val) < 1e-5
+
+        def concat(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            tbl = pa.Table.from_batches(list(batches))
+            if tbl.num_rows == 0:
+                return
+            pdf = tbl.to_pandas().sort_values("block_id")
+            keys = tuple(pdf.iloc[0][c] for c in key_cols)
+            cur_r, cur_v = _empty_rle()
+            for r_raw, v_raw in zip(pdf["runs"], pdf["values"]):
+                r = np.asarray(r_raw, dtype=np.int64)
+                v = np.asarray(v_raw, dtype=np.float64)
+                nz = r != 0  # empty-tail blocks contribute nothing
+                r, v = r[nz], v[nz]
+                if not len(r):
+                    continue
+                if len(cur_r) and edge_merges(float(cur_v[-1]), float(v[0])):
+                    cur_r[-1] += r[0]
+                    r, v = r[1:], v[1:]
+                cur_r = np.concatenate([cur_r, r])
+                cur_v = np.concatenate([cur_v, v])
+            out = {c: [v] for c, v in zip(key_cols, keys)}
+            out["runs"] = [cur_r]
+            out["values"] = [cur_v]
+            yield pa.RecordBatch.from_pydict(out)
+
+        df = self.df.groupBy(*key_cols).applyInArrow(
+            concat, _keyed_schema(key_cols)
+        )
+        return RleFrame(df, key_cols)
+
     # ------------------------------------------------------------ binary ops
 
     def _binary(self, other: "RleFrame", op: str) -> "RleFrame":
-        """Full-outer key alignment + row-local merge kernel
-        (methods.py:80-120 distributed).  Missing side → zero-Rle of the
-        present side's length (methods.py:104-111)."""
+        """Full-outer alignment + row-local merge kernel
+        (methods.py:80-120 distributed).  Unblocked: align on key;
+        missing side → zero-Rle of the present side's length
+        (methods.py:104-111).  Blocked: align on (key, block_id) — each
+        task merges one block; a missing block of a PRESENT key is a
+        tail extension (0 for arithmetic, NaN for comparisons — the
+        equalize rules, rle.py:17-31), a fully missing key is a
+        zero-Rle as in the unblocked path."""
+        if self.blocked != other.blocked or (
+            self.blocked and self.block_positions != other.block_positions
+        ):
+            raise ValueError(
+                "binary ops need matching layouts: rechunk both frames with "
+                "the same block_positions (or unchunk both)"
+            )
+        group_cols = self._group_cols
         a = self.df.select(
-            *self.key_cols,
+            *group_cols,
             F.col("runs").alias("runs_a"),
             F.col("values").alias("values_a"),
         )
         b = other.df.select(
-            *self.key_cols,
+            *group_cols,
             F.col("runs").alias("runs_b"),
             F.col("values").alias("values_b"),
         )
-        joined = a.join(b, on=self.key_cols, how="full_outer")
+        joined = a.join(b, on=group_cols, how="full_outer")
+        blocked = self.blocked
+        if blocked:
+            # per-key presence: distinguishes "key shorter" (tail extend)
+            # from "key absent" (zero-Rle); keyed window, never global
+            wk = W.partitionBy(*self.key_cols)
+            joined = joined.withColumn(
+                "a_present", F.max(F.col("runs_a").isNotNull().cast("int")).over(wk)
+            ).withColumn(
+                "b_present", F.max(F.col("runs_b").isNotNull().cast("int")).over(wk)
+            )
         key_cols = self.key_cols
+        is_cmp = op.startswith("cmp_")
+
+        def fill_missing(present_runs, is_tail_extension):
+            total = int(np.sum(present_runs))
+            if not total:
+                return _empty_rle()
+            fill = float("nan") if (is_cmp and is_tail_extension) else 0.0
+            return np.array([total], dtype=np.int64), np.array([fill])
 
         def merge(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             for batch in batches:
                 pdf = batch.to_pandas()
                 out_runs, out_vals = [], []
-                for _, row in pdf.iterrows():
-                    ra, va = row["runs_a"], row["values_a"]
-                    rb, vb = row["runs_b"], row["values_b"]
+                for row in pdf.itertuples(index=False):
+                    rd = row._asdict()
+                    ra, va = rd["runs_a"], rd["values_a"]
+                    rb, vb = rd["runs_b"], rd["values_b"]
                     if ra is None:
-                        total = int(np.sum(rb))
-                        ra, va = (np.array([total]), np.array([0.0])) if total else (
-                            np.array([], dtype=np.int64),
-                            np.array([], dtype=np.float64),
+                        ra, va = fill_missing(
+                            np.asarray(rb, dtype=np.int64),
+                            blocked and bool(rd["a_present"]),
                         )
                     if rb is None:
-                        total = int(np.sum(ra))
-                        rb, vb = (np.array([total]), np.array([0.0])) if total else (
-                            np.array([], dtype=np.int64),
-                            np.array([], dtype=np.float64),
+                        rb, vb = fill_missing(
+                            np.asarray(ra, dtype=np.int64),
+                            blocked and bool(rd["b_present"]),
                         )
                     args = (
                         np.asarray(ra, dtype=np.int64),
@@ -159,21 +347,21 @@ class RleFrame:
                         np.asarray(rb, dtype=np.int64),
                         np.asarray(vb, dtype=np.float64),
                     )
-                    if op.startswith("cmp_"):
+                    if is_cmp:
                         runs, values = k.compare_op(op[len("cmp_"):], *args)
                     else:
                         runs, values = k.binary_op(op, *args)
                     out_runs.append(runs)
                     out_vals.append(values)
-                data = {c: pdf[c] for c in key_cols}
+                data = {c: pdf[c] for c in group_cols}
                 data["runs"] = out_runs
                 data["values"] = out_vals
                 yield pa.RecordBatch.from_pandas(
                     pd.DataFrame(data), preserve_index=False
                 )
 
-        out = joined.mapInArrow(merge, _keyed_schema(key_cols))
-        return RleFrame(out, key_cols)
+        out = joined.mapInArrow(merge, _keyed_schema(key_cols, blocked))
+        return RleFrame(out, key_cols, self.block_positions)
 
     def __add__(self, other):
         return self._apply_or_binary(other, "add")
@@ -201,64 +389,127 @@ class RleFrame:
     # ------------------------------------------------------------ element ops
 
     def apply_values(self, fn, defragment: bool = True) -> "RleFrame":
-        """Vectorized values-map per key (rle.py:747-802 distributed)."""
-        key_cols = self.key_cols
+        """Vectorized values-map per row (rle.py:747-802 distributed).
+        Blocked-safe: values maps are position-independent, and the
+        per-block defragment preserves block spans."""
+        group_cols = self._group_cols
 
         def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             for batch in batches:
                 pdf = batch.to_pandas()
                 runs_out, vals_out = [], []
-                for _, row in pdf.iterrows():
-                    runs = np.asarray(row["runs"], dtype=np.int64)
-                    values = fn(np.asarray(row["values"], dtype=np.float64))
+                for row in pdf.itertuples(index=False):
+                    rd = row._asdict()
+                    runs = np.asarray(rd["runs"], dtype=np.int64)
+                    values = fn(np.asarray(rd["values"], dtype=np.float64))
                     if defragment:
                         runs, values = k.defragment(runs, values)
                     runs_out.append(runs)
                     vals_out.append(np.asarray(values, dtype=np.float64))
-                data = {c: pdf[c] for c in key_cols}
+                data = {c: pdf[c] for c in group_cols}
                 data["runs"] = runs_out
                 data["values"] = vals_out
                 yield pa.RecordBatch.from_pandas(
                     pd.DataFrame(data), preserve_index=False
                 )
 
-        return RleFrame(self.df.mapInArrow(run, _keyed_schema(key_cols)), key_cols)
+        return RleFrame(
+            self.df.mapInArrow(run, _keyed_schema(self.key_cols, self.blocked)),
+            self.key_cols,
+            self.block_positions,
+        )
+
+    def apply_runs(self, fn, defragment: bool = True) -> "RleFrame":
+        """Distributed ``RleDict.apply_runs`` (rledict.py:486-546): map
+        the runs array per key, cast the result to int64 (the reference's
+        cast quirk), keep values.  Changes run spans → unblocked only."""
+        self._require_unblocked("apply_runs")
+        return self._rowwise(
+            lambda r, v: (
+                (np.asarray(fn(np.copy(r))).astype(np.int64), np.copy(v))
+                if not defragment
+                else k.defragment(np.asarray(fn(np.copy(r))).astype(np.int64), v)
+            )
+        )
+
+    def apply(self, fn) -> "RleFrame":
+        """Distributed ``RleDict.apply`` (rledict.py:422-484): ``fn``
+        receives a driver-layer :class:`Rle` per key and returns one.
+        Quirk kept: the result is ALWAYS defragmented — the reference
+        ignores any defragment kwarg (rledict.py:480)."""
+        self._require_unblocked("apply")
+
+        def call(r, v):
+            rle = Rle.__new__(Rle)
+            rle.runs = np.copy(r)
+            rle.values = np.copy(v)
+            out = fn(rle)
+            return k.defragment(out.runs, out.values)
+
+        return self._rowwise(call)
+
+    def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+        """Numpy-ufunc surface (rle.py:203-246 distributed): np.sqrt(frame)
+        etc. map the values arrays; runs are copied, NO defragment —
+        exactly :meth:`Rle.__array_ufunc__`.  Mixed scalar operands pass
+        through positionally; two RleFrame operands would need run
+        alignment (use the binary operators) → NotImplemented."""
+        if method != "__call__":
+            return NotImplemented
+        if sum(isinstance(x, RleFrame) for x in inputs) != 1:
+            return NotImplemented
+        # capture only scalars — the frame itself (→ SparkContext) must
+        # not enter the serialized closure
+        others = [None if isinstance(x, RleFrame) else x for x in inputs]
+
+        def fx(v):
+            args = [v if o is None else o for o in others]
+            return np.asarray(ufunc(*args, **kwargs)).astype(np.float64)
+
+        return self.apply_values(fx, defragment=False)
 
     def defragment(self) -> "RleFrame":
         return self.apply_values(lambda v: v, defragment=True)
 
     def _rowwise(self, fn) -> "RleFrame":
-        """Map (runs, values) → (runs, values) per key row in one Arrow pass."""
-        key_cols = self.key_cols
+        """Map (runs, values) → (runs, values) per row in one Arrow pass."""
+        group_cols = self._group_cols
 
         def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             for batch in batches:
                 pdf = batch.to_pandas()
                 runs_out, vals_out = [], []
-                for _, row in pdf.iterrows():
+                for row in pdf.itertuples(index=False):
+                    rd = row._asdict()
                     runs, values = fn(
-                        np.asarray(row["runs"], dtype=np.int64),
-                        np.asarray(row["values"], dtype=np.float64),
+                        np.asarray(rd["runs"], dtype=np.int64),
+                        np.asarray(rd["values"], dtype=np.float64),
                     )
                     runs_out.append(np.asarray(runs, dtype=np.int64))
                     vals_out.append(np.asarray(values, dtype=np.float64))
-                data = {c: pdf[c] for c in key_cols}
+                data = {c: pdf[c] for c in group_cols}
                 data["runs"] = runs_out
                 data["values"] = vals_out
                 yield pa.RecordBatch.from_pandas(
                     pd.DataFrame(data), preserve_index=False
                 )
 
-        return RleFrame(self.df.mapInArrow(run, _keyed_schema(key_cols)), key_cols)
+        return RleFrame(
+            self.df.mapInArrow(run, _keyed_schema(self.key_cols, self.blocked)),
+            self.key_cols,
+            self.block_positions,
+        )
 
     def shift(self, dist: int = 1, preserve_length: bool = True, fill: float = 0.0):
         """Logical-vector shift per key (rle.py:1000-1095 distributed)."""
+        self._require_unblocked("shift")
         return self._rowwise(
             lambda r, v: k.shift_rle(r, v, dist, preserve_length, fill)
         )
 
     def numbers_only(self, nan=0.0, posinf=2147483647, neginf=-2147483648):
-        """NaN/±inf → finite sentinels + defragment (rle.py:961-998)."""
+        """NaN/±inf → finite sentinels + defragment (rle.py:961-998).
+        Blocked-safe (values-only; defragment preserves spans)."""
         return self._rowwise(
             lambda r, v: k.numbers_only(r, v, nan=nan, posinf=posinf, neginf=neginf)
         )
@@ -292,6 +543,7 @@ class RleFrame:
         """Point lookups per key: value of the run covering each position
         (getitem.pyx:89-109 distributed).  ``locs`` is a python list
         applied to every key."""
+        self._require_unblocked("getlocs")
         key_cols = self.key_cols
         locs_arr = np.sort(np.asarray(locs, dtype=np.int64))
 
@@ -320,6 +572,7 @@ class RleFrame:
     def make_strands_same_length(self, fill_value: float = 0.0) -> "RleFrame":
         """Pad the shorter strand per chromosome (rledict.py:650-676):
         window max of lengths per chromosome, conditional pad run."""
+        self._require_unblocked("make_strands_same_length")
         if "Strand" not in self.key_cols:
             return self
         chrom = [c for c in self.key_cols if c != "Strand"]
@@ -345,24 +598,27 @@ class RleFrame:
     def to_ranges(self) -> DataFrame:
         """Decode to interval rows (methods.py:159-213 distributed as pure
         relational algebra): posexplode + window prefix sums, merge equal
-        neighbours, drop zero scores."""
+        neighbours, drop zero scores.  Blocked frames order by
+        (block_id, idx) — blocks tile contiguously, so the per-key prefix
+        sum and island merge stitch edges automatically."""
+        order_cols = (["block_id"] if self.blocked else []) + ["idx"]
         ex = self.df.select(
-            *self.key_cols,
+            *self._group_cols,
             F.posexplode(F.arrays_zip("runs", "values")).alias("idx", "rv"),
         ).select(
-            *self.key_cols,
+            *self._group_cols,
             "idx",
             F.col("rv.runs").alias("run"),
             F.col("rv.values").alias("score"),
         )
-        w = W.partitionBy(*self.key_cols).orderBy("idx")
+        w = W.partitionBy(*self.key_cols).orderBy(*order_cols)
         pos = ex.select(
             *self.key_cols,
-            "idx",
+            *order_cols,
             "score",
             (F.sum("run").over(w) - F.col("run")).alias("start"),
             F.sum("run").over(w).alias("end"),
-        )
+        ).filter(F.col("start") != F.col("end"))  # empty-tail block artifacts
         # merge adjacent equal scores (gaps-and-islands)
         chg = F.when(
             F.lag("score").over(w).isNull()
@@ -385,7 +641,14 @@ class RleFrame:
 
     def stats(self) -> DataFrame:
         """Per-key aggregates incl. the reference's faithful quirks
-        (unweighted mean rle.py:945-959) — pure array expressions."""
+        (unweighted mean rle.py:945-959) — pure array expressions.
+
+        Blocked frames aggregate per-block partials, then correct the
+        two run-structure statistics (n_runs, the unweighted value sum)
+        for runs split across block edges: consecutive blocks whose
+        last/first values merge under the reference predicate (exact,
+        NaN, or <1e-5 after float32 cast) count as one run.  length and
+        the weighted mean are edge-safe by construction."""
         length = F.aggregate("runs", F.lit(0).cast("long"), lambda a, x: a + x)
         vsum = F.aggregate("values", F.lit(0.0), lambda a, x: a + x)
         wsum = F.aggregate(
@@ -393,18 +656,63 @@ class RleFrame:
             F.lit(0.0),
             lambda a, x: a + x,
         )
-        return self.df.select(
+        if not self.blocked:
+            return self.df.select(
+                *self.key_cols,
+                F.size("runs").alias("n_runs"),
+                length.alias("length"),
+                (vsum / length).alias("mean_quirk"),
+                (wsum / length).alias("weighted_mean"),
+            )
+        wb = W.partitionBy(*self.key_cols).orderBy("block_id")
+        per_block = self.df.select(
             *self.key_cols,
-            F.size("runs").alias("n_runs"),
-            length.alias("length"),
-            (vsum / length).alias("mean_quirk"),
-            (wsum / length).alias("weighted_mean"),
+            "block_id",
+            F.size("runs").alias("n_runs_b"),
+            length.alias("len_b"),
+            vsum.alias("vsum_b"),
+            wsum.alias("wsum_b"),
+            F.element_at("values", 1).alias("first_v"),
+            F.element_at("values", -1).alias("last_v"),
+        )
+        prev_last = F.lag("last_v").over(wb)
+        first32 = F.col("first_v").cast("float").cast("double")
+        edge_merge = F.when(
+            prev_last.isNull() | (F.col("n_runs_b") == 0), F.lit(False)
+        ).otherwise(
+            (F.isnan(prev_last) & F.isnan("first_v"))
+            | (prev_last == F.abs(F.lit(float("inf"))) * F.signum(first32))
+            & (F.abs(first32) == F.lit(float("inf")))
+            | (F.abs(first32 - prev_last) < 1e-5)
+        )
+        marked = per_block.select(
+            *self.key_cols,
+            "n_runs_b",
+            "len_b",
+            "vsum_b",
+            "wsum_b",
+            edge_merge.cast("int").alias("merged"),
+            F.when(edge_merge, F.col("first_v")).otherwise(0.0).alias("v_dupe"),
+        )
+        agg = marked.groupBy(*self.key_cols).agg(
+            (F.sum("n_runs_b") - F.sum("merged")).cast("int").alias("n_runs"),
+            F.sum("len_b").alias("length"),
+            (F.sum("vsum_b") - F.sum("v_dupe")).alias("vsum"),
+            F.sum("wsum_b").alias("wsum"),
+        )
+        return agg.select(
+            *self.key_cols,
+            "n_runs",
+            "length",
+            (F.col("vsum") / F.col("length")).alias("mean_quirk"),
+            (F.col("wsum") / F.col("length")).alias("weighted_mean"),
         )
 
     def getitems(self, intervals: DataFrame) -> DataFrame:
         """Batch range extraction (getitem.pyx:201-325 distributed):
         broadcast the query intervals, run the vectorized searchsorted
         kernel per key row.  Output (key..., Start, End, ID, Run, Value)."""
+        self._require_unblocked("getitems")
         key_cols = self.key_cols
         q = intervals.groupBy(*key_cols).agg(
             F.collect_list("Start").alias("q_starts"),
