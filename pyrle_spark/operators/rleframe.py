@@ -551,15 +551,16 @@ class RleFrame:
             for batch in batches:
                 pdf = batch.to_pandas()
                 frames = []
-                for _, row in pdf.iterrows():
+                for row in pdf.itertuples(index=False):
+                    rd = row._asdict()
                     vals = k.getlocs(
-                        np.asarray(row["runs"], dtype=np.int64),
-                        np.asarray(row["values"], dtype=np.float64),
+                        np.asarray(rd["runs"], dtype=np.int64),
+                        np.asarray(rd["values"], dtype=np.float64),
                         locs_arr,
                     )
                     f = pd.DataFrame({"loc": locs_arr, "value": vals})
                     for c in key_cols:
-                        f[c] = row[c]
+                        f[c] = rd[c]
                     frames.append(f[[*key_cols, "loc", "value"]])
                 if frames:
                     yield pa.RecordBatch.from_pandas(
@@ -725,14 +726,15 @@ class RleFrame:
             for batch in batches:
                 pdf = batch.to_pandas()
                 frames = []
-                for _, row in pdf.iterrows():
-                    order = np.argsort(np.asarray(row["q_starts"]), kind="stable")
-                    starts = np.asarray(row["q_starts"], dtype=np.int64)[order]
-                    ends = np.asarray(row["q_ends"], dtype=np.int64)[order]
-                    qids = np.asarray(row["q_ids"], dtype=np.int64)[order]
+                for row in pdf.itertuples(index=False):
+                    rd = row._asdict()
+                    order = np.argsort(np.asarray(rd["q_starts"]), kind="stable")
+                    starts = np.asarray(rd["q_starts"], dtype=np.int64)[order]
+                    ends = np.asarray(rd["q_ends"], dtype=np.int64)[order]
+                    qids = np.asarray(rd["q_ids"], dtype=np.int64)[order]
                     ids, qs, qe, runs, vals = k.getitems(
-                        np.asarray(row["runs"], dtype=np.int64),
-                        np.asarray(row["values"], dtype=np.float64),
+                        np.asarray(rd["runs"], dtype=np.int64),
+                        np.asarray(rd["values"], dtype=np.float64),
                         starts,
                         ends,
                     )
@@ -746,7 +748,7 @@ class RleFrame:
                         }
                     )
                     for c in key_cols:
-                        f[c] = row[c]
+                        f[c] = rd[c]
                     frames.append(f[[*key_cols, "Start", "End", "ID", "Run", "Value"]])
                 if frames:
                     yield pa.RecordBatch.from_pandas(
