@@ -14,7 +14,7 @@ every product stays exact in int64 on both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 MOD = 1_000_000_007
@@ -461,7 +461,7 @@ FROM cand WHERE bit_count(xor(s1, s2)) <= {MAX_HAMMING}
 
 # --------------------------------------------------------------- components
 
-COMPONENT_MAX_ROUNDS = 15
+COMPONENT_MAX_ROUNDS = 50  # safety cap ≫ any real dup-cluster diameter
 
 
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,12 +472,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Iterative min-label propagation: each round every node takes the min
     of its own label and its neighbours' labels; converges in
-    O(component diameter) rounds (dup clusters are shallow; bounded at
-    ``COMPONENT_MAX_ROUNDS`` with an early-exit convergence check — the
-    classic alternative for adversarially long chains is
-    large-star/small-star, which this loop structure accommodates).
-    Each round is one shuffle join on doc_id; no driver-side data beyond
-    the single converged-count scalar."""
+    O(component diameter) rounds (dup clusters are shallow) with an
+    early-exit convergence check.  Exceeding the ``COMPONENT_MAX_ROUNDS``
+    safety cap raises instead of returning quietly-wrong labels — an
+    adversarially deep graph wants the O(log n) large-star/small-star
+    variant, which this loop structure accommodates.  Each round is one
+    shuffle join on doc_id; no driver-side data beyond the single
+    converged-count scalar."""
     edges = minhash_lsh_pairs(spark, sf_dir)
     und = edges.union(
         edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
@@ -491,6 +492,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     labels.count()  # materialize so each round builds on a flat cache
+    converged = False
     for _ in range(COMPONENT_MAX_ROUNDS):
         neigh = (
             und.join(labels, und["d2"] == labels["doc_id"])
@@ -515,8 +517,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         old.unpersist()
         new_labels.unpersist()
         if changed == 0:
+            converged = True
             break
     und.unpersist()  # converged labels stay cached; the edge list doesn't
+    if not converged:
+        # silent non-convergence would mislabel components; a graph with
+        # diameter > COMPONENT_MAX_ROUNDS wants the large-star/small-star
+        # variant, not a quietly-wrong answer
+        raise RuntimeError(
+            f"dedup_components did not converge in {COMPONENT_MAX_ROUNDS} rounds"
+        )
     return labels.select("doc_id", F.col("label").alias("keep_doc_id"))
 
 
@@ -546,8 +556,63 @@ SELECT doc_id, min(r) AS keep_doc_id FROM reach GROUP BY doc_id
 """
 
 
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's final answer: per document, its canonical keeper
+    and whether it survives dedup — near-dup components where the doc
+    participates in the LSH graph (identical texts always share all
+    MinHash bands, so exact dups are inside the graph too), exact
+    content-hash keeper for docs too short to shingle.  A training run
+    keeps ``WHERE kept``."""
+    comp = dedup_components(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.md5(F.encode("text", "utf-8")).alias("text_hash")
+    )
+    we = W.partitionBy("text_hash")
+    exact = docs.select("doc_id", F.min("doc_id").over(we).alias("ekeep"))
+    return (
+        exact.join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("keep_doc_id", "ekeep").alias("keeper"),
+            (F.col("doc_id") == F.coalesce("keep_doc_id", "ekeep")).alias("kept"),
+        )
+    )
+
+
+def _dedup_keep_list_sql() -> str:
+    return f"""
+WITH RECURSIVE
+sh AS ({_SHINGLES_SQL}),
+sig AS ({_sig_select()}),
+bands AS (
+{_bands_select()}
+),
+cand AS ({_CAND_SELECT}),
+und AS (
+  SELECT d1 AS src, d2 AS dst FROM cand
+  UNION ALL
+  SELECT d2, d1 FROM cand
+),
+reach(doc_id, r) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT reach.doc_id, und.dst FROM reach JOIN und ON reach.r = und.src
+),
+comp AS (SELECT doc_id, min(r) AS keep_doc_id FROM reach GROUP BY doc_id),
+exact AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS ekeep
+  FROM documents
+)
+SELECT e.doc_id,
+       coalesce(c.keep_doc_id, e.ekeep) AS keeper,
+       e.doc_id = coalesce(c.keep_doc_id, e.ekeep) AS kept
+FROM exact e LEFT JOIN comp c ON c.doc_id = e.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_keep_list": dedup_keep_list,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -559,6 +624,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_keep_list": _dedup_keep_list_sql(),
     "ngram_jaccard_pairs": _ngram_jaccard_sql(),
     "minhash_signatures": _minhash_sig_sql(),
     "minhash_lsh_pairs": _minhash_lsh_sql(),
