@@ -208,3 +208,47 @@ def test_stateful_streaming_rle_gap_within_batch(spark, tmp_path):
     assert list(got["start_pos"]) == [0, 7, 10]
     assert list(got["run_len"]) == [3, 3, 1]
     assert list(got["value"]) == [5.0, 5.0, 6.0]
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """Streaming exact dedup: documents re-arriving in the same or later
+    micro-batches are dropped; the emitted set equals the batch
+    dedup_exact keepers (min doc_id per content hash) on the full input."""
+    import hashlib
+    import os
+    import time
+
+    import pandas as pd
+
+    from pyrle_spark.streaming.dedup_stream import dedup_docs_stream
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    texts = ["alpha doc", "beta doc", "gamma doc", "alpha doc", "beta doc"]
+    # batch 0: docs 0-2 (alpha, beta, gamma); batch 1: re-crawls of alpha
+    # (doc 3) and beta (doc 4) plus a new delta (doc 5); batch 2: another
+    # alpha re-crawl (doc 6) and in-batch dup pair of epsilon (7, 8)
+    batches = [
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": texts[:3]}),
+        pd.DataFrame({"doc_id": [3, 4, 5], "text": ["alpha doc", "beta doc", "delta doc"]}),
+        pd.DataFrame({"doc_id": [8, 7, 6], "text": ["epsilon doc", "epsilon doc", "alpha doc"]}),
+    ]
+    for i, b in enumerate(batches):
+        p = f"{src}/b{i}.parquet"
+        b.to_parquet(p)
+        os.utime(p, (time.time() + i, time.time() + i))
+    q = dedup_docs_stream(spark, src, str(tmp_path / "ck"), query_name="dedup_docs_t")
+    q.awaitTermination(120)
+    got = (
+        spark.table("dedup_docs_t")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # keepers: alpha->0, beta->1, gamma->2, delta->5, epsilon->7 (min of 7,8)
+    assert list(got["doc_id"]) == [0, 1, 2, 5, 7]
+    full = pd.concat(batches, ignore_index=True)
+    keep = full.assign(h=full["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest()))
+    want = sorted(keep.groupby("h")["doc_id"].min())
+    assert list(got["doc_id"]) == want
+    assert set(got["text_hash"]) == set(keep["h"])
