@@ -93,7 +93,9 @@ def main() -> None:
     # its own session afterwards.
     slot_options = sorted({max(8, (CPUS * 3) // 4) if CPUS > 8 else CPUS, CPUS})
     enc_slots = slot_options[0]
-    spark = get_spark("bench_encode", cpus=enc_slots)
+    # this session is reused by the first loop iteration → same config
+    # (shuffle partitions pinned to slots) as the sessions the loop builds
+    spark = get_spark("bench_encode", cpus=enc_slots, shuffle_partitions=enc_slots)
     # The timed encode runs the SAME configuration as BASELINE.md's
     # measured ceiling (4M rows ≈ 3.4 GB) regardless of sf, so
     # encode_gb_per_s in BENCH_r*.json is directly comparable to the

@@ -122,14 +122,24 @@ class RleFrame:
         start_col: str = "Start",
         end_col: str = "End",
         value_col: str | None = None,
+        block_positions: int | None = None,
     ) -> "RleFrame":
         """Interval coverage per key (methods.py:139-156 distributed).
 
         Two phases: (1) relational event pre-aggregation — explode each
         interval to ±value boundary events and sum per (key, position);
-        this is the map-side collapse that blunts hot-key skew; (2) one
-        grouped Arrow pass building the per-key step function with the
-        exact reference kernel (coverage.pyx:28-81 semantics)."""
+        this is the map-side collapse that blunts hot-key skew; (2) an
+        Arrow pass building the step function with the exact reference
+        kernel (coverage.pyx:28-81 semantics).
+
+        With ``block_positions`` set the frame is built DIRECTLY in the
+        blocked layout and no task ever holds a whole key: the Arrow
+        groups are (key, block) — bounded by the block span — and the
+        cross-block running coverage value is carried through a tiny
+        per-(key, block) delta-sum summary (a keyed window over
+        O(#blocks) rows), exactly the two-level-scan shape of the
+        relational boundary-union fill.  Without it, groups are whole
+        keys (the reference's own model)."""
         key_cols = list(key_cols)
         val = F.col(value_col).cast("double") if value_col else F.lit(1.0)
         ev = df.select(
@@ -138,6 +148,8 @@ class RleFrame:
             df.select(*key_cols, F.col(end_col).alias("pos"), (-val).alias("d"))
         )
         agg = ev.groupBy(*key_cols, "pos").agg(F.sum("d").alias("d"))
+        if block_positions is not None:
+            return cls._from_events_blocked(agg, key_cols, block_positions)
 
         def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             tbl = pa.Table.from_batches(list(batches))
@@ -158,6 +170,83 @@ class RleFrame:
             build, _keyed_schema(key_cols)
         )
         return cls(keyed, key_cols)
+
+    @classmethod
+    def _from_events_blocked(
+        cls, agg: DataFrame, key_cols: list, block_positions: int
+    ) -> "RleFrame":
+        """Blocked coverage from pre-aggregated (key, pos, d) events.
+
+        The per-block step function needs only (a) the block's own
+        events and (b) the running coverage value entering the block —
+        the exclusive prefix sum of per-block delta totals, computed on
+        a dense O(#blocks)-row summary (empty blocks become one
+        carry-valued run, so blocks tile the key's full [0, L) range
+        and the blocked invariant holds)."""
+        B = block_positions
+        a = agg.withColumn("bkt", F.floor(F.col("pos") / F.lit(B)))
+        summ = a.groupBy(*key_cols, "bkt").agg(F.sum("d").alias("bd"))
+        keyinfo = a.groupBy(*key_cols).agg(F.max("pos").alias("L"))
+        n_blocks = F.greatest(F.ceil(F.col("L") / F.lit(B)), F.lit(1)).cast("long")
+        dense = keyinfo.select(
+            *key_cols,
+            "L",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_blocks - 1)).alias("bkt"),
+        )
+        wk = (
+            W.partitionBy(*key_cols)
+            .orderBy("bkt")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        meta = (
+            dense.join(summ, [*key_cols, "bkt"], "left")
+            .withColumn("bd", F.coalesce("bd", F.lit(0.0)))
+            .select(
+                *key_cols,
+                "bkt",
+                "L",
+                F.coalesce(F.sum("bd").over(wk), F.lit(0.0)).alias("carry"),
+            )
+        )
+        full = meta.join(
+            a.select(*key_cols, "bkt", "pos", "d"), [*key_cols, "bkt"], "left"
+        )
+
+        def build_block(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            tbl = pa.Table.from_batches(list(batches))
+            if tbl.num_rows == 0:
+                return
+            pdf = tbl.to_pandas()
+            first = pdf.iloc[0]
+            keys = tuple(first[c] for c in key_cols)
+            bkt = int(first["bkt"])
+            carry = float(first["carry"])
+            bstart, bend = bkt * B, min((bkt + 1) * B, int(first["L"]))
+            evs = pdf[pdf["pos"].notna()]
+            if len(evs):
+                pos = evs["pos"].to_numpy(np.int64)
+                d = evs["d"].to_numpy(np.float64)
+                unique, inverse = np.unique(pos, return_inverse=True)
+                sums = np.zeros(len(unique), dtype=np.float64)
+                np.add.at(sums, inverse, d)
+                bounds = np.concatenate(([bstart], unique, [bend]))
+                vals = np.concatenate(([carry], carry + np.cumsum(sums)))
+            else:
+                bounds = np.array([bstart, bend], dtype=np.int64)
+                vals = np.array([carry])
+            runs = np.diff(bounds).astype(np.int64)
+            keep = runs > 0
+            runs, vals = k.normalize(runs[keep], vals[keep])
+            out = {c: [v] for c, v in zip(key_cols, keys)}
+            out["block_id"] = [bkt]
+            out["runs"] = [runs]
+            out["values"] = [vals]
+            yield pa.RecordBatch.from_pydict(out)
+
+        keyed = full.groupBy(*key_cols, "bkt").applyInArrow(
+            build_block, _keyed_schema(key_cols, blocked=True)
+        )
+        return cls(keyed, key_cols, block_positions=B)
 
     @classmethod
     def from_rledict(cls, spark: SparkSession, rd: RleDict) -> "RleFrame":

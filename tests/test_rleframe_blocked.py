@@ -89,6 +89,42 @@ def test_block_spans_are_fixed(frames):
             assert 0 < r["span"] <= BLOCK
 
 
+def test_blocked_construction_matches_unblocked(spark, frames):
+    """from_intervals(block_positions=B) builds the blocked layout
+    directly — no task ever holds a whole key — and must equal the
+    whole-key construction byte-for-byte after unchunk, and the
+    rechunk-of-unblocked layout block-for-block."""
+    p1, _, f1, _ = frames
+    blocked = RleFrame.from_intervals(
+        spark.createDataFrame(p1), block_positions=BLOCK
+    )
+    assert blocked.blocked and blocked.block_positions == BLOCK
+    _assert_same_rledict(blocked.unchunk().to_rledict(), f1.to_rledict())
+    # block-level identity against the rechunk path (same spans, same
+    # per-block runs): compare via pandas on (key, block_id)
+    import pandas as pd
+
+    got = blocked.df.toPandas().sort_values(["Chromosome", "block_id"])
+    want = f1.rechunk(BLOCK).df.toPandas().sort_values(["Chromosome", "block_id"])
+    assert list(got["block_id"]) == list(want["block_id"])
+    for (_, g), (_, w) in zip(got.iterrows(), want.iterrows()):
+        np.testing.assert_array_equal(np.asarray(g["runs"]), np.asarray(w["runs"]))
+        np.testing.assert_array_equal(
+            np.asarray(g["values"]), np.asarray(w["values"])
+        )
+
+
+def test_blocked_construction_binary_end_to_end(spark, frames):
+    """Construct blocked on both sides, add, unchunk — equals the fully
+    unblocked pipeline."""
+    p1, p2, f1, f2 = frames
+    a = RleFrame.from_intervals(spark.createDataFrame(p1), block_positions=BLOCK)
+    b = RleFrame.from_intervals(spark.createDataFrame(p2), block_positions=BLOCK)
+    got = (a + b).unchunk().to_rledict()
+    want = (f1 + f2).to_rledict()
+    _assert_same_rledict(got, want)
+
+
 # --------------------------------------------------------------- binary ops
 
 
