@@ -252,3 +252,97 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     want = sorted(keep.groupby("h")["doc_id"].min())
     assert list(got["doc_id"]) == want
     assert set(got["text_hash"]) == set(keep["h"])
+
+
+def test_windowed_agg_watermark_drops_late(spark, tmp_path):
+    """Tumbling windows + watermark: windows emit exactly once after the
+    watermark (max event time - 30s) passes their end; an event arriving
+    later than the watermark is dropped, bounding state to open windows."""
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from pyrle_spark.streaming.windowed import windowed_event_counts
+
+    src = str(tmp_path / "ev_src")
+    os.makedirs(src)
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+
+    def ts(sec):
+        return t0 + timedelta(seconds=sec)
+
+    # batch 0: windows [0,10) and [10,20), plus t=100 advancing the
+    # watermark to 70s -> both windows close and emit
+    b0 = pd.DataFrame(
+        {
+            "ts": [ts(1), ts(4), ts(12), ts(100)],
+            "event_type": ["click", "click", "view", "click"],
+            "value": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    # batch 1: t=5 is LATE (watermark 70s > window [0,10) end) -> dropped;
+    # t=200 advances the watermark to 170s -> closes window [100,110)
+    b1 = pd.DataFrame(
+        {
+            "ts": [ts(5), ts(200)],
+            "event_type": ["click", "view"],
+            "value": [50.0, 6.0],
+        }
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ev_schema = pa.schema(
+        [
+            ("ts", pa.timestamp("us", tz="UTC")),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+        ]
+    )
+
+    def write(name, b):
+        pq.write_table(
+            pa.Table.from_pandas(b, preserve_index=False).cast(ev_schema),
+            f"{src}/{name}.parquet",
+        )
+
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "win_out")
+
+    def rows_of():
+        got = spark.read.parquet(out).toPandas()
+        keys = [
+            (r.window_start.second + 60 * r.window_start.minute, r.event_type)
+            for r in got.itertuples()
+        ]
+        assert len(keys) == len(set(keys)), "a window emitted twice"
+        return {
+            k: (int(r.n_events), float(r.sum_value))
+            for k, r in zip(keys, got.itertuples())
+        }
+
+    # run 1: only b0 exists; end-of-run watermark = 100 - 30 = 70s, so
+    # windows [0,10) and [10,20) close and emit
+    write("b0", b0)
+    q = windowed_event_counts(spark, src, ck, output_dir=out)
+    q.awaitTermination(120)
+    r1 = rows_of()
+    assert r1[(0, "click")] == (2, 3.0)
+    assert r1[(10, "view")] == (1, 3.0)
+    assert (100, "click") not in r1  # still open at watermark 70
+    # run 2 (same checkpoint → watermark 70s restored): the t=5 click in
+    # b1 is LATE (< 70s) and must be dropped — if the watermark had not
+    # persisted, window [0,10) would re-emit with the late row; t=200
+    # advances the watermark to 170s, closing window [100,110)
+    write("b1", b1)
+    q2 = windowed_event_counts(spark, src, ck, output_dir=out)
+    q2.awaitTermination(120)
+    r2 = rows_of()  # also re-asserts no window emitted twice
+    assert r2[(0, "click")] == (2, 3.0)  # unchanged: late row dropped
+    assert r2[(10, "view")] == (1, 3.0)
+    assert r2[(100, "click")] == (1, 4.0)
+    # window [200,210) never closed (nothing advanced the watermark past
+    # its end) -> not emitted in append mode
+    assert (200, "view") not in r2
