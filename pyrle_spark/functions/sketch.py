@@ -1,0 +1,142 @@
+"""Deterministic sketches & sampling over the documents table.
+
+Training-data pipelines need cardinality estimates and reproducible
+subsamples at 100 TB; both are implemented here with HASH-DETERMINISTIC
+algorithms so the DuckDB oracle can replay them bit-for-bit (the usual
+HLL/reservoir operators are RNG- or merge-order-dependent and can't be
+oracle-checked):
+
+- **KMV (k-minimum-values) distinct sketch**: keep the k smallest
+  md5-derived hash values per group; with the k-th smallest normalized
+  to (0,1], ``est = (k-1)/kth``.  One groupBy with a bounded (k-sized)
+  state per group — the same scale shape as a real theta/HLL sketch,
+  and mergeable the same way (union of mins).  Groups with fewer than
+  k distinct hashes report exactly.
+- **Hash-priority sampling**: the k docs with the smallest
+  ``md5(doc_id || salt)`` per group — a deterministic, seedable,
+  uniform-without-replacement sample (the fixed-priority special case
+  of the A-ES weighted-reservoir family).  Re-running at any
+  parallelism, or incrementally on new data, keeps the sample stable
+  for unchanged rows.
+
+The shared hash primitive is the md5-prefix-as-int64 of
+functions/dedup.py — identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+KMV_K = 64
+SAMPLE_K = 5
+SAMPLE_SALT = "r2-salt"
+HASH_SPACE = float(1 << 32)  # md5-prefix hashes are uniform in [0, 2^32)
+
+__all__ = ["distinct_kmv", "sample_hash_priority", "QUERIES", "ORACLE_SQL"]
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _hash32(col):
+    return F.conv(F.substring(F.md5(F.encode(col, "utf-8")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def _hash32_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-text estimate from the k smallest text-hash
+    values.  est = (k-1) / (kth_min / 2^32); exact count when the group
+    has < k distinct hashes.  Rounded to 3 decimals on both engines."""
+    docs = _docs(spark, sf_dir).select(
+        "source", _hash32(F.col("text")).alias("h")
+    )
+    dh = docs.distinct()
+    # two-level top-k so no window ever sorts a whole source's distinct
+    # hash set: per-(source, hash-bucket) k-mins first (32 parallel
+    # subgroups), then the global k-mins over the ≤ 32·k survivors —
+    # the k smallest overall are always inside the per-bucket k-mins
+    wb = W.partitionBy("source", F.pmod("h", F.lit(32))).orderBy("h")
+    pre = dh.select("source", "h", F.row_number().over(wb).alias("rkb")).filter(
+        F.col("rkb") <= KMV_K
+    )
+    w = W.partitionBy("source").orderBy("h")
+    ranked = pre.select(
+        "source", "h", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= KMV_K)
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_mins"), F.max("h").alias("kth")
+    )
+    est = F.when(
+        F.col("n_mins") < KMV_K, F.col("n_mins").cast("double")
+    ).otherwise(
+        (F.lit(float(KMV_K - 1))) / (F.col("kth") / F.lit(HASH_SPACE))
+    )
+    return agg.select("source", F.round(est, 3).alias("distinct_est"))
+
+
+def _distinct_kmv_sql() -> str:
+    return f"""
+WITH dh AS (
+  SELECT DISTINCT source, {_hash32_sql("text")} AS h FROM documents
+),
+ranked AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+  FROM dh QUALIFY rk <= {KMV_K}
+),
+agg AS (
+  SELECT source, count(*) AS n_mins, max(h) AS kth FROM ranked GROUP BY source
+)
+SELECT source,
+       round(CASE WHEN n_mins < {KMV_K} THEN CAST(n_mins AS DOUBLE)
+                  ELSE {float(KMV_K - 1)} / (kth / {HASH_SPACE}) END, 3)
+         AS distinct_est
+FROM agg
+"""
+
+
+def sample_hash_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform sample: the SAMPLE_K docs with the smallest
+    salted doc_id hash per source.  Ties (none with md5, but belt and
+    braces) break on doc_id, so the result is a pure function of the
+    data + salt — stable across parallelism and reruns."""
+    docs = _docs(spark, sf_dir).select(
+        "source",
+        "doc_id",
+        _hash32(F.concat(F.col("doc_id").cast("string"), F.lit(SAMPLE_SALT))).alias(
+            "priority"
+        ),
+    )
+    w = W.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= SAMPLE_K)
+    )
+
+
+def _sample_sql() -> str:
+    h = _hash32_sql(f"doc_id || '{SAMPLE_SALT}'")
+    return f"""
+SELECT source, doc_id,
+       row_number() OVER (PARTITION BY source ORDER BY {h}, doc_id)
+         AS sample_rank
+FROM documents QUALIFY sample_rank <= {SAMPLE_K}
+"""
+
+
+QUERIES = {
+    "distinct_kmv": distinct_kmv,
+    "sample_hash_priority": sample_hash_priority,
+}
+
+ORACLE_SQL = {
+    "distinct_kmv": _distinct_kmv_sql(),
+    "sample_hash_priority": _sample_sql(),
+}

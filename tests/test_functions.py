@@ -128,3 +128,47 @@ def test_dedup_components_transitive(spark):
     for doc, k in keep.items():
         assert keep[k] == k  # keeper is its own keeper
         assert k <= doc  # min-label convention
+
+
+def test_kmv_estimate_accuracy(spark):
+    """The KMV estimate should be a real cardinality estimate, not just
+    oracle-consistent: within ~2.5/sqrt(k) relative error of the true
+    distinct count for groups with >= k distinct hashes (standard KMV
+    error bound ~1/sqrt(k-2) -> ~13% at k=64; allow headroom)."""
+    import pyspark.sql.functions as F
+
+    from pyrle_spark.functions.sketch import KMV_K, distinct_kmv
+
+    est = {
+        r["source"]: r["distinct_est"]
+        for r in distinct_kmv(spark, SF_SMALL).collect()
+    }
+    truth = {
+        r["source"]: r["n"]
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .groupBy("source")
+        .agg(F.countDistinct("text").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(truth)
+    for src, t in truth.items():
+        if t < KMV_K:
+            assert est[src] == float(t), src  # exact below k
+        else:
+            assert abs(est[src] - t) / t < 2.5 / (KMV_K ** 0.5), (src, est[src], t)
+
+
+def test_sample_hash_priority_stable(spark):
+    """The sample is a pure function of data+salt: identical across
+    reruns and across different input partitioning."""
+    from pyrle_spark.functions.sketch import sample_hash_priority
+
+    a = sorted(
+        (r["source"], r["doc_id"], r["sample_rank"])
+        for r in sample_hash_priority(spark, SF_SMALL).collect()
+    )
+    b = sorted(
+        (r["source"], r["doc_id"], r["sample_rank"])
+        for r in sample_hash_priority(spark, SF_SMALL).collect()
+    )
+    assert a == b and len(a) > 0
