@@ -25,6 +25,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyrle_spark.functions import registry as fn_registry  # noqa: E402
 from pyrle_spark.operators import relational  # noqa: E402
 from pyrle_spark.plans.encode_job import (  # noqa: E402
     EncodeConfig,
@@ -255,6 +256,9 @@ def main() -> None:
             ("rle_add_step", relational.QUERIES["rle_add_step"]),
             ("getitems_range", relational.QUERIES["getitems_range"]),
             ("rleframe_add", q_rleframe_add),
+            # the 100 TB-relevant dedup family: banded LSH candidate
+            # generation over per-doc MinHash signatures
+            ("minhash_lsh_pairs", fn_registry.QUERIES["minhash_lsh_pairs"]),
         ):
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
