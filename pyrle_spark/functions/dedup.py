@@ -461,8 +461,6 @@ FROM cand WHERE bit_count(xor(s1, s2)) <= {MAX_HAMMING}
 
 # --------------------------------------------------------------- components
 
-COMPONENT_MAX_ROUNDS = 50  # safety cap ≫ any real dup-cluster diameter
-
 
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS, not just pairs: connected components over
@@ -470,64 +468,21 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the keeper convention of :func:`dedup_exact`.  A training pipeline
     drops every doc whose ``doc_id != keep_doc_id``.
 
-    Iterative min-label propagation: each round every node takes the min
-    of its own label and its neighbours' labels; converges in
-    O(component diameter) rounds (dup clusters are shallow) with an
-    early-exit convergence check.  Exceeding the ``COMPONENT_MAX_ROUNDS``
-    safety cap raises instead of returning quietly-wrong labels — an
-    adversarially deep graph wants the O(log n) large-star/small-star
-    variant, which this loop structure accommodates.  Each round is one
-    shuffle join on doc_id; no driver-side data beyond the single
-    converged-count scalar."""
-    edges = minhash_lsh_pairs(spark, sf_dir)
-    und = edges.union(
-        edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    ).persist()  # both directions: (src=d1, dst=d2); cached — every round
-    # joins against it, and without the cache each round would recompute
-    # the whole MinHash pipeline from the parquet scan
-    labels = (
-        und.select(F.col("d1").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .persist()
+    Components come from the alternating large-star/small-star algorithm
+    (:mod:`pyrle_spark.functions.graph`): O(log n) rounds on ANY graph
+    shape — a chain of a million near-dups converges in ~20 rounds where
+    min-label propagation would need a million — at the same
+    one-aggregation-plus-one-join shuffle cost per round."""
+    from pyrle_spark.functions.graph import connected_components
+
+    # connected_components checkpoints the pair list on entry, so the
+    # MinHash pipeline runs once regardless of the number of CC rounds
+    return connected_components(
+        minhash_lsh_pairs(spark, sf_dir), "d1", "d2"
+    ).select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("keep_doc_id"),
     )
-    labels.count()  # materialize so each round builds on a flat cache
-    converged = False
-    for _ in range(COMPONENT_MAX_ROUNDS):
-        neigh = (
-            und.join(labels, und["d2"] == labels["doc_id"])
-            .groupBy(F.col("d1").alias("doc_id"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
-                    "new_label"
-                ),
-                "label",
-            )
-            .persist()
-        )
-        changed = new_labels.filter(F.col("new_label") != F.col("label")).count()
-        old = labels
-        labels = new_labels.select("doc_id", F.col("new_label").alias("label")).persist()
-        labels.count()
-        old.unpersist()
-        new_labels.unpersist()
-        if changed == 0:
-            converged = True
-            break
-    und.unpersist()  # converged labels stay cached; the edge list doesn't
-    if not converged:
-        # silent non-convergence would mislabel components; a graph with
-        # diameter > COMPONENT_MAX_ROUNDS wants the large-star/small-star
-        # variant, not a quietly-wrong answer
-        raise RuntimeError(
-            f"dedup_components did not converge in {COMPONENT_MAX_ROUNDS} rounds"
-        )
-    return labels.select("doc_id", F.col("label").alias("keep_doc_id"))
 
 
 def _dedup_components_sql() -> str:

@@ -172,3 +172,36 @@ def test_sample_hash_priority_stable(spark):
         for r in sample_hash_priority(spark, SF_SMALL).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_star_cc_long_chain(spark):
+    """The star algorithm's reason to exist: a 300-node PATH graph
+    (diameter 299) resolves to one component in O(log n) rounds — label
+    propagation would need 299. Also a mixed graph: two chains + a
+    triangle + isolated pairs."""
+    import pyspark.sql.functions as F
+
+    from pyrle_spark.functions.graph import connected_components
+
+    chain = spark.range(0, 299).select(
+        F.col("id").alias("x"), (F.col("id") + 1).alias("y")
+    )
+    got = connected_components(chain, "x", "y").toPandas()
+    assert len(got) == 300
+    assert (got["component"] == 0).all()
+
+    rows = (
+        [(1000 + i, 1001 + i) for i in range(50)]  # chain 1000..1050
+        + [(2000, 2001), (2001, 2002), (2002, 2000)]  # triangle
+        + [(3000, 3001), (4000, 4001)]  # two isolated pairs
+    )
+    pairs = spark.createDataFrame(rows, "x long, y long")
+    comp = {
+        int(r["node"]): int(r["component"])
+        for r in connected_components(pairs, "x", "y").collect()
+    }
+    assert all(comp[1000 + i] == 1000 for i in range(51))
+    assert comp[2000] == comp[2001] == comp[2002] == 2000
+    assert comp[3000] == comp[3001] == 3000
+    assert comp[4000] == comp[4001] == 4000
+    assert len(comp) == 51 + 3 + 4
