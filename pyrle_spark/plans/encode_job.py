@@ -56,6 +56,7 @@ __all__ = [
     "encode_table",
     "decode_table",
     "prune_blocks",
+    "prune_blocks_eq",
     "scan_encoded",
     "verify_checksums",
 ]
@@ -64,7 +65,7 @@ ENCODED_SPARK_SCHEMA = (
     "block_id long, column string, codec string, arrow_type string, "
     "n_rows long, meta string, buffers map<string,binary>, "
     "bytes_in long, bytes_out long, encode_ns long, crc32 long, "
-    "n_runs long, part_id int, zmin string, zmax string"
+    "n_runs long, part_id int, zmin string, zmax string, bloom string"
 )
 
 _ENCODED_PA_SCHEMA = pa.schema(
@@ -84,8 +85,62 @@ _ENCODED_PA_SCHEMA = pa.schema(
         ("part_id", pa.int32()),
         ("zmin", pa.string()),
         ("zmax", pa.string()),
+        ("bloom", pa.string()),
     ]
 )
+
+# ----------------------------------------------------- equality bloom digest
+
+# Zone maps answer RANGE questions; a per-(block, column) bloom digest
+# answers EQUALITY ones ("lang = 'sw'") that min/max can't prune when the
+# value sits inside every block's range.  256 bits, 2 probes, built only
+# for blocks with ≤ _BLOOM_MAX_DISTINCT distinct values (a block with
+# tens of thousands of distincts saturates 256 bits anyway); absent
+# digest ⇒ block kept — the same conservative-superset contract as the
+# zone maps.
+_BLOOM_BITS = 256
+_BLOOM_MAX_DISTINCT = 1024
+_BLOOM_SEED2 = 0x9747B28C
+
+
+def _bloom_value_bytes(v) -> bytes | None:
+    if isinstance(v, bytes):
+        return v
+    if isinstance(v, str):
+        return v.encode("utf-8")
+    if isinstance(v, (int, np.integer)):
+        return str(int(v)).encode("ascii")
+    return None  # floats/timestamps: equality pruning not supported
+
+
+def _bloom_positions(data: bytes):
+    h1 = zlib.crc32(data)
+    h2 = zlib.crc32(data, _BLOOM_SEED2)
+    return (h1 % _BLOOM_BITS, (h1 + h2) % _BLOOM_BITS)
+
+
+def _bloom_digest(arr: pa.Array) -> str | None:
+    """Hex bloom digest of the block's distinct values, or None when the
+    type has no stable byte form or cardinality exceeds the cap."""
+    import pyarrow.compute as pc
+
+    try:
+        uniq = pc.unique(arr)
+    except pa.lib.ArrowNotImplementedError:
+        return None
+    if len(uniq) > _BLOOM_MAX_DISTINCT:
+        return None
+    bits = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    for v in uniq:
+        pv = v.as_py()
+        if pv is None:
+            continue  # NULL never satisfies an equality predicate
+        data = _bloom_value_bytes(pv)
+        if data is None:
+            return None
+        for pos in _bloom_positions(data):
+            bits[pos // 8] |= 1 << (pos % 8)
+    return bits.tobytes().hex()
 
 
 def _zone_str(v, typ: pa.DataType) -> str:
@@ -184,6 +239,7 @@ def _flush_block(block_id: int, cols: dict, part_id: int, zstd_threshold: float)
         zmin, zmax = _zone_bounds(arr)
         rows["zmin"].append(zmin)
         rows["zmax"].append(zmax)
+        rows["bloom"].append(_bloom_digest(arr))
         rows["block_id"].append(block_id)
         rows["column"].append(colname)
         rows["codec"].append(enc.codec)
@@ -527,6 +583,37 @@ def prune_blocks(
     return z.filter(keep).select("block_id").distinct()
 
 
+def prune_blocks_eq(enc: DataFrame, column: str, value) -> DataFrame:
+    """Bloom-digest data skipping for EQUALITY predicates: block_ids
+    whose ``column`` digest may contain ``value``.
+
+    Complements :func:`prune_blocks` — a hot value like ``lang = 'sw'``
+    sits inside every block's [zmin, zmax] range, but a block that never
+    saw the value has one of its two bloom probe bits clear and is
+    skipped.  Conservative: a block without a digest (high cardinality,
+    unsupported type, pre-digest snapshot) is kept, so the result is
+    always a superset of the blocks containing matches."""
+    data = _bloom_value_bytes(value)
+    if data is None:
+        return enc.filter(F.col("column") == column).select("block_id").distinct()
+    keep = F.col("bloom").isNull() if "bloom" in enc.columns else F.lit(True)
+    if "bloom" in enc.columns:
+        probe = F.lit(True)
+        for pos in set(_bloom_positions(data)):
+            byte_hex = F.substring("bloom", 2 * (pos // 8) + 1, 2)
+            bit = F.conv(byte_hex, 16, 10).cast("int").bitwiseAND(
+                F.lit(1 << (pos % 8))
+            )
+            probe = probe & (bit != 0)
+        keep = keep | probe
+    return (
+        enc.filter(F.col("column") == column)
+        .filter(keep)
+        .select("block_id")
+        .distinct()
+    )
+
+
 def scan_encoded(
     spark: SparkSession,
     table_dir: str,
@@ -541,9 +628,13 @@ def scan_encoded(
     (None = unbounded on that side).  Blocks are decoded only if EVERY
     predicate's zone can match (survivor sets intersect — conjunctive
     pushdown, the SURVEY §4.1 "RLE-aware filter pushdown" done at the
-    application layer); the residual filter then enforces the exact
-    predicate on the decoded rows, so results equal a full decode +
-    filter while touching only surviving blocks.
+    application layer); an equality predicate (``lo == hi``) is
+    additionally pushed through the per-block bloom digests
+    (:func:`prune_blocks_eq`), which skip blocks the value never
+    touched even when it sits inside every block's zone range.  The
+    residual filter then enforces the exact predicate on the decoded
+    rows, so results equal a full decode + filter while touching only
+    surviving blocks.
     """
     table = IceTable(table_dir)
     enc = table.read_table(spark, snapshot_id)
@@ -552,6 +643,10 @@ def scan_encoded(
     for colname, lo, hi in predicates or []:
         need_cols.add(colname) if columns else None
         surv = prune_blocks(enc, colname, lo, hi)
+        if lo is not None and lo == hi:
+            surv = surv.join(
+                prune_blocks_eq(enc, colname, lo), "block_id", "inner"
+            )
         blocks = surv if blocks is None else blocks.join(
             surv, "block_id", "inner"
         )

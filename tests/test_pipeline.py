@@ -323,3 +323,64 @@ def test_encode_driver_tables(spark, tmp_path):
     exp = ev.orderBy("event_id").limit(5).collect()
     assert [r.ts for r in got] == [r.ts for r in exp]
     assert [r.event_type for r in got] == [r.event_type for r in exp]
+
+
+def test_bloom_prune_equality(spark, tmp_path):
+    """Per-block bloom digests skip blocks for equality predicates that
+    zone ranges cannot prune: a hot tag that appears in only two blocks
+    keeps exactly those (plus any bloom false positives — none at this
+    cardinality), and an absent tag keeps none."""
+    from pyrle_spark.plans.encode_job import prune_blocks_eq
+
+    out = str(tmp_path / "bl")
+    # tag cycles 0..9 within a block-sized stride, except blocks 3 and 7
+    # also contain the rare tag "special"; min/max per block is the full
+    # alphabet so zone maps cannot prune tag equality at all
+    df = spark.range(0, 40_960, 1, 4).select(
+        F.col("id").alias("doc_seq"),
+        F.when(
+            ((F.col("id") % 4096 == 0) & ((F.col("id") / 4096).isin(3.0, 7.0))),
+            F.lit("special"),
+        )
+        .otherwise(F.concat(F.lit("tag"), (F.col("id") % 10).cast("string")))
+        .alias("tag"),
+    )
+    encode_table(spark, df, out, EncodeConfig(columns=["tag"], block_rows=4096))
+    enc = IceTable(out).read_table(spark)
+    live = sorted(r["block_id"] for r in prune_blocks_eq(enc, "tag", "special").collect())
+    assert live == [3, 7], live
+    # common tag: present everywhere, all 10 blocks kept
+    assert prune_blocks_eq(enc, "tag", "tag5").count() == 10
+    # absent tag: no block keeps it (no false positive at this cardinality)
+    assert prune_blocks_eq(enc, "tag", "never-seen").count() == 0
+
+
+def test_scan_encoded_equality_bloom_pushdown(spark, tmp_path):
+    """scan_encoded pushes equality predicates through the bloom digests
+    AND the residual filter: exact results, fewer blocks decoded."""
+    from pyrle_spark.plans.encode_job import prune_blocks_eq, scan_encoded
+
+    out = str(tmp_path / "blscan")
+    df = spark.range(0, 32_768, 1, 4).select(
+        F.col("id").alias("doc_seq"),
+        F.col("id").alias("v"),
+        F.when(F.col("id") < 4096, F.lit("rare")).otherwise(
+            F.concat(F.lit("w"), (F.col("id") % 50).cast("string"))
+        ).alias("word"),
+    )
+    encode_table(spark, df, out, EncodeConfig(columns=["v", "word"], block_rows=4096))
+    got = (
+        scan_encoded(spark, out, columns=["v", "word"], predicates=[("word", "rare", "rare")])
+        .orderBy("v")
+        .toPandas()
+    )
+    full = (
+        decode_table(spark, out)
+        .filter(F.col("word") == "rare")
+        .select("_order", "v", "word")
+        .orderBy("v")
+        .toPandas()
+    )
+    assert list(got["v"]) == list(full["v"]) and len(got) == 4096
+    enc = IceTable(out).read_table(spark)
+    assert prune_blocks_eq(enc, "word", "rare").count() == 1  # only block 0
