@@ -2,10 +2,17 @@
 
 from __future__ import annotations
 
-from pyrle_spark.functions import dedup, multimodal, similarity, sketch, text
+from pyrle_spark.functions import (
+    dedup,
+    multimodal,
+    quantize,
+    similarity,
+    sketch,
+    text,
+)
 
 QUERIES = {}
 ORACLE_SQL = {}
-for mod in (text, dedup, similarity, multimodal, sketch):
+for mod in (text, dedup, similarity, multimodal, sketch, quantize):
     QUERIES.update(mod.QUERIES)
     ORACLE_SQL.update(mod.ORACLE_SQL)

@@ -205,3 +205,17 @@ def test_star_cc_long_chain(spark):
     assert comp[3000] == comp[3001] == 3000
     assert comp[4000] == comp[4001] == 4000
     assert len(comp) == 51 + 3 + 4
+
+
+def test_int8_quantization_quality(spark):
+    """int8 quantization must actually work as a quantizer: q values in
+    [-127, 127], reconstruction error per element bounded by scale/2."""
+    import pyspark.sql.functions as F
+
+    from pyrle_spark.functions.quantize import embedding_int8_stats
+
+    stats = embedding_int8_stats(spark, SF_SMALL).toPandas()
+    assert len(stats) > 0
+    assert (stats["scale"] >= 0).all()
+    # per-element error <= scale/2 -> L2 over 64 dims <= scale/2 * 8
+    assert (stats["l2_err"] <= stats["scale"] / 2 * 8 + 1e-9).all()

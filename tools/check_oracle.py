@@ -9,6 +9,7 @@ Usage: python tools/check_oracle.py [name ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -22,7 +23,7 @@ import __spark_entry__ as entrymod  # noqa: E402
 from pyrle_spark.operators.relational import TABLES  # noqa: E402
 from pyrle_spark.session import get_spark  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
