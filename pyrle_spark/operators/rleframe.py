@@ -259,6 +259,39 @@ class RleFrame:
         df = spark.createDataFrame(rows, schema=_keyed_schema(key_cols))
         return cls(df, key_cols)
 
+    # ------------------------------------------------------------ persistence
+
+    def write_parquet(self, path: str, mode: str = "overwrite") -> None:
+        """Persist the frame (either layout) as parquet, partitioned by
+        the key columns so later per-key reads prune at the directory
+        level.  Layout metadata (key columns, block size) is recoverable
+        from the schema itself: a ``block_id`` column marks a blocked
+        frame; ``block_positions`` is re-supplied at read time (it is a
+        physical parameter, not data)."""
+        self.df.write.mode(mode).partitionBy(*self.key_cols).parquet(path)
+
+    @classmethod
+    def read_parquet(
+        cls,
+        spark: SparkSession,
+        path: str,
+        key_cols=("Chromosome",),
+        block_positions: int | None = None,
+    ) -> "RleFrame":
+        """Load a frame written by :meth:`write_parquet`.  Pass the same
+        ``block_positions`` the writer used for a blocked frame (the
+        schema's ``block_id`` column is checked for consistency)."""
+        df = spark.read.parquet(path)
+        has_block = "block_id" in df.columns
+        if has_block != (block_positions is not None):
+            raise ValueError(
+                "layout mismatch: on-disk frame is "
+                f"{'blocked' if has_block else 'unblocked'} but block_positions="
+                f"{block_positions}"
+            )
+        cols = [*key_cols] + (["block_id"] if has_block else []) + ["runs", "values"]
+        return cls(df.select(*cols), key_cols, block_positions=block_positions)
+
     def to_rledict(self) -> RleDict:
         src = self.unchunk() if self.blocked else self
         out = {}

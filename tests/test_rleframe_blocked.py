@@ -325,3 +325,31 @@ def test_ufunc_two_frames_not_implemented(frames):
     _, _, f1, f2 = frames
     with pytest.raises(TypeError):
         np.add(f1, f2)
+
+
+def test_parquet_roundtrip_both_layouts(spark, frames, tmp_path):
+    """write_parquet/read_parquet preserve both layouts byte-for-byte;
+    a layout-parameter mismatch raises instead of mislabeling data."""
+    _, _, f1, _ = frames
+    p1 = str(tmp_path / "flat")
+    f1.write_parquet(p1)
+    back = RleFrame.read_parquet(spark, p1, key_cols=("Chromosome",))
+    _assert_same_rledict(back.to_rledict(), f1.to_rledict())
+
+    blocked = f1.rechunk(BLOCK)
+    p2 = str(tmp_path / "blocked")
+    blocked.write_parquet(p2)
+    back_b = RleFrame.read_parquet(
+        spark, p2, key_cols=("Chromosome",), block_positions=BLOCK
+    )
+    assert back_b.blocked
+    _assert_same_rledict(back_b.unchunk().to_rledict(), f1.to_rledict())
+    # binary ops work straight off the loaded blocked frame
+    got = (back_b + back_b).unchunk().to_rledict()
+    want = (f1 + f1).to_rledict()
+    _assert_same_rledict(got, want)
+
+    with pytest.raises(ValueError, match="layout mismatch"):
+        RleFrame.read_parquet(spark, p1, key_cols=("Chromosome",), block_positions=BLOCK)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        RleFrame.read_parquet(spark, p2, key_cols=("Chromosome",))
