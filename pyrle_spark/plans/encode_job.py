@@ -93,12 +93,14 @@ _ENCODED_PA_SCHEMA = pa.schema(
 
 # Zone maps answer RANGE questions; a per-(block, column) bloom digest
 # answers EQUALITY ones ("lang = 'sw'") that min/max can't prune when the
-# value sits inside every block's range.  256 bits, 2 probes, built only
-# for blocks with ≤ _BLOOM_MAX_DISTINCT distinct values (a block with
-# tens of thousands of distincts saturates 256 bits anyway); absent
-# digest ⇒ block kept — the same conservative-superset contract as the
-# zone maps.
-_BLOOM_BITS = 256
+# value sits inside every block's range.  4096 bits (512 B of manifest
+# per block-column — noise next to the block data), 2 probes, built only
+# for blocks with ≤ _BLOOM_MAX_DISTINCT distinct values: at the cap
+# m/n = 4 → ~15% false-positive rate, at a lang-like 100 distincts
+# ~0.2%; a block with tens of thousands of distincts would saturate any
+# practical filter.  Absent digest ⇒ block kept — the same
+# conservative-superset contract as the zone maps.
+_BLOOM_BITS = 4096
 _BLOOM_MAX_DISTINCT = 1024
 _BLOOM_SEED2 = 0x9747B28C
 

@@ -384,3 +384,36 @@ def test_scan_encoded_equality_bloom_pushdown(spark, tmp_path):
     assert list(got["v"]) == list(full["v"]) and len(got) == 4096
     enc = IceTable(out).read_table(spark)
     assert prune_blocks_eq(enc, "word", "rare").count() == 1  # only block 0
+
+
+def test_bloom_digest_no_false_negatives():
+    """Property: every value present in a block passes its own digest
+    probe (bloom guarantees no false negatives); absent values mostly
+    fail (sanity on selectivity, not a hard guarantee)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyrle_spark.plans.encode_job import (
+        _bloom_digest,
+        _bloom_positions,
+        _bloom_value_bytes,
+    )
+
+    rng = np.random.default_rng(5)
+    for trial in range(20):
+        n = int(rng.integers(1, 400))
+        vals = [f"v{int(rng.integers(0, 10_000))}" for _ in range(n)]
+        digest = _bloom_digest(pa.array(vals))
+        bits = bytes.fromhex(digest)
+
+        def hit(v):
+            return all(
+                bits[p // 8] & (1 << (p % 8))
+                for p in _bloom_positions(_bloom_value_bytes(v))
+            )
+
+        assert all(hit(v) for v in vals), trial  # no false negatives
+        absent = [f"absent{int(rng.integers(0, 10_000))}x" for _ in range(200)]
+        fp = sum(hit(v) for v in absent) / len(absent)
+        # 4096 bits / 2 probes at ≤400 distincts: expected FP ≈ 3%
+        assert fp < 0.2, (trial, fp)
