@@ -170,6 +170,68 @@ def ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmeans_fit(emb: DataFrame, k: int = N_CENTROIDS, iters: int = 5):
+    """Lloyd's k-means over an ``(vec_id, v array<double>)`` frame —
+    the real coarse quantizer behind IVF (the oracle-checked IVF
+    queries use deterministic first-K centroids because distributed
+    float summation order makes k-means means vary in the last ulp
+    across runs, which a bit-exact oracle cannot replay).
+
+    Scale shape per iteration: assignment is a broadcast join of K
+    centroids against the table + a per-vector argmax window; the new
+    means reduce via posexplode → groupBy (cid, dim) avg — map-side
+    combinable, K·DIM result rows collected to the driver (tiny) and
+    re-broadcast.  Init = first K vectors by vec_id; fixed ``iters``
+    (Lloyd's cost is monotonically non-increasing, asserted in tests).
+
+    Returns (centroids DataFrame ``(cid, cv)``, costs list — mean
+    assignment distance per iteration)."""
+    spark = emb.sparkSession
+    emb = emb.select("vec_id", F.col("v"))
+    cents_rows = [
+        (int(r["vec_id"]), list(r["v"]))
+        for r in emb.orderBy("vec_id").limit(k).collect()
+    ]
+    costs = []
+    for _ in range(iters):
+        cents = spark.createDataFrame(
+            [(i, v) for i, (_, v) in enumerate(cents_rows)],
+            "cid int, cv array<double>",
+        )
+        sims = emb.join(F.broadcast(cents)).select(
+            "vec_id", "v", "cid", _cos(F.col("v"), F.col("cv")).alias("sim")
+        )
+        wa = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+        assigned = (
+            sims.withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cid", "sim")
+        )
+        costs.append(
+            assigned.agg(F.avg(F.lit(1.0) - F.col("sim")).alias("c")).first()["c"]
+        )
+        dims = assigned.select(
+            "cid", F.posexplode("v").alias("dim", "x")
+        )
+        means = (
+            dims.groupBy("cid", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.sort_array(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cid", F.col("dm.m").alias("cv"))
+            .collect()
+        )
+        new = {int(r["cid"]): list(r["cv"]) for r in means}
+        # empty cells keep their previous centroid
+        cents_rows = [
+            (i, new.get(i, cents_rows[i][1])) for i in range(k)
+        ]
+    cents = spark.createDataFrame(
+        [(i, v) for i, v in cents_rows], "cid int, cv array<double>"
+    )
+    return cents, costs
+
+
 def _cos_sql(a: str, b: str) -> str:
     """Left-to-right float64 fold of cosine(a, b) — same order as Spark."""
     return f"""

@@ -219,3 +219,24 @@ def test_int8_quantization_quality(spark):
     assert (stats["scale"] >= 0).all()
     # per-element error <= scale/2 -> L2 over 64 dims <= scale/2 * 8
     assert (stats["l2_err"] <= stats["scale"] / 2 * 8 + 1e-9).all()
+
+
+def test_kmeans_fit_improves_cells(spark):
+    """Lloyd's on the embeddings: cost (mean 1-cosine to the assigned
+    centroid) is monotonically non-increasing across iterations and
+    strictly better than the first-K-vectors init the oracle queries
+    use; k centroids survive."""
+    import pyspark.sql.functions as F
+
+    from pyrle_spark.functions.similarity import _dvec, kmeans_fit
+
+    emb = (
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .select("vec_id", _dvec("embedding").alias("v"))
+    )
+    cents, costs = kmeans_fit(emb, k=8, iters=4)
+    assert cents.count() == 8
+    assert len(costs) == 4
+    for a, b in zip(costs, costs[1:]):
+        assert b <= a + 1e-9, costs  # Lloyd's monotonicity
+    assert costs[-1] < costs[0], costs  # actually moved off the init
