@@ -241,7 +241,14 @@ def _flush_block(block_id: int, cols: dict, part_id: int, zstd_threshold: float)
         zmin, zmax = _zone_bounds(arr)
         rows["zmin"].append(zmin)
         rows["zmax"].append(zmax)
-        rows["bloom"].append(_bloom_digest(arr))
+        # the digest pays a full unique() pass — skip it when the
+        # selector's sampled stats already say the column is
+        # high-cardinality (html/text/url blocks would just hit the
+        # distinct cap after hashing megabytes of strings)
+        sample_n = stats.get("sample_n") or min(len(arr), 4096)
+        ratio = stats.get("distinct_est", 0) / max(sample_n, 1)
+        skip_bloom = len(arr) > _BLOOM_MAX_DISTINCT and ratio >= 0.5
+        rows["bloom"].append(None if skip_bloom else _bloom_digest(arr))
         rows["block_id"].append(block_id)
         rows["column"].append(colname)
         rows["codec"].append(enc.codec)
