@@ -24,6 +24,7 @@ from pyrle_spark.codecs.base import (
     type_to_str,
 )
 from pyrle_spark.codecs.bitpack import BitpackCodec, DeltaCodec, ForCodec
+from pyrle_spark.codecs.bss import BssCodec
 from pyrle_spark.codecs.dictionary import DictCodec
 from pyrle_spark.codecs.fsst import FsstCodec
 from pyrle_spark.codecs.rawcodec import HAVE_ZSTD, RawCodec, ZstdCodec
@@ -32,7 +33,7 @@ from pyrle_spark.codecs.selector import choose_fixed, choose_var, column_stats
 
 __all__ = ["encode_array", "encode_with", "decode_array", "Encoded", "CODEC_NAMES"]
 
-CODEC_NAMES = ["rle", "dict", "for", "delta", "bitpack", "fsst", "raw", "zstd"]
+CODEC_NAMES = ["rle", "dict", "for", "delta", "bitpack", "bss", "fsst", "raw", "zstd"]
 
 
 def _encode_payload(codec: str, kind: str, payload):
@@ -42,6 +43,7 @@ def _encode_payload(codec: str, kind: str, payload):
             "for": ForCodec.encode,
             "delta": DeltaCodec.encode,
             "bitpack": BitpackCodec.encode,
+            "bss": BssCodec.encode,
             "raw": RawCodec.encode_fixed,
         }
         if codec not in table:
@@ -65,6 +67,7 @@ def _decode_payload(codec: str, kind: str, meta: dict, buffers: dict):
             "for": ForCodec.decode,
             "delta": DeltaCodec.decode,
             "bitpack": BitpackCodec.decode,
+            "bss": BssCodec.decode,
             "raw": RawCodec.decode_fixed,
         }
         return table[codec](meta, buffers)
@@ -185,6 +188,22 @@ def encode_payload_auto(
     if kind == "fixed":
         codec = choose_fixed(stats, np.asarray(payload).dtype.kind)
         raw_size = len(payload) * payload.dtype.itemsize
+        if codec == "raw" and payload.dtype.kind == "f" and HAVE_ZSTD and len(payload):
+            # float columns with no run structure: trial byte-stream-split
+            # + zstd against raw + zstd and plain raw (full column — floats
+            # are ≤ 8·block_rows bytes, the trial is ~memcpy + small zstd).
+            # BSS alone is size-neutral, so it's only ever taken with zstd.
+            meta_r, bufs_r = _encode_payload("raw", kind, payload)
+            meta_b, bufs_b = _encode_payload("bss", kind, payload)
+            forms = [("raw", meta_r, bufs_r, False)]
+            mrz, brz = ZstdCodec.wrap(meta_r, bufs_r)
+            forms.append(("raw+zstd", mrz, brz, True))
+            mbz, bbz = ZstdCodec.wrap(meta_b, bufs_b)
+            forms.append(("bss+zstd", mbz, bbz, True))
+            name, meta_w, bufs_w, zstd = min(forms, key=lambda f: _buffers_size(f[2]))
+            pre = (name, meta_w, bufs_w)
+            codec = name.split("+")[0]
+            stats["selected_by"] = "trial"
     else:
         raw_size = int(payload[0][-1]) + 8 * len(payload[0])
         distinct_ratio = stats["distinct_est"] / max(stats["sample_n"], 1)

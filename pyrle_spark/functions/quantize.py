@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 DIM = 64
 
-__all__ = ["embedding_int8_stats", "QUERIES", "ORACLE_SQL"]
+__all__ = ["embedding_int8_stats", "bss_roundtrip_embedding", "QUERIES", "ORACLE_SQL"]
 
 
 def embedding_int8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,5 +80,51 @@ SELECT vec_id,
 FROM q
 """
 
-QUERIES = {"embedding_int8_stats": embedding_int8_stats}
-ORACLE_SQL = {"embedding_int8_stats": _INT8_SQL}
+def bss_roundtrip_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode(bss+zstd(encode)) over the flattened embedding floats,
+    executed per Arrow batch inside the scan — the distributed proof that
+    byte-stream split (codecs/bss.py) is bit-lossless on real float32
+    data.  The oracle is the identity (elements straight off the table),
+    so any bit the codec drops turns the cell red.
+
+    Plan shape at scale: one narrow projection + posexplode, zero
+    shuffle, Python only as an Arrow-batched pass (no per-row UDF)."""
+    import pyarrow as pa
+
+    flat = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.posexplode("embedding").alias("dim", "val"))
+        .select("vec_id", F.col("dim").cast("long").alias("dim"), "val")
+    )
+
+    def _roundtrip(batches):
+        from pyrle_spark.codecs import decode_array, encode_with
+
+        for batch in batches:
+            vals = batch.column("val")
+            dec = decode_array(encode_with("bss", vals, zstd=True))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("vec_id"),
+                    batch.column("dim"),
+                    dec.cast(pa.float64()),
+                ],
+                names=["vec_id", "dim", "val"],
+            )
+
+    return flat.mapInArrow(_roundtrip, "vec_id long, dim long, val double")
+
+
+_BSS_ROUNDTRIP_SQL = f"""
+SELECT vec_id, k - 1 AS dim, CAST(embedding[k] AS DOUBLE) AS val
+FROM embeddings, generate_series(1, {DIM}) AS t(k)
+"""
+
+QUERIES = {
+    "embedding_int8_stats": embedding_int8_stats,
+    "bss_roundtrip_embedding": bss_roundtrip_embedding,
+}
+ORACLE_SQL = {
+    "embedding_int8_stats": _INT8_SQL,
+    "bss_roundtrip_embedding": _BSS_ROUNDTRIP_SQL,
+}

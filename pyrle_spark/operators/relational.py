@@ -869,9 +869,76 @@ FROM documents WHERE n_chars >= 440 GROUP BY lang
 """
 
 
+def bloom_prune_eq_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-digest equality pruning end-to-end through the REAL encoded
+    pipeline: encode documents (lang-sorted order → single-lang blocks),
+    skip blocks whose per-block bloom digest rules out ``lang = 'fr'``
+    (``plans.encode_job.prune_blocks_eq``), decode only the survivors,
+    and aggregate.  The oracle is the naive full scan — equality proves
+    the digest is a true superset filter (never drops a matching block)
+    and that decode reproduces the skipped-scan rows bit-identically.
+
+    Scale shape: the digest probe runs on the O(#blocks) manifest, the
+    survivor block list broadcasts into the decode scan, and the decode
+    itself is the streaming mapInArrow pass — no shuffle of row data.
+    Zone maps can't prune this predicate (every value sits inside the
+    block's [zmin, zmax] string range); the bloom digest can.
+
+    The global row_number here only shapes the tiny test input into a
+    lang-sorted order column; a real pipeline already has one (the
+    webtext generator's ``doc_seq``), so no global window exists in the
+    production encode path."""
+    import tempfile
+
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        decode_table,
+        encode_table,
+        prune_blocks_eq,
+    )
+    from pyrle_spark.sources.icetable import IceTable
+
+    docs = load(spark, sf_dir, "documents")
+    ordered = docs.select(
+        (F.row_number().over(W.orderBy("lang", "doc_id")) - 1).alias("_seq"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    out_dir = tempfile.mkdtemp(prefix="bloom_prune_eq_")
+    encode_table(
+        spark,
+        ordered,
+        out_dir,
+        EncodeConfig(
+            columns=["lang", "source", "n_chars"],
+            order_col="_seq",
+            block_rows=64,
+        ),
+    )
+    enc = IceTable(out_dir).read_table(spark)
+    live = prune_blocks_eq(enc, "lang", "fr")
+    dec = decode_table(spark, out_dir, columns=["lang", "source", "n_chars"], blocks=live)
+    return (
+        dec.filter(F.col("lang") == "fr")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_BLOOM_PRUNE_EQ_AGG_SQL = """
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE lang = 'fr' GROUP BY source
+"""
+
+
 QUERIES = {
     "rle_encode_lang": rle_encode_lang,
     "zonemap_prune_agg": zonemap_prune_agg,
+    "bloom_prune_eq_agg": bloom_prune_eq_agg,
     "numbers_only_events": numbers_only_events,
     "coverage_weighted": coverage_weighted,
     "lang_counts_salted": lang_counts_salted,
@@ -893,6 +960,7 @@ QUERIES = {
 ORACLE_SQL = {
     "rle_encode_lang": _RLE_ENCODE_LANG_SQL,
     "zonemap_prune_agg": _ZONEMAP_PRUNE_AGG_SQL,
+    "bloom_prune_eq_agg": _BLOOM_PRUNE_EQ_AGG_SQL,
     "numbers_only_events": _NUMBERS_ONLY_SQL,
     "coverage_weighted": _COVERAGE_WEIGHTED_SQL,
     "lang_counts_salted": _LANG_COUNTS_SALTED_SQL,

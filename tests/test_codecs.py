@@ -79,9 +79,42 @@ def test_runny_ints_pick_rle_and_compress(pairs):
 @given(floats)
 def test_float_codecs_roundtrip(xs):
     arr = pa.array(xs, type=pa.float64())
-    for codec in ["rle", "raw"]:
+    for codec in ["rle", "bss", "raw"]:
         roundtrip(encode_with(codec, arr), arr)
     roundtrip(encode_array(arr), arr)
+
+
+def test_bss_roundtrip_bit_exact():
+    """Byte-stream split is a pure byte permutation: every IEEE bit
+    pattern (NaN payloads, -0.0, subnormals) survives both widths."""
+    bits = np.array(
+        [0x7FF8DEADBEEF0001, 0x8000000000000000, 0x0000000000000001, 0],
+        dtype=np.uint64,
+    )
+    arr64 = pa.array(bits.view(np.float64), type=pa.float64())
+    out = decode_array(Encoded.from_row(encode_with("bss", arr64).to_row()))
+    assert np.array_equal(np.asarray(out).view(np.uint64), bits)
+    rng = np.random.default_rng(3)
+    f32 = rng.normal(0, 0.2, 4096).astype(np.float32)
+    arr32 = pa.array(f32, type=pa.float32())
+    for zstd in (False, True):
+        roundtrip(encode_with("bss", arr32, zstd=zstd), arr32)
+
+
+def test_bss_selected_for_structured_floats():
+    """Low-variance float32 (embedding-like) has repetitive sign/exponent
+    planes — the auto trial must pick bss+zstd over raw(+zstd) there and
+    stay bit-identical; nullable input keeps its validity bitmap."""
+    rng = np.random.default_rng(7)
+    vals = rng.normal(0, 0.15, 65536).astype(np.float32)
+    arr = pa.array(vals)
+    enc = encode_array(arr)
+    assert enc.codec == "bss+zstd", enc.codec
+    assert enc.nbytes < len(vals) * 4
+    roundtrip(enc, arr)
+    mask = rng.random(len(vals)) < 0.05
+    nullable = pa.array(np.where(mask, 0, vals), mask=mask)
+    roundtrip(encode_array(nullable), nullable)
 
 
 @settings(max_examples=MAX_EXAMPLES, deadline=None)
