@@ -565,6 +565,54 @@ FROM exact e LEFT JOIN comp c ON c.doc_id = e.doc_id
 """
 
 
+# -------------------------------------------------------- decontamination
+
+
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents sharing at least one
+    word-4-gram with the benchmark set, with the distinct-span overlap
+    count.  The benchmark stand-in is deterministic (doc_id < 50 — a
+    real pipeline joins against the actual eval suites); training docs
+    with high n_shared get dropped or flagged before training.
+
+    Scale shape: the benchmark side is small by construction (eval
+    suites are thousands of docs, not billions) → its distinct span set
+    broadcasts; the training side streams through one equi-join on the
+    span with NO shuffle of the corpus and a per-doc partial count-
+    distinct.  Never the quadratic doc×doc form."""
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    spans = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(ws) - 3, F.lit(0))),
+                lambda i: F.array_join(F.slice(ws, i, 4), " "),
+            )
+        ).alias("span"),
+    )
+    bench = spans.filter(F.col("doc_id") < 50).select("span").distinct()
+    train = spans.filter(F.col("doc_id") >= 50)
+    return (
+        train.join(F.broadcast(bench), "span")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("span").alias("n_shared"))
+    )
+
+
+_CONTAMINATION_SQL = r"""
+WITH spans AS (
+  SELECT doc_id, array_to_string(ws[i:i+3], ' ') AS span
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+       unnest(generate_series(1, greatest(len(ws) - 3, 0))) AS t(i)
+),
+bench AS (SELECT DISTINCT span FROM spans WHERE doc_id < 50)
+SELECT doc_id, count(DISTINCT span) AS n_shared
+FROM spans JOIN bench USING (span)
+WHERE doc_id >= 50
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_keep_list": dedup_keep_list,
@@ -575,6 +623,7 @@ QUERIES = {
     "simhash_hamming_pairs": simhash_hamming_pairs,
     "dedup_components": dedup_components,
     "embedding_cosine_dups": embedding_cosine_dups,
+    "contamination_overlap": contamination_overlap,
 }
 
 ORACLE_SQL = {
@@ -587,4 +636,5 @@ ORACLE_SQL = {
     "simhash_hamming_pairs": _simhash_hamming_sql(),
     "dedup_components": _dedup_components_sql(),
     "embedding_cosine_dups": _emb_dups_sql(),
+    "contamination_overlap": _CONTAMINATION_SQL,
 }

@@ -209,12 +209,99 @@ FROM pos GROUP BY doc_id
 """
 
 
+# ------------------------------------------------------------------ boilerplate
+
+
+def _word_spans(spark, sf_dir, n: int) -> DataFrame:
+    """All word-``n``-gram spans per document (NOT distinct — occurrence
+    counts need every instance)."""
+    docs = _docs(spark, sf_dir)
+    ws = _words(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0))),
+                lambda i: F.array_join(F.slice(ws, i, n), " "),
+            )
+        ).alias("span"),
+    )
+
+
+def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection (the C4/RefinedWeb line-dedup step adapted
+    to span granularity): word-3-gram spans appearing in ≥ 5 distinct
+    documents, with document frequency and total occurrences.  A real
+    pipeline subtracts these spans from every document before training.
+
+    Scale shape: explode → two-phase hash aggregation on the span (the
+    partial agg collapses each task's spans before the single shuffle);
+    no join, no window.  The df ≥ 5 filter keeps the result to the hot
+    tail, which is exactly the part a cleaner needs."""
+    spans = _word_spans(spark, sf_dir, 3)
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 5)
+    )
+
+
+_BOILERPLATE_SPANS_SQL = r"""
+WITH spans AS (
+  SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS span
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+       unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+)
+SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 5
+"""
+
+
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture statistics for training-data sampling: document
+    count, whitespace-token count, and each source's share of the total
+    token budget (the weight a mixture sampler feeds on).
+
+    Scale shape: one narrow aggregation to O(#sources) rows, then the
+    share is a window over that tiny aggregate — the global window runs
+    on 20 rows, never on row data."""
+    docs = _docs(spark, sf_dir)
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_words(F.col("text")))).alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(W.partitionBy())
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / total, 6).alias("token_share"),
+    )
+
+
+_SOURCE_MIXTURE_SQL = r"""
+WITH agg AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(string_split_regex(trim(text), '\s+'))) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(n_tokens / (sum(n_tokens) OVER ()), 6) AS token_share
+FROM agg
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "token_count_bpe_ish": token_count_bpe_ish,
     "quality_score": quality_score,
     "lang_id_ngram": lang_id_ngram,
     "doc_fingerprint": doc_fingerprint,
+    "boilerplate_spans": boilerplate_spans,
+    "source_mixture_weights": source_mixture_weights,
 }
 
 ORACLE_SQL = {
@@ -223,4 +310,6 @@ ORACLE_SQL = {
     "quality_score": _QUALITY_SCORE_SQL,
     "lang_id_ngram": _LANG_ID_SQL,
     "doc_fingerprint": _DOC_FINGERPRINT_SQL,
+    "boilerplate_spans": _BOILERPLATE_SPANS_SQL,
+    "source_mixture_weights": _SOURCE_MIXTURE_SQL,
 }
