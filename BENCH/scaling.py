@@ -109,7 +109,11 @@ def run_level(cpus: int, src: str, out: str) -> dict:
 
 
 def main() -> None:
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
+    # default 2M rows: large enough that per-JVM fixed costs (startup,
+    # first-pass JIT) don't dominate a local[2] rep — 600k-row runs were
+    # observed to read 0.6-0.9 efficiency for the same code purely on
+    # host CPU-steal weather
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     # materialize the shared input once (deterministic generator)
     gen = subprocess.run(
         [

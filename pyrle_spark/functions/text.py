@@ -294,6 +294,65 @@ FROM agg
 """
 
 
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pass a training pipeline actually runs, as
+    ONE plan: exact-dedup keeper selection (md5 hash, min-doc_id keeper)
+    → quality gate (n_words ≥ 10, the quality_score 'junk' rule) →
+    per-source audit of what survived and why the rest dropped.
+
+    Scale shape: one keyed window (partitioned by the content hash — no
+    global window), then a single two-phase aggregation to O(#sources)
+    rows; Catalyst fuses the dedup flag, quality flag, and token count
+    into one pass over the scan."""
+    docs = _docs(spark, sf_dir)
+    n_words = F.size(_words(F.col("text")))
+    keep_id = F.min("doc_id").over(
+        W.partitionBy(F.md5(F.encode("text", "utf-8")))
+    )
+    flagged = docs.select(
+        "source",
+        n_words.alias("n_words"),
+        (F.col("doc_id") != keep_id).cast("int").alias("is_dup"),
+    ).select(
+        "source",
+        "n_words",
+        "is_dup",
+        ((F.col("is_dup") == 0) & (F.col("n_words") < 10)).cast("int").alias("is_junk"),
+        ((F.col("is_dup") == 0) & (F.col("n_words") >= 10)).cast("int").alias("is_kept"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("is_dup").alias("n_dup_dropped"),
+        F.sum("is_junk").alias("n_junk_dropped"),
+        F.sum("is_kept").alias("n_kept"),
+        F.sum(F.col("n_words") * F.col("is_kept")).alias("tokens_kept"),
+    )
+
+
+_CURATION_PIPELINE_SQL = r"""
+WITH flagged AS (
+  SELECT source,
+         len(string_split_regex(trim(text), '\s+')) AS n_words,
+         CASE WHEN doc_id != min(doc_id) OVER (PARTITION BY md5(text))
+              THEN 1 ELSE 0 END AS is_dup
+  FROM documents
+),
+marked AS (
+  SELECT source, n_words, is_dup,
+         CASE WHEN is_dup = 0 AND n_words < 10 THEN 1 ELSE 0 END AS is_junk,
+         CASE WHEN is_dup = 0 AND n_words >= 10 THEN 1 ELSE 0 END AS is_kept
+  FROM flagged
+)
+SELECT source,
+       count(*) AS n_total,
+       CAST(sum(is_dup) AS BIGINT) AS n_dup_dropped,
+       CAST(sum(is_junk) AS BIGINT) AS n_junk_dropped,
+       CAST(sum(is_kept) AS BIGINT) AS n_kept,
+       CAST(sum(n_words * is_kept) AS BIGINT) AS tokens_kept
+FROM marked GROUP BY source
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "token_count_bpe_ish": token_count_bpe_ish,
@@ -302,6 +361,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "boilerplate_spans": boilerplate_spans,
     "source_mixture_weights": source_mixture_weights,
+    "curation_pipeline": curation_pipeline,
 }
 
 ORACLE_SQL = {
@@ -312,4 +372,5 @@ ORACLE_SQL = {
     "doc_fingerprint": _DOC_FINGERPRINT_SQL,
     "boilerplate_spans": _BOILERPLATE_SPANS_SQL,
     "source_mixture_weights": _SOURCE_MIXTURE_SQL,
+    "curation_pipeline": _CURATION_PIPELINE_SQL,
 }
