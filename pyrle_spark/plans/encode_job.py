@@ -372,15 +372,25 @@ def _encode_pass_inner(
         )
     table = IceTable(out_dir)
     resumed_blocks = 0
+    prior_cols: set = set()
     if table.exists():
+        prior_cols = set(table.properties().get("columns", []))
         # Only COMPLETE blocks are resumable: a partial trailing block from
         # an earlier pass (input grew, or kill mid-range) must be re-encoded;
         # the new complete row supersedes it via max-n_rows dedup on read.
+        # A block counts as committed only when EVERY requested column is
+        # complete for it — so widening a table (re-running with extra
+        # columns) re-encodes exactly the blocks missing the new columns
+        # instead of silently skipping them, and resume stays exact when
+        # the column set changes between runs.
         committed = (
             table.read_table(spark)
             .filter(F.col("n_rows") == config.block_rows)
+            .filter(F.col("column").isin(cols))
+            .groupBy("block_id")
+            .agg(F.countDistinct("column").alias("_nc"))
+            .filter(F.col("_nc") == len(cols))
             .select("block_id")
-            .distinct()
         )
         base = base.join(
             committed,
@@ -420,7 +430,10 @@ def _encode_pass_inner(
             "kind": "encoded_blocks",
             "block_rows": config.block_rows,
             "order_col": config.order_col,
-            "columns": cols,
+            # union with any previously-encoded columns: a widen pass that
+            # encodes only the NEW columns must not shrink the column list
+            # the latest snapshot advertises to decode_table
+            "columns": sorted(set(cols) | set(prior_cols)),
             **config.properties,
         },
     )

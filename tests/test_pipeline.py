@@ -107,6 +107,41 @@ def test_resume_skips_committed_blocks(spark, webtext, tmp_path):
     assert s3["bytes_in"] == 0
 
 
+def test_widen_table_with_new_columns(spark, webtext, tmp_path):
+    """Column widening: a second pass that encodes extra columns into an
+    existing table re-encodes exactly the blocks missing them (per-column
+    resume), and the latest snapshot advertises the UNION of all encoded
+    columns so decode_table sees every column by default."""
+    out = str(tmp_path / "enc_widen")
+    s1 = encode_table(
+        spark, webtext, out, EncodeConfig(columns=["url"], block_rows=BLOCK)
+    )
+    assert s1["resumed_committed_blocks"] == 0
+    # widen with ONLY the new column: no block has lang yet → zero resumed
+    s2 = encode_table(
+        spark, webtext, out, EncodeConfig(columns=["lang"], block_rows=BLOCK)
+    )
+    assert s2["resumed_committed_blocks"] == 0
+    table = IceTable(out)
+    assert table.properties()["columns"] == ["lang", "url"]
+    dec = decode_table(spark, out)  # default columns = advertised union
+    assert set(dec.columns) == {"_order", "lang", "url"}
+    src = webtext.select(F.col("doc_seq").alias("_order"), "url", "lang")
+    joined = dec.alias("d").join(src.alias("s"), "_order", "full_outer")
+    assert (
+        joined.filter(
+            "(d.url IS DISTINCT FROM s.url) OR (d.lang IS DISTINCT FROM s.lang)"
+        ).count()
+        == 0
+    )
+    # a third pass over the full widened set resumes every block
+    s3 = encode_table(
+        spark, webtext, out, EncodeConfig(columns=["url", "lang"], block_rows=BLOCK)
+    )
+    assert s3["resumed_committed_blocks"] == N_ROWS // BLOCK
+    assert s3["bytes_in"] == 0
+
+
 def test_partial_block_superseded_on_resume(spark, webtext, tmp_path):
     """A partial trailing block from an earlier pass (input grew / killed
     mid-range) is NOT treated as committed; the complete re-encode
