@@ -44,6 +44,7 @@ def _encode_payload(codec: str, kind: str, payload):
             "delta": DeltaCodec.encode,
             "bitpack": BitpackCodec.encode,
             "bss": BssCodec.encode,
+            "dict": DictCodec.encode_fixed,
             "raw": RawCodec.encode_fixed,
         }
         if codec not in table:
@@ -68,6 +69,7 @@ def _decode_payload(codec: str, kind: str, meta: dict, buffers: dict):
             "delta": DeltaCodec.decode,
             "bitpack": BitpackCodec.decode,
             "bss": BssCodec.decode,
+            "dict": DictCodec.decode_fixed,
             "raw": RawCodec.decode_fixed,
         }
         return table[codec](meta, buffers)
@@ -200,6 +202,11 @@ def encode_payload_auto(
             forms.append(("raw+zstd", mrz, brz, True))
             mbz, bbz = ZstdCodec.wrap(meta_b, bufs_b)
             forms.append(("bss+zstd", mbz, bbz, True))
+            if 0 < stats["distinct_est"] < min(len(payload), 4096):
+                # repeated-but-runless floats (a price/level column):
+                # dictionary on bit patterns beats any transform+entropy
+                md, bd = _encode_payload("dict", kind, payload)
+                forms.append(("dict", md, bd, False))
             name, meta_w, bufs_w, zstd = min(forms, key=lambda f: _buffers_size(f[2]))
             pre = (name, meta_w, bufs_w)
             codec = name.split("+")[0]

@@ -105,6 +105,15 @@ class DictCodec:
 
     @staticmethod
     def encode_fixed(payload: np.ndarray):
+        orig_dtype = None
+        if payload.dtype.kind == "f":
+            # dictionary on the BIT PATTERNS, not the float values:
+            # np.unique would collapse distinct NaN payloads (and order
+            # -0.0/0.0 by value), breaking the bit-identical contract
+            orig_dtype = payload.dtype.str
+            payload = np.ascontiguousarray(payload).view(
+                np.uint32 if payload.dtype.itemsize == 4 else np.uint64
+            )
         uniques, codes = np.unique(payload, return_inverse=True)
         mode, cmeta, cbuf = _encode_codes(codes.astype(np.int64))
         meta = {
@@ -114,6 +123,8 @@ class DictCodec:
             "codes_meta": cmeta,
             "dict_dtype": uniques.dtype.str,
         }
+        if orig_dtype:
+            meta["orig_dtype"] = orig_dtype
         buffers = {"dict_data": np.ascontiguousarray(uniques).tobytes()}
         for k, v in cbuf.items():
             buffers[f"codes_{k}"] = v
@@ -126,4 +137,7 @@ class DictCodec:
         }
         codes = _decode_codes(meta["codes_mode"], meta["codes_meta"], cbuf)
         uniques = np.frombuffer(buffers["dict_data"], dtype=np.dtype(meta["dict_dtype"]))
-        return uniques[codes]
+        out = uniques[codes]
+        if "orig_dtype" in meta:
+            out = out.view(np.dtype(meta["orig_dtype"]))
+        return out

@@ -83,10 +83,22 @@ def choose_fixed(stats: dict, dtype_kind: str) -> str:
         delta_bits = stats.get("delta_bits", n * 64)
         # rle cost: runs need ~ (value width + run width) each
         rle_bits = stats["n_runs"] * 2 * max(for_bits // max(n, 1), 8)
+        # dict cost: dictionary entries at full width + codes at
+        # bit_length(n_dict).  distinct_est is a 4096-row sample; when
+        # the sample saturates (every sampled value distinct) treat the
+        # column as high-cardinality — the raw-size guard still protects
+        # against a rare under-sampled pick.
+        distinct = stats.get("distinct_est", n)
+        if distinct >= min(n, 4096) or distinct == 0:
+            dict_bits = float("inf")
+        else:
+            code_bits = max(int(distinct - 1).bit_length(), 1)
+            dict_bits = distinct * width_bits + n * code_bits
         best = min(
             ("rle", rle_bits) if run_ratio < 0.5 else ("rle", float("inf")),
             ("delta", delta_bits),
             ("for", for_bits),
+            ("dict", dict_bits),
             key=lambda kv: kv[1],
         )
         if best[1] < n * width_bits:

@@ -59,9 +59,33 @@ def _with_nulls(values, draw_nulls):
 def test_int_codecs_roundtrip(xs, data):
     nulls = data.draw(st.lists(st.booleans(), min_size=len(xs), max_size=len(xs)))
     arr = pa.array(_with_nulls(xs, nulls), type=pa.int64())
-    for codec in ["rle", "for", "delta", "raw"]:
+    for codec in ["rle", "for", "delta", "dict", "raw"]:
         roundtrip(encode_with(codec, arr), arr)
     roundtrip(encode_array(arr), arr)
+
+
+def test_fixed_dict_selected_for_low_cardinality_runless():
+    """Repeated-but-runless values over a huge range (user-id style):
+    neither rle (no runs) nor FoR (full range) helps — the selector must
+    pick dict, and the float path must dictionary the BIT PATTERNS so
+    distinct NaN payloads survive."""
+    rng = np.random.default_rng(11)
+    ids = rng.choice(rng.integers(0, 2**62, 300), 20000)
+    ei = encode_array(pa.array(ids))
+    assert ei.codec == "dict", ei.codec
+    assert ei.nbytes < len(ids) * 2
+    roundtrip(ei, pa.array(ids))
+    fv = rng.choice(rng.normal(0, 1, 200), 20000)
+    ef = encode_array(pa.array(fv))
+    assert ef.codec == "dict", ef.codec
+    roundtrip(ef, pa.array(fv))
+    bits = np.array(
+        [0x7FF8DEADBEEF0001, 0x7FF8000000000000, 0x8000000000000000] * 100,
+        dtype=np.uint64,
+    )
+    arr = pa.array(bits.view(np.float64))
+    out = decode_array(Encoded.from_row(encode_with("dict", arr).to_row()))
+    assert np.array_equal(np.asarray(out).view(np.uint64), bits)
 
 
 @settings(max_examples=MAX_EXAMPLES, deadline=None)
