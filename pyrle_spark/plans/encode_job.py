@@ -57,6 +57,7 @@ __all__ = [
     "decode_table",
     "prune_blocks",
     "prune_blocks_eq",
+    "prune_blocks_in",
     "scan_encoded",
     "verify_checksums",
 ]
@@ -636,6 +637,39 @@ def prune_blocks_eq(enc: DataFrame, column: str, value) -> DataFrame:
     )
 
 
+def prune_blocks_in(enc: DataFrame, column: str, values) -> DataFrame:
+    """Bloom-digest data skipping for IN-list predicates: block_ids whose
+    ``column`` digest may contain ANY of ``values`` (disjunction of the
+    per-value probes in one manifest pass).  Same conservative contract
+    as :func:`prune_blocks_eq`: missing digest or unsupported value type
+    keeps the block."""
+    probes = []
+    for v in values:
+        data = _bloom_value_bytes(v)
+        if data is None:  # unsupported type: cannot prune on this value
+            return enc.filter(F.col("column") == column).select("block_id").distinct()
+        probes.append(data)
+    if not probes or "bloom" not in enc.columns:
+        return enc.filter(F.col("column") == column).select("block_id").distinct()
+    any_probe = F.lit(False)
+    for data in probes:
+        probe = F.lit(True)
+        for pos in set(_bloom_positions(data)):
+            byte_hex = F.substring("bloom", 2 * (pos // 8) + 1, 2)
+            bit = F.conv(byte_hex, 16, 10).cast("int").bitwiseAND(
+                F.lit(1 << (pos % 8))
+            )
+            probe = probe & (bit != 0)
+        any_probe = any_probe | probe
+    keep = F.col("bloom").isNull() | any_probe
+    return (
+        enc.filter(F.col("column") == column)
+        .filter(keep)
+        .select("block_id")
+        .distinct()
+    )
+
+
 def scan_encoded(
     spark: SparkSession,
     table_dir: str,
@@ -647,14 +681,16 @@ def scan_encoded(
     pruning + residual filter, in one call.
 
     ``predicates``: list of ``(column, lo, hi)`` range/equality bounds
-    (None = unbounded on that side).  Blocks are decoded only if EVERY
-    predicate's zone can match (survivor sets intersect — conjunctive
-    pushdown, the SURVEY §4.1 "RLE-aware filter pushdown" done at the
-    application layer); an equality predicate (``lo == hi``) is
-    additionally pushed through the per-block bloom digests
-    (:func:`prune_blocks_eq`), which skip blocks the value never
-    touched even when it sits inside every block's zone range.  The
-    residual filter then enforces the exact predicate on the decoded
+    (None = unbounded on that side) or ``(column, values_list)`` IN-list
+    predicates.  Blocks are decoded only if EVERY predicate's zone can
+    match (survivor sets intersect — conjunctive pushdown, the SURVEY
+    §4.1 "RLE-aware filter pushdown" done at the application layer); an
+    equality predicate (``lo == hi``) is additionally pushed through the
+    per-block bloom digests (:func:`prune_blocks_eq`), and an IN-list
+    through the disjunctive probe (:func:`prune_blocks_in`) plus the
+    zone range [min(values), max(values)] — both skip blocks the values
+    never touched even when they sit inside every block's zone range.
+    The residual filter then enforces the exact predicate on the decoded
     rows, so results equal a full decode + filter while touching only
     surviving blocks.
     """
@@ -662,10 +698,24 @@ def scan_encoded(
     enc = table.read_table(spark, snapshot_id)
     blocks = None
     need_cols = set(columns or [])
-    for colname, lo, hi in predicates or []:
+    norm = []  # (colname, lo, hi, values_or_None)
+    for p in predicates or []:
+        if len(p) == 2:
+            colname, values = p
+            values = sorted(set(values))
+            norm.append((colname, min(values) if values else None,
+                         max(values) if values else None, values))
+        else:
+            colname, lo, hi = p
+            norm.append((colname, lo, hi, None))
+    for colname, lo, hi, values in norm:
         need_cols.add(colname) if columns else None
         surv = prune_blocks(enc, colname, lo, hi)
-        if lo is not None and lo == hi:
+        if values is not None:
+            surv = surv.join(
+                prune_blocks_in(enc, colname, values), "block_id", "inner"
+            )
+        elif lo is not None and lo == hi:
             surv = surv.join(
                 prune_blocks_eq(enc, colname, lo), "block_id", "inner"
             )
@@ -679,7 +729,10 @@ def scan_encoded(
         snapshot_id=snapshot_id,
         blocks=blocks,
     )
-    for colname, lo, hi in predicates or []:
+    for colname, lo, hi, values in norm:
+        if values is not None:
+            out = out.filter(F.col(colname).isin(values))
+            continue
         if lo is not None:
             out = out.filter(F.col(colname) >= lo)
         if hi is not None:

@@ -390,6 +390,42 @@ def test_bloom_prune_equality(spark, tmp_path):
     assert prune_blocks_eq(enc, "tag", "never-seen").count() == 0
 
 
+def test_in_list_bloom_pushdown(spark, tmp_path):
+    """IN-list predicates prune with the disjunctive bloom probe: blocks
+    containing ANY listed value survive, blocks containing none are
+    skipped, and scan_encoded's (column, values) form returns exactly
+    the full-decode-filter result."""
+    from pyrle_spark.plans.encode_job import prune_blocks_in, scan_encoded
+
+    out = str(tmp_path / "blin")
+    # rare markers live in disjoint blocks: "alpha" in block 2, "beta"
+    # in block 5; every block's zone spans the whole tag alphabet
+    df = spark.range(0, 40_960, 1, 4).select(
+        F.col("id").alias("doc_seq"),
+        F.when((F.col("id") % 4096 == 0) & (F.col("id") / 4096 == 2.0), F.lit("alpha"))
+        .when((F.col("id") % 4096 == 0) & (F.col("id") / 4096 == 5.0), F.lit("beta"))
+        .otherwise(F.concat(F.lit("tag"), (F.col("id") % 10).cast("string")))
+        .alias("tag"),
+    )
+    encode_table(spark, df, out, EncodeConfig(columns=["tag"], block_rows=4096))
+    enc = IceTable(out).read_table(spark)
+    live = sorted(
+        r["block_id"]
+        for r in prune_blocks_in(enc, "tag", ["alpha", "beta"]).collect()
+    )
+    assert live == [2, 5], live
+    assert prune_blocks_in(enc, "tag", ["nope-1", "nope-2"]).count() == 0
+    got = (
+        scan_encoded(spark, out, predicates=[("tag", ["alpha", "beta"])])
+        .select("_order", "tag")
+        .collect()
+    )
+    assert sorted((r["_order"], r["tag"]) for r in got) == [
+        (2 * 4096, "alpha"),
+        (5 * 4096, "beta"),
+    ]
+
+
 def test_scan_encoded_equality_bloom_pushdown(spark, tmp_path):
     """scan_encoded pushes equality predicates through the bloom digests
     AND the residual filter: exact results, fewer blocks decoded."""
