@@ -935,10 +935,48 @@ FROM documents WHERE lang = 'fr' GROUP BY source
 """
 
 
+def compressed_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-BY-count answered IN THE COMPRESSED DOMAIN: encode
+    documents.lang, then compute the histogram from each block's
+    dictionary + code counts (``plans.compressed.count_by_value``) —
+    no row is ever decoded.  The oracle is the plain row-level GROUP BY,
+    so equality proves the run/code bookkeeping is exact.
+
+    This is the distributed generalization of the reference's run-level
+    statistics (pyrle computes sum/mean over (runs, values) without
+    expanding positions, rle.py:931-959).  The global row_number only
+    shapes the tiny test input's order column, as in bloom_prune_eq_agg."""
+    import tempfile
+
+    from pyrle_spark.plans.compressed import count_by_value
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+
+    docs = load(spark, sf_dir, "documents")
+    ordered = docs.select(
+        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("_seq"), "lang"
+    )
+    out_dir = tempfile.mkdtemp(prefix="compressed_count_")
+    encode_table(
+        spark,
+        ordered,
+        out_dir,
+        EncodeConfig(columns=["lang"], order_col="_seq", block_rows=64),
+    )
+    return count_by_value(spark, out_dir, "lang").select(
+        F.col("value").alias("lang"), "n_rows"
+    )
+
+
+_COMPRESSED_COUNT_SQL = """
+SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang
+"""
+
+
 QUERIES = {
     "rle_encode_lang": rle_encode_lang,
     "zonemap_prune_agg": zonemap_prune_agg,
     "bloom_prune_eq_agg": bloom_prune_eq_agg,
+    "compressed_count_by_lang": compressed_count_by_lang,
     "numbers_only_events": numbers_only_events,
     "coverage_weighted": coverage_weighted,
     "lang_counts_salted": lang_counts_salted,
@@ -961,6 +999,7 @@ ORACLE_SQL = {
     "rle_encode_lang": _RLE_ENCODE_LANG_SQL,
     "zonemap_prune_agg": _ZONEMAP_PRUNE_AGG_SQL,
     "bloom_prune_eq_agg": _BLOOM_PRUNE_EQ_AGG_SQL,
+    "compressed_count_by_lang": _COMPRESSED_COUNT_SQL,
     "numbers_only_events": _NUMBERS_ONLY_SQL,
     "coverage_weighted": _COVERAGE_WEIGHTED_SQL,
     "lang_counts_salted": _LANG_COUNTS_SALTED_SQL,

@@ -1,0 +1,159 @@
+"""Compressed-domain aggregation: answer queries FROM the encoded blocks
+without materializing rows.
+
+The classic columnar-engine trick (and the natural generalization of the
+reference's run-level statistics — pyrle computes sum/mean directly over
+``(runs, values)`` pairs, /root/reference/pyrle/rle.py:931-959, never
+expanding to positions): a ``GROUP BY value COUNT(*)`` needs only each
+block's *dictionary + code counts* (dict codec), or its *runs grouped by
+value* (rle codec) — the expensive byte payload is never rebuilt.  Only
+codecs with no value structure (fsst / raw) fall back to decoding the
+single column.
+
+Scale shape: one ``mapInArrow`` pass over the blocks manifest emits
+O(distinct-per-block) partial rows; ONE shuffle aggregates
+O(#blocks × distinct) partials to the final histogram.  No row data is
+shuffled, and for dict/rle blocks no row data is even decoded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyrle_spark.codecs import Encoded
+from pyrle_spark.codecs.rawcodec import ZstdCodec
+from pyrle_spark.plans.encode_job import dedup_blocks, prune_blocks_in
+from pyrle_spark.sources.icetable import IceTable
+
+__all__ = ["count_by_value", "count_where_in"]
+
+_NULL_SENTINEL = None  # null slots aggregate into a NULL value row
+
+
+def _block_value_counts(enc: Encoded):
+    """(values: list, counts: np.ndarray, n_nulls: int) for one block —
+    via codes/runs when the codec allows, full single-column decode
+    otherwise."""
+    from pyrle_spark.codecs import decode_array
+    from pyrle_spark.codecs.dictionary import _decode_codes
+
+    meta, buffers = enc.meta, enc.buffers
+    codec = enc.codec
+    if codec.endswith("+zstd"):
+        codec = codec[: -len("+zstd")]
+        meta, buffers = ZstdCodec.unwrap(meta, buffers)
+    valid = None
+    n_nulls = 0
+    if meta.get("has_validity"):
+        valid = np.unpackbits(
+            np.frombuffer(buffers["validity"], dtype=np.uint8), count=enc.n_rows
+        ).astype(bool)
+        n_nulls = int((~valid).sum())
+    kind = meta["kind"]
+    if codec == "dict" and kind == "var":
+        cbuf = {
+            k[len("codes_") :]: v for k, v in buffers.items() if k.startswith("codes_")
+        }
+        codes = _decode_codes(meta["codes_mode"], meta["codes_meta"], cbuf)
+        if valid is not None:
+            codes = codes[valid]
+        counts = np.bincount(codes, minlength=meta["n_dict"])
+        from pyrle_spark.codecs.bitpack import DeltaCodec
+
+        dict_offsets = DeltaCodec.decode(
+            meta["dict_offsets_meta"], {"packed": buffers["dict_offsets"]}
+        )
+        dict_data = buffers["dict_data"]
+        values = [
+            bytes(dict_data[dict_offsets[i] : dict_offsets[i + 1]]).decode(
+                "utf-8", "surrogateescape"
+            )
+            for i in range(meta["n_dict"])
+        ]
+        keep = counts > 0
+        return (
+            [v for v, k in zip(values, keep) if k],
+            counts[keep],
+            n_nulls,
+        )
+    if codec == "rle" and kind == "fixed" and valid is None:
+        from pyrle_spark.codecs.rle_codec import RleCodec
+        from pyrle_spark.codecs.bitpack import ForCodec
+
+        runs = ForCodec.decode(meta["runs_meta"], {"packed": buffers["runs"]})
+        if meta["vals_mode"] == "for":
+            vals = ForCodec.decode(meta["vals_meta"], {"packed": buffers["values"]})
+        else:
+            vals = np.frombuffer(
+                buffers["values"], dtype=np.dtype(meta["vals_meta"]["dtype"])
+            )
+        uniq, inv = np.unique(vals, return_inverse=True)
+        counts = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(counts, inv, runs.astype(np.int64))
+        return [x.item() for x in uniq], counts, 0
+    # fallback: decode the one column and count exactly
+    arr = decode_array(enc)
+    vc = arr.drop_null().value_counts()
+    values = vc.field("values").to_pylist()
+    counts = np.asarray(vc.field("counts"))
+    return values, counts, arr.null_count
+
+
+def count_by_value(
+    spark: SparkSession,
+    table_dir: str,
+    column: str,
+    snapshot_id: str | None = None,
+    blocks: DataFrame | None = None,
+) -> DataFrame:
+    """``SELECT column, count(*) GROUP BY column`` computed from the
+    encoded blocks.  Returns (value string, n_rows long); null slots
+    aggregate into a NULL value row.  ``blocks``: optional survivor
+    list (from the prune family) to restrict the scan."""
+    table = IceTable(table_dir)
+    enc = table.read_table(spark, snapshot_id).filter(F.col("column") == column)
+    if blocks is not None:
+        enc = enc.join(
+            F.broadcast(blocks.select("block_id").distinct()), "block_id", "left_semi"
+        )
+    enc = dedup_blocks(enc)
+
+    def _partials(batches):
+        for batch in batches:
+            out_v: list = []
+            out_n: list = []
+            for row in batch.to_pylist():
+                e = Encoded.from_row(row)
+                values, counts, n_nulls = _block_value_counts(e)
+                out_v.extend(str(v) for v in values)
+                out_n.extend(int(c) for c in counts)
+                if n_nulls:
+                    out_v.append(None)
+                    out_n.append(n_nulls)
+            yield pa.RecordBatch.from_pydict(
+                {"value": out_v, "n_rows": out_n},
+                schema=pa.schema([("value", pa.string()), ("n_rows", pa.int64())]),
+            )
+
+    partial = enc.mapInArrow(_partials, "value string, n_rows long")
+    return partial.groupBy("value").agg(F.sum("n_rows").alias("n_rows"))
+
+
+def count_where_in(
+    spark: SparkSession,
+    table_dir: str,
+    column: str,
+    values: list,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """Counts for specific values only: bloom-digest block pruning first
+    (blocks none of the values touched never leave the manifest), then
+    the compressed-domain count restricted to the survivors."""
+    table = IceTable(table_dir)
+    enc = table.read_table(spark, snapshot_id)
+    live = prune_blocks_in(enc, column, values)
+    hist = count_by_value(spark, table_dir, column, snapshot_id, blocks=live)
+    return hist.filter(F.col("value").isin([str(v) for v in values]))

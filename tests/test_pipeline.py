@@ -390,6 +390,52 @@ def test_bloom_prune_equality(spark, tmp_path):
     assert prune_blocks_eq(enc, "tag", "never-seen").count() == 0
 
 
+def test_compressed_domain_counts(spark, tmp_path):
+    """count_by_value answers GROUP BY count from the encoded blocks —
+    dict codes (strings), rle runs (runny ints), the full-decode
+    fallback (high-entropy strings), and nulls — all matching the
+    row-level answer exactly."""
+    from pyrle_spark.plans.compressed import count_by_value, count_where_in
+
+    out = str(tmp_path / "cdom")
+    df = spark.range(0, 8192, 1, 4).select(
+        F.col("id").alias("doc_seq"),
+        # low-cardinality strings → dict codec; nulls every 100th row
+        F.when(F.col("id") % 100 == 0, None)
+        .otherwise(F.concat(F.lit("t"), (F.col("id") % 7).cast("string")))
+        .alias("tag"),
+        # long runs → rle codec
+        (F.col("id") / 1000).cast("long").alias("bucket"),
+        # high-entropy strings → fsst/raw fallback path
+        F.sha1(F.col("id").cast("string")).alias("h"),
+    )
+    encode_table(
+        spark, df, out, EncodeConfig(columns=["tag", "bucket", "h"], block_rows=1024)
+    )
+    for col in ["tag", "bucket", "h"]:
+        got = {
+            r["value"]: r["n_rows"]
+            for r in count_by_value(spark, out, col).collect()
+        }
+        exp = {
+            (str(r[col]) if r[col] is not None else None): r["cnt"]
+            for r in df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        assert got == exp, (col, got, exp)
+    got_in = {
+        r["value"]: r["n_rows"]
+        for r in count_where_in(spark, out, "tag", ["t3", "t5"]).collect()
+    }
+    exp_in = {
+        r["tag"]: r["cnt"]
+        for r in df.filter(F.col("tag").isin("t3", "t5"))
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got_in == exp_in
+
+
 def test_in_list_bloom_pushdown(spark, tmp_path):
     """IN-list predicates prune with the disjunctive bloom probe: blocks
     containing ANY listed value survive, blocks containing none are
