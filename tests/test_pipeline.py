@@ -390,6 +390,22 @@ def test_bloom_prune_equality(spark, tmp_path):
     assert prune_blocks_eq(enc, "tag", "never-seen").count() == 0
 
 
+def test_time_travel_decode_old_snapshot(spark, webtext, tmp_path):
+    """Snapshot time travel: decode_table at an older snapshot id sees
+    exactly the blocks that existed then; the current snapshot sees the
+    resumed append on top."""
+    out = str(tmp_path / "tt")
+    half = webtext.filter(F.col("doc_seq") < N_ROWS // 2)
+    encode_table(spark, half, out, EncodeConfig(columns=["lang"], block_rows=BLOCK))
+    encode_table(spark, webtext, out, EncodeConfig(columns=["lang"], block_rows=BLOCK))
+    snaps = IceTable(out).snapshots()
+    assert len(snaps) == 2
+    old_id, new_id = snaps[0]["id"], snaps[1]["id"]
+    assert decode_table(spark, out, snapshot_id=old_id).count() == N_ROWS // 2
+    assert decode_table(spark, out, snapshot_id=new_id).count() == N_ROWS
+    assert decode_table(spark, out).count() == N_ROWS
+
+
 def test_compressed_domain_counts(spark, tmp_path):
     """count_by_value answers GROUP BY count from the encoded blocks —
     dict codes (strings), rle runs (runny ints), the full-decode
