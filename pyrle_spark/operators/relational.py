@@ -972,11 +972,46 @@ SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang
 """
 
 
+def compressed_stats_n_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count/sum/min/max of documents.n_chars computed from the encoded
+    blocks (``plans.compressed.numeric_stats``): rle blocks fold
+    runs×values without expanding, other codecs decode only the one
+    payload array.  Float64 accumulation is exact here (int sums well
+    under 2^53), so the row-level oracle matches bit-for-bit."""
+    import tempfile
+
+    from pyrle_spark.plans.compressed import numeric_stats
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+
+    docs = load(spark, sf_dir, "documents")
+    ordered = docs.select(
+        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("_seq"), "n_chars"
+    )
+    out_dir = tempfile.mkdtemp(prefix="compressed_stats_")
+    encode_table(
+        spark,
+        ordered,
+        out_dir,
+        EncodeConfig(columns=["n_chars"], order_col="_seq", block_rows=64),
+    )
+    return numeric_stats(spark, out_dir, "n_chars")
+
+
+_COMPRESSED_STATS_SQL = """
+SELECT count(n_chars) AS n_rows,
+       CAST(sum(n_chars) AS DOUBLE) AS sum_value,
+       CAST(min(n_chars) AS DOUBLE) AS min_value,
+       CAST(max(n_chars) AS DOUBLE) AS max_value
+FROM documents
+"""
+
+
 QUERIES = {
     "rle_encode_lang": rle_encode_lang,
     "zonemap_prune_agg": zonemap_prune_agg,
     "bloom_prune_eq_agg": bloom_prune_eq_agg,
     "compressed_count_by_lang": compressed_count_by_lang,
+    "compressed_stats_n_chars": compressed_stats_n_chars,
     "numbers_only_events": numbers_only_events,
     "coverage_weighted": coverage_weighted,
     "lang_counts_salted": lang_counts_salted,
@@ -1000,6 +1035,7 @@ ORACLE_SQL = {
     "zonemap_prune_agg": _ZONEMAP_PRUNE_AGG_SQL,
     "bloom_prune_eq_agg": _BLOOM_PRUNE_EQ_AGG_SQL,
     "compressed_count_by_lang": _COMPRESSED_COUNT_SQL,
+    "compressed_stats_n_chars": _COMPRESSED_STATS_SQL,
     "numbers_only_events": _NUMBERS_ONLY_SQL,
     "coverage_weighted": _COVERAGE_WEIGHTED_SQL,
     "lang_counts_salted": _LANG_COUNTS_SALTED_SQL,

@@ -28,7 +28,7 @@ from pyrle_spark.codecs.rawcodec import ZstdCodec
 from pyrle_spark.plans.encode_job import dedup_blocks, prune_blocks_in
 from pyrle_spark.sources.icetable import IceTable
 
-__all__ = ["count_by_value", "count_where_in"]
+__all__ = ["count_by_value", "count_where_in", "numeric_stats"]
 
 _NULL_SENTINEL = None  # null slots aggregate into a NULL value row
 
@@ -140,6 +140,93 @@ def count_by_value(
 
     partial = enc.mapInArrow(_partials, "value string, n_rows long")
     return partial.groupBy("value").agg(F.sum("n_rows").alias("n_rows"))
+
+
+def _block_numeric_stats(enc: Encoded):
+    """(n, total, vmin, vmax) for one numeric block.  rle blocks fold
+    runs×values without expansion (the reference's own run-level sum,
+    rle.py:931-944, distributed); other fixed codecs decode the single
+    payload array — never any other column."""
+    from pyrle_spark.codecs import decode_array
+
+    meta = enc.meta
+    codec = enc.codec
+    if (
+        codec == "rle"
+        and meta.get("kind") == "fixed"
+        and not meta.get("has_validity")
+    ):
+        from pyrle_spark.codecs.bitpack import ForCodec
+
+        buffers = enc.buffers
+        runs = ForCodec.decode(meta["runs_meta"], {"packed": buffers["runs"]})
+        if meta["vals_mode"] == "for":
+            vals = ForCodec.decode(meta["vals_meta"], {"packed": buffers["values"]})
+        else:
+            vals = np.frombuffer(
+                buffers["values"], dtype=np.dtype(meta["vals_meta"]["dtype"])
+            )
+        if len(vals) == 0:
+            return 0, 0.0, None, None
+        total = float(np.sum(runs.astype(np.float64) * vals.astype(np.float64)))
+        return int(runs.sum()), total, float(vals.min()), float(vals.max())
+    arr = decode_array(enc)
+    a = np.asarray(arr.drop_null(), dtype=np.float64)
+    if len(a) == 0:
+        return 0, 0.0, None, None
+    return len(a), float(a.sum()), float(a.min()), float(a.max())
+
+
+def numeric_stats(
+    spark: SparkSession,
+    table_dir: str,
+    column: str,
+    snapshot_id: str | None = None,
+    blocks: DataFrame | None = None,
+) -> DataFrame:
+    """``SELECT count, sum, min, max`` of a numeric column from the
+    encoded blocks — one row out.  rle blocks never expand their runs;
+    everything else decodes only the one column's payload.  Nulls are
+    excluded (SQL aggregate semantics).
+
+    Note: ``sum`` accumulates in float64 per block then across blocks —
+    exact for int payloads up to 2^53 per the usual float-sum caveat."""
+    table = IceTable(table_dir)
+    enc = table.read_table(spark, snapshot_id).filter(F.col("column") == column)
+    if blocks is not None:
+        enc = enc.join(
+            F.broadcast(blocks.select("block_id").distinct()), "block_id", "left_semi"
+        )
+    enc = dedup_blocks(enc)
+
+    def _partials(batches):
+        for batch in batches:
+            rows = {"n": [], "total": [], "vmin": [], "vmax": []}
+            for row in batch.to_pylist():
+                n, total, vmin, vmax = _block_numeric_stats(Encoded.from_row(row))
+                rows["n"].append(n)
+                rows["total"].append(total)
+                rows["vmin"].append(vmin)
+                rows["vmax"].append(vmax)
+            yield pa.RecordBatch.from_pydict(
+                rows,
+                schema=pa.schema(
+                    [
+                        ("n", pa.int64()),
+                        ("total", pa.float64()),
+                        ("vmin", pa.float64()),
+                        ("vmax", pa.float64()),
+                    ]
+                ),
+            )
+
+    partial = enc.mapInArrow(_partials, "n long, total double, vmin double, vmax double")
+    return partial.agg(
+        F.sum("n").alias("n_rows"),
+        F.sum("total").alias("sum_value"),
+        F.min("vmin").alias("min_value"),
+        F.max("vmax").alias("max_value"),
+    )
 
 
 def count_where_in(

@@ -450,6 +450,19 @@ def test_compressed_domain_counts(spark, tmp_path):
         .collect()
     }
     assert got_in == exp_in
+    # numeric stats: the runny column folds runs×values without expanding
+    from pyrle_spark.plans.compressed import numeric_stats
+
+    row = numeric_stats(spark, out, "bucket").collect()[0]
+    exp_row = df.agg(
+        F.count("bucket"), F.sum("bucket"), F.min("bucket"), F.max("bucket")
+    ).collect()[0]
+    assert (row["n_rows"], row["sum_value"], row["min_value"], row["max_value"]) == (
+        exp_row[0],
+        float(exp_row[1]),
+        float(exp_row[2]),
+        float(exp_row[3]),
+    )
 
 
 def test_in_list_bloom_pushdown(spark, tmp_path):
