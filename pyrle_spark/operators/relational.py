@@ -1006,12 +1006,48 @@ FROM documents
 """
 
 
+def compressed_sum_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY lang SUM(n_chars) answered with the group column held in
+    the compressed domain: dict blocks aggregate over their code stream
+    (one np.add.at scatter per block), the measure decodes only its own
+    payload (``plans.compressed.sum_by_value``).  Row-level GROUP BY is
+    the oracle; int sums stay exact in float64 at this scale."""
+    import tempfile
+
+    from pyrle_spark.plans.compressed import sum_by_value
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+
+    docs = load(spark, sf_dir, "documents")
+    ordered = docs.select(
+        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("_seq"),
+        "lang",
+        "n_chars",
+    )
+    out_dir = tempfile.mkdtemp(prefix="compressed_sum_")
+    encode_table(
+        spark,
+        ordered,
+        out_dir,
+        EncodeConfig(columns=["lang", "n_chars"], order_col="_seq", block_rows=64),
+    )
+    return sum_by_value(spark, out_dir, "lang", "n_chars").select(
+        F.col("value").alias("lang"), "n_rows", "sum_value"
+    )
+
+
+_COMPRESSED_SUM_SQL = """
+SELECT lang, count(*) AS n_rows, CAST(sum(n_chars) AS DOUBLE) AS sum_value
+FROM documents GROUP BY lang
+"""
+
+
 QUERIES = {
     "rle_encode_lang": rle_encode_lang,
     "zonemap_prune_agg": zonemap_prune_agg,
     "bloom_prune_eq_agg": bloom_prune_eq_agg,
     "compressed_count_by_lang": compressed_count_by_lang,
     "compressed_stats_n_chars": compressed_stats_n_chars,
+    "compressed_sum_by_lang": compressed_sum_by_lang,
     "numbers_only_events": numbers_only_events,
     "coverage_weighted": coverage_weighted,
     "lang_counts_salted": lang_counts_salted,
@@ -1036,6 +1072,7 @@ ORACLE_SQL = {
     "bloom_prune_eq_agg": _BLOOM_PRUNE_EQ_AGG_SQL,
     "compressed_count_by_lang": _COMPRESSED_COUNT_SQL,
     "compressed_stats_n_chars": _COMPRESSED_STATS_SQL,
+    "compressed_sum_by_lang": _COMPRESSED_SUM_SQL,
     "numbers_only_events": _NUMBERS_ONLY_SQL,
     "coverage_weighted": _COVERAGE_WEIGHTED_SQL,
     "lang_counts_salted": _LANG_COUNTS_SALTED_SQL,

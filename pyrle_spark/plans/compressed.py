@@ -28,7 +28,7 @@ from pyrle_spark.codecs.rawcodec import ZstdCodec
 from pyrle_spark.plans.encode_job import dedup_blocks, prune_blocks_in
 from pyrle_spark.sources.icetable import IceTable
 
-__all__ = ["count_by_value", "count_where_in", "numeric_stats"]
+__all__ = ["count_by_value", "count_where_in", "numeric_stats", "sum_by_value"]
 
 _NULL_SENTINEL = None  # null slots aggregate into a NULL value row
 
@@ -226,6 +226,160 @@ def numeric_stats(
         F.sum("total").alias("sum_value"),
         F.min("vmin").alias("min_value"),
         F.max("vmax").alias("max_value"),
+    )
+
+
+def _dict_codes_and_values(enc: Encoded):
+    """(codes int array, values list, valid bool array | None) of a
+    var-width dict block — the group column never materializes rows."""
+    from pyrle_spark.codecs.bitpack import DeltaCodec
+    from pyrle_spark.codecs.dictionary import _decode_codes
+
+    meta, buffers = enc.meta, enc.buffers
+    codec = enc.codec
+    if codec.endswith("+zstd"):
+        codec = codec[: -len("+zstd")]
+        meta, buffers = ZstdCodec.unwrap(meta, buffers)
+    if codec != "dict" or meta["kind"] != "var":
+        return None
+    cbuf = {
+        k[len("codes_") :]: v for k, v in buffers.items() if k.startswith("codes_")
+    }
+    codes = _decode_codes(meta["codes_mode"], meta["codes_meta"], cbuf)
+    dict_offsets = DeltaCodec.decode(
+        meta["dict_offsets_meta"], {"packed": buffers["dict_offsets"]}
+    )
+    dict_data = buffers["dict_data"]
+    values = [
+        bytes(dict_data[dict_offsets[i] : dict_offsets[i + 1]]).decode(
+            "utf-8", "surrogateescape"
+        )
+        for i in range(meta["n_dict"])
+    ]
+    valid = None
+    if meta.get("has_validity"):
+        valid = np.unpackbits(
+            np.frombuffer(buffers["validity"], dtype=np.uint8), count=enc.n_rows
+        ).astype(bool)
+    return codes, values, valid
+
+
+def sum_by_value(
+    spark: SparkSession,
+    table_dir: str,
+    group_col: str,
+    measure_col: str,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """``SELECT group_col, count(*), sum(measure_col) GROUP BY group_col``
+    from the encoded blocks: the group column stays in the compressed
+    domain (dict blocks aggregate over their CODE stream via
+    ``np.add.at`` — one int-indexed scatter per block; non-dict blocks
+    decode the one column), the measure column decodes only its own
+    payload array; rows with a NULL group or measure are excluded (SQL
+    aggregate semantics, NULL groups dropped).
+
+    Scale shape: both columns' block rows co-locate with one hash
+    shuffle on block_id (same layout as decode_table), each block emits
+    O(distinct-in-block) partials, and one tiny aggregation merges them.
+    No full-width row is ever built.
+    """
+    from pyrle_spark.codecs import decode_array
+
+    table = IceTable(table_dir)
+    enc = table.read_table(spark, snapshot_id).filter(
+        F.col("column").isin([group_col, measure_col])
+    )
+    enc = dedup_blocks(enc)
+    enc = enc.repartition("block_id").sortWithinPartitions("block_id", "column")
+
+    def _partials(batches):
+        pending: dict = {}
+
+        def flush(cols):
+            g = cols.get(group_col)
+            m = cols.get(measure_col)
+            if g is None or m is None:
+                return None
+            marr = decode_array(m)
+            mvalid = np.asarray(marr.is_valid()) if marr.null_count else None
+            mvals = np.asarray(
+                marr.fill_null(0).cast(pa.float64()), dtype=np.float64
+            )
+            packed = _dict_codes_and_values(g)
+            if packed is not None:
+                codes, values, gvalid = packed
+                mask = np.ones(len(codes), dtype=bool)
+                if gvalid is not None:
+                    mask &= gvalid
+                if mvalid is not None:
+                    mask &= mvalid
+                idx = codes[mask]
+                w = mvals[mask]
+                sums = np.zeros(len(values))
+                cnts = np.zeros(len(values), dtype=np.int64)
+                np.add.at(sums, idx, w)
+                np.add.at(cnts, idx, 1)
+                keep = cnts > 0
+                return (
+                    [v for v, k in zip(values, keep) if k],
+                    cnts[keep],
+                    sums[keep],
+                )
+            garr = decode_array(g)
+            keys = garr.to_pylist()
+            agg: dict = {}
+            for i, k in enumerate(keys):
+                if k is None or (mvalid is not None and not mvalid[i]):
+                    continue
+                c, s = agg.get(k, (0, 0.0))
+                agg[k] = (c + 1, s + mvals[i])
+            vals = sorted(agg)
+            return (
+                [str(v) for v in vals],
+                np.array([agg[v][0] for v in vals], dtype=np.int64),
+                np.array([agg[v][1] for v in vals]),
+            )
+
+        def emit(res):
+            if res is None:
+                return None
+            values, cnts, sums = res
+            return pa.RecordBatch.from_pydict(
+                {
+                    "value": [str(v) for v in values],
+                    "n_rows": [int(c) for c in cnts],
+                    "total": [float(s) for s in sums],
+                },
+                schema=pa.schema(
+                    [
+                        ("value", pa.string()),
+                        ("n_rows", pa.int64()),
+                        ("total", pa.float64()),
+                    ]
+                ),
+            )
+
+        cur_bid = None
+        for batch in batches:
+            for row in batch.to_pylist():
+                bid = row["block_id"]
+                if bid != cur_bid:
+                    if cur_bid is not None:
+                        out = emit(flush(pending))
+                        if out is not None:
+                            yield out
+                    cur_bid = bid
+                    pending = {}
+                pending[row["column"]] = Encoded.from_row(row)
+        if cur_bid is not None:
+            out = emit(flush(pending))
+            if out is not None:
+                yield out
+
+    partial = enc.mapInArrow(_partials, "value string, n_rows long, total double")
+    return partial.groupBy("value").agg(
+        F.sum("n_rows").alias("n_rows"), F.sum("total").alias("sum_value")
     )
 
 

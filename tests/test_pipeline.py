@@ -463,6 +463,25 @@ def test_compressed_domain_counts(spark, tmp_path):
         float(exp_row[2]),
         float(exp_row[3]),
     )
+    # grouped sum: dict group column (with NULL groups) x numeric measure
+    from pyrle_spark.plans.compressed import sum_by_value
+
+    got_sum = {
+        r["value"]: (r["n_rows"], r["sum_value"])
+        for r in sum_by_value(spark, out, "tag", "bucket").collect()
+    }
+    exp_sum = {
+        r["tag"]: (r["cnt"], float(r["s"]))
+        for r in df.filter(F.col("tag").isNotNull())
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("bucket").alias("s"))
+        .collect()
+    }
+    assert got_sum == exp_sum
+    # non-dict group column (high-entropy h falls back to single-column decode)
+    got_h = sum_by_value(spark, out, "h", "bucket")
+    assert got_h.count() == 8192
+    assert got_h.agg(F.sum("n_rows")).collect()[0][0] == 8192
 
 
 def test_in_list_bloom_pushdown(spark, tmp_path):
