@@ -326,38 +326,27 @@ def rle_add_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("run_len").isNotNull())
 
 
-def rle_eq_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ``==`` comparison operator as a relational plan (Rle.__eq__,
-    rle.py:248-276): boundary-union + as-of fill both sides, emit a
-    0/1-valued step function, then defragment — merge adjacent runs with
-    equal values (the §1.3-2 invariant the reference's constructor
-    enforces on comparison output).
+def _island_compress(stepped: DataFrame, val: str) -> DataFrame:
+    """Defragment a contiguously-tiling step table — merge adjacent runs
+    with equal ``val`` — WITHOUT a global prefix-sum over the data.
 
-    Scale shape: the step rows TILE the covered range contiguously
-    (each run ends where the next begins), so an island's length is
-    simply ``next island start − island start``.  Defragment therefore
-    needs no global prefix-sum of island ids: compress islands
-    per-bucket (bucket-partitioned windows, no aggregation), then merge
-    across bucket edges with one tiny window over the island rows —
-    whose count is O(output + #buckets), not O(data)."""
-    cov = coverage_events(spark, sf_dir)
-    filled = _bucketed_fill(cov)
+    Input: ``(bkt, pos, run_len, <val>)`` rows that tile the covered
+    range (each run ends where the next begins).  An island's length is
+    then simply ``next island start − island start``, so islands are
+    compressed per-bucket (bucket-partitioned windows, no aggregation)
+    and merged across bucket edges with one tiny window over the island
+    rows — whose count is O(output + #buckets), not O(data).  Output:
+    ``(start_pos, run_len, <val>)``."""
     wb = W.partitionBy("bkt").orderBy("pos")
-    stepped = filled.select(
-        "bkt",
-        "pos",
-        (F.col("next_pos") - F.col("pos")).alias("run_len"),
-        F.when(F.col("af") == F.col("bf"), F.lit(1.0)).otherwise(0.0).alias("eq"),
-    ).filter(F.col("run_len").isNotNull())
     # per-bucket island compress: keep only change rows; an island runs to
     # the next change row, or to the bucket's end (= max pos+run_len)
     wbf = wb.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     flagged = stepped.select(
         "bkt",
         "pos",
-        "eq",
+        val,
         F.when(
-            F.coalesce(F.lag("eq").over(wb), F.lit(-1.0)) != F.col("eq"), 1
+            F.coalesce(F.lag(val).over(wb), F.lit(-1e308)) != F.col(val), 1
         )
         .otherwise(0)
         .alias("chg"),
@@ -366,7 +355,7 @@ def rle_eq_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     islands = flagged.filter(F.col("chg") == 1).select(
         "bkt",
         "pos",
-        "eq",
+        val,
         (
             F.coalesce(F.lead("pos").over(wb), F.col("bkt_end")) - F.col("pos")
         ).alias("run_len"),
@@ -379,9 +368,9 @@ def rle_eq_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = islands.select(
         "bkt",
         "pos",
-        "eq",
+        val,
         F.when(
-            F.coalesce(F.lag("eq").over(wg), F.lit(-1.0)) != F.col("eq"), 1
+            F.coalesce(F.lag(val).over(wg), F.lit(-1e308)) != F.col(val), 1
         )
         .otherwise(0)
         .alias("chg"),
@@ -392,7 +381,60 @@ def rle_eq_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.lead("pos").over(wg), F.col("g_end")) - F.col("pos")).alias(
             "run_len"
         ),
-        F.col("eq").alias("eq_value"),
+        val,
+    )
+
+
+def rle_eq_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``==`` comparison operator as a relational plan (Rle.__eq__,
+    rle.py:248-276): boundary-union + as-of fill both sides, emit a
+    0/1-valued step function, then defragment — merge adjacent runs with
+    equal values (the §1.3-2 invariant the reference's constructor
+    enforces on comparison output).  Defragment is the bucket-partitioned
+    island compress of :func:`_island_compress` — no window ever sees the
+    whole table in one partition."""
+    cov = coverage_events(spark, sf_dir)
+    filled = _bucketed_fill(cov)
+    stepped = filled.select(
+        "bkt",
+        "pos",
+        (F.col("next_pos") - F.col("pos")).alias("run_len"),
+        F.when(F.col("af") == F.col("bf"), F.lit(1.0)).otherwise(0.0).alias("eq"),
+    ).filter(F.col("run_len").isNotNull())
+    return _island_compress(stepped, "eq").select(
+        "start_pos", "run_len", F.col("eq").alias("eq_value")
+    )
+
+
+def rle_cmp_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered-comparison family ``< <= > >= !=`` as one relational
+    plan (rle.py:342-466,502-522: subtract, threshold, defragment).
+
+    All five comparisons are functions of ``sign(a − b)``, so the plan
+    computes the sign step function once, defragments it (same
+    bucket-partitioned island compress as ``rle_eq_step``), and projects
+    the five 0/1 Rle value columns off the merged sign runs.  Sides are
+    zero-extended (not NaN): the as-of fill already defaults missing
+    coverage to 0 (rle.py:17-31)."""
+    cov = coverage_events(spark, sf_dir)
+    filled = _bucketed_fill(cov)
+    stepped = filled.select(
+        "bkt",
+        "pos",
+        (F.col("next_pos") - F.col("pos")).alias("run_len"),
+        F.signum(F.col("af") - F.col("bf")).alias("s"),
+    ).filter(F.col("run_len").isNotNull())
+    runs = _island_compress(stepped, "s")
+    z = F.lit(0.0)
+    o = F.lit(1.0)
+    return runs.select(
+        "start_pos",
+        "run_len",
+        F.when(F.col("s") < 0, o).otherwise(z).alias("lt_value"),
+        F.when(F.col("s") <= 0, o).otherwise(z).alias("le_value"),
+        F.when(F.col("s") > 0, o).otherwise(z).alias("gt_value"),
+        F.when(F.col("s") >= 0, o).otherwise(z).alias("ge_value"),
+        F.when(F.col("s") != 0, o).otherwise(z).alias("ne_value"),
     )
 
 
@@ -430,6 +472,52 @@ grps AS (
 SELECT min(pos) AS start_pos, CAST(sum(run_len) AS BIGINT) AS run_len,
        first(eq ORDER BY pos) AS eq_value
 FROM grps GROUP BY grp
+"""
+
+
+_RLE_CMP_STEP_SQL = f"""
+WITH cov AS ({_COVERAGE_EVENTS_SQL}),
+a AS (SELECT start_pos AS pos, cov_value AS av FROM cov WHERE event_type = 'click'),
+b AS (SELECT start_pos AS pos, cov_value AS bv FROM cov WHERE event_type = 'view'),
+joined AS (
+  SELECT coalesce(a.pos, b.pos) AS pos, a.av, b.bv
+  FROM a FULL OUTER JOIN b ON a.pos = b.pos
+),
+filled AS (
+  SELECT pos,
+         coalesce(last_value(av IGNORE NULLS) OVER (ORDER BY pos), 0) AS af,
+         coalesce(last_value(bv IGNORE NULLS) OVER (ORDER BY pos), 0) AS bf
+  FROM joined
+),
+stepped AS (
+  SELECT pos,
+         lead(pos) OVER (ORDER BY pos) - pos AS run_len,
+         sign(af - bf) AS s
+  FROM filled QUALIFY run_len IS NOT NULL
+),
+flagged AS (
+  SELECT pos, run_len, s,
+         CASE WHEN coalesce(lag(s) OVER (ORDER BY pos), -1e308) != s
+              THEN 1 ELSE 0 END AS chg
+  FROM stepped
+),
+grps AS (
+  SELECT pos, run_len, s,
+         sum(chg) OVER (ORDER BY pos) AS grp
+  FROM flagged
+),
+runs AS (
+  SELECT min(pos) AS start_pos, CAST(sum(run_len) AS BIGINT) AS run_len,
+         first(s ORDER BY pos) AS s
+  FROM grps GROUP BY grp
+)
+SELECT start_pos, run_len,
+       CASE WHEN s < 0  THEN 1.0 ELSE 0.0 END AS lt_value,
+       CASE WHEN s <= 0 THEN 1.0 ELSE 0.0 END AS le_value,
+       CASE WHEN s > 0  THEN 1.0 ELSE 0.0 END AS gt_value,
+       CASE WHEN s >= 0 THEN 1.0 ELSE 0.0 END AS ge_value,
+       CASE WHEN s != 0 THEN 1.0 ELSE 0.0 END AS ne_value
+FROM runs
 """
 
 
@@ -1041,6 +1129,283 @@ FROM documents GROUP BY lang
 """
 
 
+# ----------------------------------------------- §2 oracle widening (round 2)
+# Each query below upgrades a SURVEY §2 cell from "pytest green" to
+# driver-oracle-verified: apply_values (§2.2), slice + point lookup
+# (§2.10), std quirk (§2.5), left shift (§2.6), natural sort (§2.7),
+# add_pseudocounts (§2.2), make_strands_same_length (§2.10).
+
+
+def apply_values_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``apply_values`` (rle.py:747-802) relationally: map every run
+    value through f(v) = floor(sqrt(v)) — deliberately non-injective so
+    the post-map defragment (the ``defragment=True`` default) actually
+    merges newly-adjacent equal runs.  Windows stay partitioned by
+    event_type; coverage values are >= 0 by construction."""
+    cov = coverage_events(spark, sf_dir).select(
+        "event_type",
+        "start_pos",
+        F.floor(F.sqrt(F.col("cov_value"))).cast("double").alias("v"),
+        "run_len",
+    )
+    w = W.partitionBy("event_type").orderBy("start_pos")
+    marked = cov.select(
+        "event_type",
+        "start_pos",
+        "v",
+        "run_len",
+        F.when(
+            F.lag("v").over(w).isNull() | (F.lag("v").over(w) != F.col("v")), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    grp = marked.withColumn("grp", F.sum("chg").over(w))
+    return (
+        grp.groupBy("event_type", "grp")
+        .agg(
+            F.min("start_pos").alias("start_pos"),
+            F.min("v").alias("value"),
+            F.sum("run_len").alias("run_len"),
+        )
+        .select("event_type", "start_pos", "value", "run_len")
+    )
+
+
+_APPLY_VALUES_RUNS_SQL = f"""
+WITH cov AS ({_COVERAGE_EVENTS_SQL}),
+mapped AS (
+  SELECT event_type, start_pos,
+         CAST(floor(sqrt(cov_value)) AS DOUBLE) AS v, run_len
+  FROM cov
+),
+marked AS (
+  SELECT event_type, start_pos, v, run_len,
+         CASE WHEN lag(v) OVER (PARTITION BY event_type ORDER BY start_pos)
+                   IS DISTINCT FROM v
+              THEN 1 ELSE 0 END AS chg
+  FROM mapped
+),
+grps AS (
+  SELECT *, sum(chg) OVER (PARTITION BY event_type ORDER BY start_pos) AS grp
+  FROM marked
+)
+SELECT event_type, min(start_pos) AS start_pos, min(v) AS value,
+       CAST(sum(run_len) AS BIGINT) AS run_len
+FROM grps GROUP BY event_type, grp
+"""
+
+
+_SLICE_LO, _SLICE_HI = 7, 29
+
+
+def rle_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rle[i:j]`` (rle.py:282-286, getitem.pyx:11-83): clip the run
+    table to logical positions [7, 29) per source and re-zero positions.
+    Pure filter + projection — the overlap predicate is exactly what
+    block zone-maps prune on at scale."""
+    lo, hi = F.lit(_SLICE_LO), F.lit(_SLICE_HI)
+    runs = rle_encode_lang(spark, sf_dir).withColumn(
+        "end_pos", F.col("start_pos") + F.col("run_len")
+    )
+    return runs.filter((F.col("start_pos") < hi) & (F.col("end_pos") > lo)).select(
+        "source",
+        (F.greatest(F.col("start_pos"), lo) - lo).alias("start_pos"),
+        "value",
+        (
+            F.least(F.col("end_pos"), hi) - F.greatest(F.col("start_pos"), lo)
+        ).alias("run_len"),
+    )
+
+
+_RLE_SLICE_SQL = f"""
+WITH runs AS (
+  SELECT *, start_pos + run_len AS end_pos FROM ({_RLE_ENCODE_LANG_SQL})
+)
+SELECT source,
+       greatest(start_pos, {_SLICE_LO}) - {_SLICE_LO} AS start_pos,
+       value,
+       least(end_pos, {_SLICE_HI}) - greatest(start_pos, {_SLICE_LO}) AS run_len
+FROM runs WHERE start_pos < {_SLICE_HI} AND end_pos > {_SLICE_LO}
+"""
+
+
+def getlocs_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rle[array_of_locs]`` (rle.py:337-340, getitem.pyx:89-109):
+    sorted point lookups 0,7,..,28 against every source's run table.
+    The point set is tiny and broadcast; the run side stays put — the
+    searchsorted of the reference becomes a broadcast range predicate."""
+    runs = rle_encode_lang(spark, sf_dir).withColumn(
+        "end_pos", F.col("start_pos") + F.col("run_len")
+    )
+    points = spark.range(5).select((F.col("id") * 7).alias("pos"))
+    joined = runs.join(
+        F.broadcast(points),
+        (points.pos >= runs.start_pos) & (points.pos < runs.end_pos),
+    )
+    return joined.select("source", "pos", "value")
+
+
+_GETLOCS_POINTS_SQL = f"""
+WITH runs AS (
+  SELECT *, start_pos + run_len AS end_pos FROM ({_RLE_ENCODE_LANG_SQL})
+),
+points AS (SELECT unnest(generate_series(0, 4)) * 7 AS pos)
+SELECT r.source, p.pos, r.value
+FROM runs r JOIN points p ON p.pos >= r.start_pos AND p.pos < r.end_pos
+"""
+
+
+def rle_std_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``std`` quirk (rle.py:1097-1113): the square is
+    applied OUTSIDE the sum — sqrt((sum(values − mean))² / (length−1))
+    with the unweighted mean quirk (rle.py:945-959).
+
+    Float discipline: sum(values − mean) is computed algebraically as
+    sum(values) − n·mean so both engines evaluate one exact integer sum
+    followed by the same scalar IEEE expression — no order-dependent
+    float accumulation; rounded to 6 decimals on both sides."""
+    cov = coverage_events(spark, sf_dir)
+    agg = cov.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.sum("run_len").alias("length"),
+        F.sum("cov_value").alias("sv"),
+    )
+    mean = F.col("sv") / F.col("length")
+    diff = F.col("sv") - F.col("n_runs") * mean
+    return agg.select(
+        "event_type",
+        "n_runs",
+        F.round(
+            F.sqrt(diff * diff / (F.col("length") - 1)), 6
+        ).alias("std_quirk"),
+    )
+
+
+_RLE_STD_QUIRK_SQL = f"""
+WITH cov AS ({_COVERAGE_EVENTS_SQL}),
+agg AS (
+  SELECT event_type, count(*) AS n_runs,
+         CAST(sum(run_len) AS BIGINT) AS length, sum(cov_value) AS sv
+  FROM cov GROUP BY event_type
+)
+SELECT event_type, n_runs,
+       round(sqrt((sv - n_runs * (sv / length)) * (sv - n_runs * (sv / length))
+                  / (length - 1)), 6) AS std_quirk
+FROM agg
+"""
+
+
+def shift_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left shift (negative dist, rle.py:1074-1093): runs are consumed
+    from the front and the fill value appended at the end — in decoded
+    form, lead with fill, per source ordered by doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("doc_id")
+    return docs.select(
+        "source",
+        "doc_id",
+        F.lead("lang", 1, "FILL").over(w).alias("next_lang"),
+    )
+
+
+_SHIFT_LEAD_SQL = """
+SELECT source, doc_id,
+       coalesce(lead(lang) OVER (PARTITION BY source ORDER BY doc_id), 'FILL') AS next_lang
+FROM documents
+"""
+
+
+def natsort_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural-sort key ordering (rledict.py:153,336,...: natsorted):
+    'src2' sorts before 'src10'.  The key is (alpha prefix, numeric
+    value); the rank window runs over the DISTINCT key set only —
+    inherently tiny after the distinct aggregation (pmod key keeps the
+    intentional single partition out of the global-window warning)."""
+    sources = load(spark, sf_dir, "documents").select("source").distinct()
+    alpha = F.regexp_replace(F.col("source"), "[0-9]+", "")
+    num = F.regexp_extract(F.col("source"), "([0-9]+)", 1).cast("long")
+    one = F.pmod(F.length("source"), F.lit(1))
+    w = W.partitionBy(one).orderBy(alpha, num)
+    return sources.select(
+        "source", F.row_number().over(w).alias("nat_rank")
+    )
+
+
+_NATSORT_KEYS_SQL = """
+SELECT source,
+       row_number() OVER (
+         ORDER BY regexp_replace(source, '[0-9]+', '', 'g'),
+                  CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)
+       ) AS nat_rank
+FROM (SELECT DISTINCT source FROM documents)
+"""
+
+
+def pseudocounts_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Working version of the reference's broken ``add_pseudocounts``
+    (rledict.py:418-420 crashes on `.loc` of a numpy array; SURVEY
+    §2.2): zero run values replaced by the pseudocount 0.01.  No
+    defragment — 0.01 never equals an existing nonzero count."""
+    cov = coverage_events(spark, sf_dir)
+    return cov.select(
+        "event_type",
+        "start_pos",
+        "run_len",
+        F.when(F.col("cov_value") == 0, F.lit(0.01))
+        .otherwise(F.col("cov_value"))
+        .alias("pc_value"),
+    )
+
+
+_PSEUDOCOUNTS_STEP_SQL = f"""
+WITH cov AS ({_COVERAGE_EVENTS_SQL})
+SELECT event_type, start_pos, run_len,
+       CASE WHEN cov_value = 0 THEN 0.01
+            ELSE CAST(cov_value AS DOUBLE) END AS pc_value
+FROM cov
+"""
+
+
+def strand_pad_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``make_strands_same_length`` (rledict.py:650-676): for the
+    click/view pair, emit the zero-valued pad run that extends the
+    shorter side to the longer side's length.  Two-row aggregate +
+    broadcastable max — the padding decision is O(#keys), never O(data)."""
+    cov = coverage_events(spark, sf_dir)
+    lens = cov.groupBy("event_type").agg(
+        (F.max(F.col("start_pos") + F.col("run_len"))).alias("length")
+    )
+    one = F.pmod(F.length("event_type"), F.lit(1))
+    w = W.partitionBy(one)
+    padded = lens.select(
+        "event_type",
+        "length",
+        F.max("length").over(w).alias("max_len"),
+    )
+    return padded.filter(F.col("length") < F.col("max_len")).select(
+        "event_type",
+        F.col("length").alias("start_pos"),
+        (F.col("max_len") - F.col("length")).alias("run_len"),
+        F.lit(0.0).alias("pad_value"),
+    )
+
+
+_STRAND_PAD_RUN_SQL = f"""
+WITH cov AS ({_COVERAGE_EVENTS_SQL}),
+lens AS (
+  SELECT event_type, max(start_pos + run_len) AS length
+  FROM cov GROUP BY event_type
+),
+padded AS (
+  SELECT event_type, length, max(length) OVER () AS max_len FROM lens
+)
+SELECT event_type, length AS start_pos,
+       CAST(max_len - length AS BIGINT) AS run_len, 0.0 AS pad_value
+FROM padded WHERE length < max_len
+"""
+
+
 QUERIES = {
     "rle_encode_lang": rle_encode_lang,
     "zonemap_prune_agg": zonemap_prune_agg,
@@ -1055,6 +1420,15 @@ QUERIES = {
     "coverage_events": coverage_events,
     "rle_add_step": rle_add_step,
     "rle_eq_step": rle_eq_step,
+    "rle_cmp_step": rle_cmp_step,
+    "apply_values_runs": apply_values_runs,
+    "rle_slice": rle_slice,
+    "getlocs_points": getlocs_points,
+    "rle_std_quirk": rle_std_quirk,
+    "shift_lead": shift_lead,
+    "natsort_keys": natsort_keys,
+    "pseudocounts_step": pseudocounts_step,
+    "strand_pad_run": strand_pad_run,
     "defragment_runs": defragment_runs,
     "getitems_range": getitems_range,
     "shift_lag": shift_lag,
@@ -1080,6 +1454,15 @@ ORACLE_SQL = {
     "coverage_events": _COVERAGE_EVENTS_SQL,
     "rle_add_step": _RLE_ADD_STEP_SQL,
     "rle_eq_step": _RLE_EQ_STEP_SQL,
+    "rle_cmp_step": _RLE_CMP_STEP_SQL,
+    "apply_values_runs": _APPLY_VALUES_RUNS_SQL,
+    "rle_slice": _RLE_SLICE_SQL,
+    "getlocs_points": _GETLOCS_POINTS_SQL,
+    "rle_std_quirk": _RLE_STD_QUIRK_SQL,
+    "shift_lead": _SHIFT_LEAD_SQL,
+    "natsort_keys": _NATSORT_KEYS_SQL,
+    "pseudocounts_step": _PSEUDOCOUNTS_STEP_SQL,
+    "strand_pad_run": _STRAND_PAD_RUN_SQL,
     "defragment_runs": _DEFRAGMENT_RUNS_SQL,
     "getitems_range": _GETITEMS_RANGE_SQL,
     "shift_lag": _SHIFT_LAG_SQL,
