@@ -353,6 +353,94 @@ FROM marked GROUP BY source
 """
 
 
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1: fraction
+    of the document covered by the most common word / n-gram): per
+    document, the top-word and top-bigram occurrence counts and their
+    coverage fractions, plus the drop flag a cleaner would act on.
+
+    Scale shape: two explode → two-phase hash aggregations keyed by
+    (doc_id, gram) — partial aggs collapse repeats before the shuffle —
+    then per-doc maxima and a doc_id-keyed join back.  No windows over
+    row data, no self-joins; skew-safe because the agg key includes
+    doc_id."""
+    docs = _docs(spark, sf_dir)
+    ws = _words(F.col("text"))
+    base = docs.select("doc_id", ws.alias("ws"), F.size(ws).alias("n_words"))
+
+    word_top = (
+        base.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_word_n"))
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("ws") - 1, F.lit(0))),
+                lambda i: F.array_join(F.slice("ws", i, 2), " "),
+            )
+        ).alias("g"),
+    )
+    gram_top = (
+        bigrams.groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bigram_n"))
+    )
+    out = (
+        base.select("doc_id", "n_words")
+        .join(word_top, "doc_id")
+        .join(gram_top, "doc_id")
+    )
+    top_word_frac = F.round(F.col("top_word_n") / F.col("n_words"), 6)
+    top_bigram_frac = F.round(
+        F.lit(2) * F.col("top_bigram_n") / F.col("n_words"), 6
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "top_word_n",
+        "top_bigram_n",
+        top_word_frac.alias("top_word_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        ((top_word_frac > 0.2) | (top_bigram_frac > 0.5)).alias("too_repetitive"),
+    )
+
+
+_REPETITION_FILTER_SQL = r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents
+),
+words AS (
+  SELECT doc_id, unnest(ws) AS w FROM base
+),
+word_top AS (
+  SELECT doc_id, max(n) AS top_word_n
+  FROM (SELECT doc_id, w, count(*) AS n FROM words GROUP BY doc_id, w)
+  GROUP BY doc_id
+),
+grams AS (
+  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g
+  FROM base, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i)
+),
+gram_top AS (
+  SELECT doc_id, max(n) AS top_bigram_n
+  FROM (SELECT doc_id, g, count(*) AS n FROM grams GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, len(b.ws) AS n_words, w.top_word_n, gt.top_bigram_n,
+       round(w.top_word_n * 1.0 / len(b.ws), 6) AS top_word_frac,
+       round(2.0 * gt.top_bigram_n / len(b.ws), 6) AS top_bigram_frac,
+       (round(w.top_word_n * 1.0 / len(b.ws), 6) > 0.2
+        OR round(2.0 * gt.top_bigram_n / len(b.ws), 6) > 0.5) AS too_repetitive
+FROM base b JOIN word_top w USING (doc_id) JOIN gram_top gt USING (doc_id)
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "token_count_bpe_ish": token_count_bpe_ish,
@@ -362,6 +450,7 @@ QUERIES = {
     "boilerplate_spans": boilerplate_spans,
     "source_mixture_weights": source_mixture_weights,
     "curation_pipeline": curation_pipeline,
+    "repetition_filter": repetition_filter,
 }
 
 ORACLE_SQL = {
@@ -373,4 +462,5 @@ ORACLE_SQL = {
     "boilerplate_spans": _BOILERPLATE_SPANS_SQL,
     "source_mixture_weights": _SOURCE_MIXTURE_SQL,
     "curation_pipeline": _CURATION_PIPELINE_SQL,
+    "repetition_filter": _REPETITION_FILTER_SQL,
 }
