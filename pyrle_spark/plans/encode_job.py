@@ -551,6 +551,52 @@ def dedup_blocks(enc: DataFrame) -> DataFrame:
     )
 
 
+def compact_table(spark: SparkSession, table_dir: str, keep_snapshots: int = 1) -> dict:
+    """Maintenance rewrite (the Iceberg ``rewrite_data_files`` +
+    ``expire_snapshots`` pair): consolidate the live block set into ONE
+    fresh overwrite snapshot and garbage-collect the history.
+
+    Resume and widen passes append snapshots, each carrying superseded
+    partial-block rows that ``dedup_blocks`` filters on every read; after
+    many incremental passes the manifest accumulates dead rows and small
+    files.  Compaction reads the current deduped set once, rewrites it
+    (same writer settings as the encode pass: buffers are pre-compressed,
+    parquet re-compression off, 16 MB row groups), commits it as an
+    overwrite snapshot, and expires everything older.
+
+    Scale shape: the rewrite is one scan + one write of the (compressed)
+    block rows, no shuffle — rows are already block-keyed and the new
+    snapshot needs no particular order (reads fetch by block_id).
+    Decode output is bit-identical before/after (the block rows are moved
+    verbatim, checksums included).
+
+    Returns ``{"snapshot_id", "live_blocks", "snapshots_expired",
+    "deleted_files", "reclaimed_bytes"}``."""
+    table = IceTable(table_dir)
+    props = table.properties()
+    live = dedup_blocks(table.read_table(spark))
+    snap_id = table.write_snapshot(
+        live,
+        mode="overwrite",
+        write_options={
+            "compression": "none",
+            "parquet.block.size": str(16 * 1024 * 1024),
+        },
+        properties={**props, "compacted_from": table.current_snapshot_id()},
+    )
+    gc = table.expire_snapshots(keep_last=max(1, keep_snapshots))
+    n_live = len(table._manifest(snap_id)["files"])
+    live_blocks = table.read_table(spark).select("block_id", "column").distinct().count()
+    return {
+        "snapshot_id": snap_id,
+        "live_blocks": live_blocks,
+        "live_files": n_live,
+        "snapshots_expired": len(gc["expired_snapshots"]),
+        "deleted_files": gc["deleted_files"],
+        "reclaimed_bytes": gc["reclaimed_bytes"],
+    }
+
+
 # ----------------------------------------------------------------- zone maps
 
 

@@ -138,3 +138,67 @@ class IceTable:
     def properties(self, snapshot_id: str | None = None) -> dict:
         snap = snapshot_id or self.current_snapshot_id()
         return self._manifest(snap)["properties"] if snap else {}
+
+    # ------------------------------------------------------------ maintenance
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Iceberg-style ``expire_snapshots`` + orphan-file cleanup: drop
+        all but the last ``keep_last`` snapshots from the log, delete
+        their manifests, and remove data files no retained snapshot
+        references.
+
+        The current snapshot is always retained.  Metadata commits last
+        and atomically (os.replace), so a crash mid-expire leaves at
+        worst already-deleted *expired* files — never a broken retained
+        snapshot: files are deleted only after the set of retained
+        references is computed from manifests still on disk.
+
+        Returns ``{"expired_snapshots": [...], "deleted_files": n,
+        "reclaimed_bytes": n}``."""
+        keep_last = max(1, keep_last)
+        meta = self._read_meta()
+        snaps = meta["snapshots"]
+        if len(snaps) <= keep_last:
+            return {"expired_snapshots": [], "deleted_files": 0, "reclaimed_bytes": 0}
+        retained = snaps[-keep_last:]
+        expired = snaps[:-keep_last]
+        current = meta["current_snapshot_id"]
+        if current and all(s["id"] != current for s in retained):
+            retained = [s for s in snaps if s["id"] == current] + retained
+            expired = [s for s in expired if s["id"] != current]
+        live_files = set()
+        for s in retained:
+            for f in self._manifest(s["id"])["files"]:
+                live_files.add(f["path"])
+        deleted = 0
+        reclaimed = 0
+        for s in expired:
+            for f in self._manifest(s["id"])["files"]:
+                if f["path"] not in live_files and os.path.exists(f["path"]):
+                    reclaimed += os.path.getsize(f["path"])
+                    os.remove(f["path"])
+                    deleted += 1
+        # metadata commit: snapshot log shrinks first (atomic), manifests
+        # of expired snapshots removed after — a leftover manifest file is
+        # harmless (unreferenced), a missing log entry never dangles
+        meta["snapshots"] = retained
+        tmp = self._meta_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path)
+        for s in expired:
+            p = os.path.join(self.path, "metadata", f"snap-{s['id']}.json")
+            if os.path.exists(p):
+                os.remove(p)
+        # prune now-empty per-snapshot data dirs
+        data_root = os.path.join(self.path, "data")
+        if os.path.isdir(data_root):
+            for d in os.listdir(data_root):
+                full = os.path.join(data_root, d)
+                if os.path.isdir(full) and not os.listdir(full):
+                    os.rmdir(full)
+        return {
+            "expired_snapshots": [s["id"] for s in expired],
+            "deleted_files": deleted,
+            "reclaimed_bytes": reclaimed,
+        }

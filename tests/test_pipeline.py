@@ -582,3 +582,68 @@ def test_bloom_digest_no_false_negatives():
         fp = sum(hit(v) for v in absent) / len(absent)
         # 4096 bits / 2 probes at ≤400 distincts: expected FP ≈ 3%
         assert fp < 0.2, (trial, fp)
+
+
+def test_compact_table_rewrites_history(spark, webtext, tmp_path):
+    """compact_table consolidates resume/widen append history into one
+    overwrite snapshot: decode is bit-identical before and after, the
+    superseded rows and expired snapshot files are gone from disk, and
+    time travel now lists exactly one snapshot."""
+    import os
+
+    from pyrle_spark.plans.encode_job import compact_table
+
+    out = str(tmp_path / "compact")
+    half = webtext.filter(F.col("doc_seq") < N_ROWS // 2)
+    encode_table(spark, half, out, EncodeConfig(columns=["lang"], block_rows=BLOCK))
+    encode_table(spark, webtext, out, EncodeConfig(columns=["lang"], block_rows=BLOCK))
+    encode_table(  # widen: adds a column → third snapshot
+        spark, webtext, out, EncodeConfig(columns=["lang", "url"], block_rows=BLOCK)
+    )
+    table = IceTable(out)
+    assert len(table.snapshots()) == 3
+    before = decode_table(spark, out, columns=["lang", "url"]).toPandas()
+    before = before.sort_values(list(before.columns)).reset_index(drop=True)
+    n_files_before = sum(
+        len(files) for _, _, files in os.walk(os.path.join(out, "data"))
+    )
+
+    stats = compact_table(spark, out)
+
+    assert stats["snapshots_expired"] == 3
+    assert stats["deleted_files"] > 0
+    assert len(table.snapshots()) == 1
+    assert table.current_snapshot_id() == stats["snapshot_id"]
+    # every file on disk is referenced by the one retained manifest
+    on_disk = set()
+    for root, _, files in os.walk(os.path.join(out, "data")):
+        on_disk.update(os.path.join(root, f) for f in files if f.endswith(".parquet"))
+    referenced = {f["path"] for f in table._manifest(stats["snapshot_id"])["files"]}
+    assert on_disk == referenced
+    assert len(on_disk) < n_files_before
+    # no superseded rows remain: every (block_id, column) appears once
+    enc = table.read_table(spark)
+    assert (
+        enc.groupBy("block_id", "column").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+    after = decode_table(spark, out, columns=["lang", "url"]).toPandas()
+    after = after.sort_values(list(after.columns)).reset_index(drop=True)
+    assert before.equals(after)
+    assert verify_checksums(spark, out)["bad"] == 0
+
+
+def test_expire_snapshots_keeps_current(spark, webtext, tmp_path):
+    """expire_snapshots never deletes files a retained snapshot still
+    references (append snapshots share files with their parents)."""
+    out = str(tmp_path / "expire")
+    half = webtext.filter(F.col("doc_seq") < N_ROWS // 2)
+    encode_table(spark, half, out, EncodeConfig(columns=["lang"], block_rows=BLOCK))
+    encode_table(spark, webtext, out, EncodeConfig(columns=["lang"], block_rows=BLOCK))
+    table = IceTable(out)
+    gc = table.expire_snapshots(keep_last=1)
+    # snapshot 2 (append) references snapshot 1's files → nothing deletable
+    assert gc["deleted_files"] == 0 and len(gc["expired_snapshots"]) == 1
+    assert len(table.snapshots()) == 1
+    assert decode_table(spark, out).count() == N_ROWS
+    assert verify_checksums(spark, out)["bad"] == 0
