@@ -254,6 +254,10 @@ def main() -> None:
             ("rle_encode_lang", relational.QUERIES["rle_encode_lang"]),
             ("coverage_events", relational.QUERIES["coverage_events"]),
             ("rle_add_step", relational.QUERIES["rle_add_step"]),
+            # the algebraic rewrite of the same operation (coverage of
+            # unioned deltas): one shuffle instead of the full
+            # coverage+fill pipeline — both reported so the win is visible
+            ("rle_add_fused", relational.QUERIES["rle_add_fused"]),
             ("getitems_range", relational.QUERIES["getitems_range"]),
             ("rleframe_add", q_rleframe_add),
             # the 100 TB-relevant dedup family: banded LSH candidate

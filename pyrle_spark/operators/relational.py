@@ -385,6 +385,86 @@ def _island_compress(stepped: DataFrame, val: str) -> DataFrame:
     )
 
 
+def rle_add_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-aligned addition by ALGEBRAIC REWRITE: the sum of two interval
+    coverages equals the coverage of the union of their boundary deltas
+    (Σ of step functions built from deltas = step function of the merged
+    deltas).  Where ``rle_add_step`` mirrors the reference's two-pointer
+    boundary walk (coverage each side → boundary union → as-of fill →
+    add), this plan skips both per-side coverages and the fill entirely:
+    ONE delta stream, ONE shuffle on the position bucket, one per-bucket
+    cumsum, and an O(#buckets) prefix broadcast to stitch bucket edges —
+    the plan you'd actually run at 100 TB.
+
+    Semantics note vs ``rle_add_step``: beyond the shorter side's domain
+    this computes the exact zero-extension (the side's closing −v delta
+    is part of the union), matching the reference's
+    ``_make_rles_equal_length`` (rle.py:17-31) precisely, whereas the
+    step form carries each side's last value to the global end."""
+    iv = _event_intervals(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "view")
+    )
+    ev = iv.select(F.col("s").alias("pos"), F.lit(1.0).alias("d")).unionAll(
+        iv.select(F.col("e").alias("pos"), F.lit(-1.0).alias("d"))
+    )
+    agg = (
+        ev.withColumn("bkt", F.floor(F.col("pos") / F.lit(_FILL_BUCKET)))
+        .repartition("bkt")
+        .groupBy("bkt", "pos")
+        .agg(F.sum("d").alias("d"))
+    )
+    wb = W.partitionBy("bkt").orderBy("pos")
+    local = agg.select(
+        "bkt",
+        "pos",
+        F.sum("d").over(wb).alias("cum_loc"),
+        F.lead("pos").over(wb).alias("next_loc"),
+    )
+    # O(#buckets) summary off the same Exchange(bkt) subtree; prefix-sum
+    # of bucket totals carries the running value across bucket edges
+    summary = agg.groupBy("bkt").agg(
+        F.sum("d").alias("tot"), F.min("pos").alias("min_pos")
+    )
+    one = F.pmod(F.col("bkt"), F.lit(1))
+    ws = W.partitionBy(one).orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    wn = W.partitionBy(one).orderBy("bkt")
+    edges = summary.select(
+        "bkt",
+        F.coalesce(F.sum("tot").over(ws), F.lit(0.0)).alias("carry"),
+        F.lead("min_pos").over(wn).alias("next_bkt_pos"),
+    )
+    return (
+        local.join(F.broadcast(edges), "bkt")
+        .select(
+            F.col("pos").alias("start_pos"),
+            (F.coalesce("next_loc", "next_bkt_pos") - F.col("pos")).alias(
+                "run_len"
+            ),
+            (F.col("cum_loc") + F.col("carry")).alias("sum_value"),
+        )
+        .filter(F.col("run_len").isNotNull())
+    )
+
+
+_RLE_ADD_FUSED_SQL = f"""
+WITH iv AS ({_EVENT_INTERVALS_SQL}),
+ev AS (
+  SELECT s AS pos, 1.0 AS d FROM iv WHERE event_type IN ('click', 'view')
+  UNION ALL
+  SELECT e AS pos, -1.0 AS d FROM iv WHERE event_type IN ('click', 'view')
+),
+agg AS (SELECT pos, sum(d) AS d FROM ev GROUP BY pos),
+cum AS (
+  SELECT pos,
+         sum(d) OVER (ORDER BY pos) AS sum_value,
+         lead(pos) OVER (ORDER BY pos) - pos AS run_len
+  FROM agg
+)
+SELECT pos AS start_pos, run_len, sum_value
+FROM cum WHERE run_len IS NOT NULL
+"""
+
+
 def rle_eq_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``==`` comparison operator as a relational plan (Rle.__eq__,
     rle.py:248-276): boundary-union + as-of fill both sides, emit a
@@ -1419,6 +1499,7 @@ QUERIES = {
     "rle_roundtrip_lang": rle_roundtrip_lang,
     "coverage_events": coverage_events,
     "rle_add_step": rle_add_step,
+    "rle_add_fused": rle_add_fused,
     "rle_eq_step": rle_eq_step,
     "rle_cmp_step": rle_cmp_step,
     "apply_values_runs": apply_values_runs,
@@ -1453,6 +1534,7 @@ ORACLE_SQL = {
     "rle_roundtrip_lang": _RLE_ROUNDTRIP_LANG_SQL,
     "coverage_events": _COVERAGE_EVENTS_SQL,
     "rle_add_step": _RLE_ADD_STEP_SQL,
+    "rle_add_fused": _RLE_ADD_FUSED_SQL,
     "rle_eq_step": _RLE_EQ_STEP_SQL,
     "rle_cmp_step": _RLE_CMP_STEP_SQL,
     "apply_values_runs": _APPLY_VALUES_RUNS_SQL,
