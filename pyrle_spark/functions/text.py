@@ -441,6 +441,55 @@ FROM base b JOIN word_top w USING (doc_id) JOIN gram_top gt USING (doc_id)
 """
 
 
+def vocab_topk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary audit: the 25 most frequent words corpus-wide
+    with rank, count, and cumulative share of ALL tokens — the curve a
+    BPE/vocab builder reads to size its vocabulary.
+
+    Scale shape: explode → two-phase hash aggregation to O(vocab) rows;
+    the rank/cumsum window then runs over the aggregated vocabulary
+    (thousands of rows), never over token data.  Ties broken by word so
+    both engines rank identically.  The total-token count folds in as a
+    scalar aggregate (broadcast), not a second pass over rows."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(F.explode(_words(F.col("text"))).alias("w"))
+    hist = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    one = F.pmod(F.length("w"), F.lit(1))
+    wr = W.partitionBy(one).orderBy(F.desc("n"), "w")
+    wc = wr.rowsBetween(W.unboundedPreceding, 0)
+    total = hist.agg(F.sum("n").alias("_t"))
+    ranked = hist.select(
+        "w",
+        "n",
+        F.row_number().over(wr).alias("rank"),
+        F.sum("n").over(wc).alias("cum_n"),
+    ).filter(F.col("rank") <= 25)
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "rank",
+        F.col("w").alias("word"),
+        F.col("n").alias("n_occurrences"),
+        F.round(F.col("cum_n") / F.col("_t"), 6).alias("cum_share"),
+    )
+
+
+_VOCAB_TOPK_SQL = r"""
+WITH words AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
+),
+hist AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+ranked AS (
+  SELECT w, n,
+         row_number() OVER (ORDER BY n DESC, w) AS rank,
+         sum(n) OVER (ORDER BY n DESC, w
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+  FROM hist
+)
+SELECT rank, w AS word, n AS n_occurrences,
+       round(cum_n * 1.0 / (SELECT sum(n) FROM hist), 6) AS cum_share
+FROM ranked WHERE rank <= 25
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "token_count_bpe_ish": token_count_bpe_ish,
@@ -451,6 +500,7 @@ QUERIES = {
     "source_mixture_weights": source_mixture_weights,
     "curation_pipeline": curation_pipeline,
     "repetition_filter": repetition_filter,
+    "vocab_topk_coverage": vocab_topk_coverage,
 }
 
 ORACLE_SQL = {
@@ -463,4 +513,5 @@ ORACLE_SQL = {
     "source_mixture_weights": _SOURCE_MIXTURE_SQL,
     "curation_pipeline": _CURATION_PIPELINE_SQL,
     "repetition_filter": _REPETITION_FILTER_SQL,
+    "vocab_topk_coverage": _VOCAB_TOPK_SQL,
 }
