@@ -346,3 +346,76 @@ def test_windowed_agg_watermark_drops_late(spark, tmp_path):
     # window [200,210) never closed (nothing advanced the watermark past
     # its end) -> not emitted in append mode
     assert (200, "view") not in r2
+
+
+def test_streaming_neardup_lsh_index(spark, tmp_path):
+    """Streaming near-dup dedup: the LSH bucket index accumulates across
+    micro-batches; a later document colliding with any kept document's
+    band bucket is dropped.  Expected set = a sequential replay of the
+    same greedy rule over band_rows on the full input."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from pyrle_spark.streaming.neardup_stream import band_rows, neardup_docs_stream
+
+    base = "the quick brown fox jumps over the lazy dog today"
+    nearA = base.replace("today", "tonight")  # shares 5/6 shingles with base
+    other = "completely different words about spark shuffles and columnar codecs"
+    src = str(tmp_path / "nd_src")
+    os.makedirs(src)
+    batches = [
+        # batch 0: base kept; its exact copy (doc 1) dropped within-batch
+        pd.DataFrame({"doc_id": [0, 1], "text": [base, base]}),
+        # batch 1: exact re-crawl of base (doc 2) dropped cross-batch;
+        # novel doc 3 kept
+        pd.DataFrame({"doc_id": [2, 3], "text": [base, other]}),
+        # batch 2: near-dup of base (doc 4) — replay decides; novel-ish
+        # re-crawl of other (doc 5) dropped cross-batch
+        pd.DataFrame({"doc_id": [4, 5], "text": [nearA, other]}),
+    ]
+    for i, b in enumerate(batches):
+        p = f"{src}/b{i}.parquet"
+        b.to_parquet(p)
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    q = neardup_docs_stream(
+        spark,
+        src,
+        str(tmp_path / "nd_ck"),
+        str(tmp_path / "nd_idx"),
+        str(tmp_path / "nd_sink"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "nd_sink")).distinct().collect()
+    }
+
+    # sequential replay with the same band_rows + greedy rule
+    index: set = set()
+    expect: set = set()
+    for b in batches:
+        rows = band_rows(spark.createDataFrame(b)).collect()
+        by_doc: dict = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append((r["band"], r["ba"], r["bb"]))
+        bucket_min: dict = {}
+        for d, bks in by_doc.items():
+            for bk in bks:
+                bucket_min[bk] = min(bucket_min.get(bk, d), d)
+        survivors = [
+            d
+            for d, bks in by_doc.items()
+            if all(bucket_min[bk] == d for bk in bks)
+            and not any(bk in index for bk in bks)
+        ]
+        for d in survivors:
+            index.update(by_doc[d])
+        expect.update(survivors)
+
+    assert got == expect
+    assert 0 in got and 3 in got          # first-seen docs kept
+    assert {1, 2, 5}.isdisjoint(got)      # exact copies dropped both ways
