@@ -387,11 +387,69 @@ FROM assigned GROUP BY bucket
 """
 
 
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the approximate ANN paths against the exact scan — the
+    audit every production ANN deployment runs before trusting an index:
+    per query, the fraction of the brute-force top-3 that IVF nprobe=1
+    and nprobe=2 recover (probe2 recall >= probe1 recall by construction,
+    which the driver oracle verifies numerically every round).
+
+    Scale shape: the brute-force side is the expensive input, but a
+    recall audit runs it on a SAMPLE of queries (here: all 5); the joins
+    are on (q_id, vec_id) — tiny result sets, broadcast both sides."""
+    brute = ann_cosine_topk(spark, sf_dir).select("q_id", "vec_id")
+    hits1 = (
+        brute.join(
+            ann_ivf_topk(spark, sf_dir).select("q_id", "vec_id"),
+            ["q_id", "vec_id"],
+        )
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n1"))
+    )
+    hits2 = (
+        brute.join(
+            ann_ivf_probe2(spark, sf_dir).select("q_id", "vec_id"),
+            ["q_id", "vec_id"],
+        )
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n2"))
+    )
+    base = brute.groupBy("q_id").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        base.join(hits1, "q_id", "left")
+        .join(hits2, "q_id", "left")
+        .select(
+            "q_id",
+            F.round(F.coalesce(F.col("n1"), F.lit(0)) / F.col("k"), 6).alias(
+                "recall_ivf1"
+            ),
+            F.round(F.coalesce(F.col("n2"), F.lit(0)) / F.col("k"), 6).alias(
+                "recall_ivf2"
+            ),
+        )
+    )
+
+
+_ANN_RECALL_SQL = f"""
+WITH brute AS (SELECT q_id, vec_id FROM ({_ANN_TOPK_SQL}) t),
+ivf1 AS (SELECT q_id, vec_id FROM ({_ANN_IVF_SQL}) t),
+ivf2 AS (SELECT q_id, vec_id FROM ({_ANN_IVF_PROBE2_SQL}) t),
+base AS (SELECT q_id, count(*) AS k FROM brute GROUP BY q_id),
+h1 AS (SELECT b.q_id, count(*) AS n1 FROM brute b JOIN ivf1 i USING (q_id, vec_id) GROUP BY b.q_id),
+h2 AS (SELECT b.q_id, count(*) AS n2 FROM brute b JOIN ivf2 i USING (q_id, vec_id) GROUP BY b.q_id)
+SELECT base.q_id,
+       round(coalesce(n1, 0) * 1.0 / k, 6) AS recall_ivf1,
+       round(coalesce(n2, 0) * 1.0 / k, 6) AS recall_ivf2
+FROM base LEFT JOIN h1 ON base.q_id = h1.q_id LEFT JOIN h2 ON base.q_id = h2.q_id
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_probe2": ann_ivf_probe2,
+    "ann_recall_audit": ann_recall_audit,
 }
 
 ORACLE_SQL = {
@@ -399,4 +457,5 @@ ORACLE_SQL = {
     "ann_lsh_buckets": _ann_lsh_sql(),
     "ann_ivf_topk": _ANN_IVF_SQL,
     "ann_ivf_probe2": _ANN_IVF_PROBE2_SQL,
+    "ann_recall_audit": _ANN_RECALL_SQL,
 }
