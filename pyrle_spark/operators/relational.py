@@ -1486,6 +1486,77 @@ FROM padded WHERE length < max_len
 """
 
 
+def layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-driven sort-layout advisor: for each candidate sort column,
+    the total RLE run count every encoded column would produce if the
+    table were written in (candidate, doc_id) order — the decision a
+    clustering/compaction job makes before paying the sort, generalizing
+    the codec selector's content-driven choice (rle.py:740-743) from
+    "which codec for this layout" to "which layout for these codecs".
+
+    Scale shape: run counting is a lag-compare window per candidate
+    order, which is inherently a total order — so the advisor measures a
+    DETERMINISTIC SAMPLE (doc_id % 5 = 0, ~20%), never the full table;
+    run counts scale linearly with sample rate for run-structured data,
+    and the advisor only needs the ranking, not absolute counts.  The
+    sample fits one partition by construction (the pmod key marks the
+    single partition intentional)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    targets = ["lang", "source", "n_chars"]
+    outs = []
+    for cand in targets:
+        one = F.pmod(F.col("doc_id"), F.lit(1))
+        w = W.partitionBy(one).orderBy(cand, "doc_id")
+        flags = docs.select(
+            *[
+                F.when(
+                    F.lag(t).over(w).isNull() | (F.lag(t).over(w) != F.col(t)), 1
+                )
+                .otherwise(0)
+                .alias(f"chg_{t}")
+                for t in targets
+            ]
+        )
+        outs.append(
+            flags.agg(
+                *[F.sum(f"chg_{t}").alias(f"runs_{t}") for t in targets]
+            ).select(F.lit(cand).alias("sort_col"), *[f"runs_{t}" for t in targets])
+        )
+    un = outs[0]
+    for o in outs[1:]:
+        un = un.unionAll(o)
+    total = sum(F.col(f"runs_{t}") for t in targets)
+    return un.select(
+        "sort_col", *[f"runs_{t}" for t in targets], total.alias("total_runs")
+    )
+
+
+def _layout_advisor_sql() -> str:
+    targets = ["lang", "source", "n_chars"]
+    parts = []
+    for cand in targets:
+        flags = ",\n           ".join(
+            f"CASE WHEN lag({t}) OVER (ORDER BY {cand}, doc_id) IS DISTINCT FROM {t} "
+            f"THEN 1 ELSE 0 END AS chg_{t}"
+            for t in targets
+        )
+        sums = ", ".join(
+            f"CAST(sum(chg_{t}) AS BIGINT) AS runs_{t}" for t in targets
+        )
+        parts.append(
+            f"SELECT '{cand}' AS sort_col, {sums}\n"
+            f"  FROM (SELECT {flags}\n"
+            f"        FROM documents WHERE doc_id % 5 = 0) f_{cand}"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    tot = " + ".join(f"runs_{t}" for t in targets)
+    return (
+        f"WITH per AS (\n{union}\n)\n"
+        f"SELECT sort_col, runs_lang, runs_source, runs_n_chars, "
+        f"CAST({tot} AS BIGINT) AS total_runs FROM per"
+    )
+
+
 QUERIES = {
     "rle_encode_lang": rle_encode_lang,
     "zonemap_prune_agg": zonemap_prune_agg,
@@ -1500,6 +1571,7 @@ QUERIES = {
     "coverage_events": coverage_events,
     "rle_add_step": rle_add_step,
     "rle_add_fused": rle_add_fused,
+    "layout_advisor": layout_advisor,
     "rle_eq_step": rle_eq_step,
     "rle_cmp_step": rle_cmp_step,
     "apply_values_runs": apply_values_runs,
@@ -1535,6 +1607,7 @@ ORACLE_SQL = {
     "coverage_events": _COVERAGE_EVENTS_SQL,
     "rle_add_step": _RLE_ADD_STEP_SQL,
     "rle_add_fused": _RLE_ADD_FUSED_SQL,
+    "layout_advisor": _layout_advisor_sql(),
     "rle_eq_step": _RLE_EQ_STEP_SQL,
     "rle_cmp_step": _RLE_CMP_STEP_SQL,
     "apply_values_runs": _APPLY_VALUES_RUNS_SQL,
