@@ -1103,6 +1103,62 @@ FROM documents WHERE lang = 'fr' GROUP BY source
 """
 
 
+def mor_delete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletion end-to-end through the REAL encoded
+    pipeline: encode documents, record a position-delete vector for
+    every doc with ``doc_id % 97 == 0`` (a takedown request), decode,
+    and aggregate the survivors.  The oracle is the row-level filter —
+    equality proves the delete vector removes exactly the requested
+    rows and nothing else, without any block rewrite.
+
+    Scale shape: the delete commit is O(deleted rows) (one parquet file
+    + atomic manifest update); the read applies a broadcast anti-join
+    of the tiny position set and prunes fully-deleted blocks from the
+    manifest before any decode work."""
+    import tempfile
+
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        decode_table,
+        delete_rows,
+        encode_table,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    ordered = docs.select(
+        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("_seq"),
+        "doc_id",
+        "lang",
+        "n_chars",
+    )
+    out_dir = tempfile.mkdtemp(prefix="mor_delete_")
+    encode_table(
+        spark,
+        ordered,
+        out_dir,
+        EncodeConfig(
+            columns=["doc_id", "lang", "n_chars"], order_col="_seq", block_rows=64
+        ),
+    )
+    doomed = ordered.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("_seq").alias("_order")
+    )
+    delete_rows(spark, out_dir, doomed)
+    dec = decode_table(spark, out_dir, columns=["doc_id", "lang", "n_chars"])
+    return dec.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+_MOR_DELETE_AGG_SQL = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc_id
+FROM documents WHERE doc_id % 97 != 0 GROUP BY lang
+"""
+
+
 def compressed_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP-BY-count answered IN THE COMPRESSED DOMAIN: encode
     documents.lang, then compute the histogram from each block's
@@ -1572,6 +1628,7 @@ QUERIES = {
     "rle_add_step": rle_add_step,
     "rle_add_fused": rle_add_fused,
     "layout_advisor": layout_advisor,
+    "mor_delete_agg": mor_delete_agg,
     "rle_eq_step": rle_eq_step,
     "rle_cmp_step": rle_cmp_step,
     "apply_values_runs": apply_values_runs,
@@ -1608,6 +1665,7 @@ ORACLE_SQL = {
     "rle_add_step": _RLE_ADD_STEP_SQL,
     "rle_add_fused": _RLE_ADD_FUSED_SQL,
     "layout_advisor": _layout_advisor_sql(),
+    "mor_delete_agg": _MOR_DELETE_AGG_SQL,
     "rle_eq_step": _RLE_EQ_STEP_SQL,
     "rle_cmp_step": _RLE_CMP_STEP_SQL,
     "apply_values_runs": _APPLY_VALUES_RUNS_SQL,

@@ -551,6 +551,87 @@ def dedup_blocks(enc: DataFrame) -> DataFrame:
     )
 
 
+def delete_rows(spark: SparkSession, table_dir: str, positions) -> dict:
+    """Merge-on-read row deletion (the Iceberg v2 position-delete file):
+    record the given ``_order`` positions in a delete vector; subsequent
+    ``decode_table`` reads anti-join them out WITHOUT rewriting a single
+    block.  The write path a takedown/right-to-be-forgotten request
+    takes against a 100 TB training table — O(deleted rows) cost, not
+    O(table).
+
+    ``positions``: iterable of ints, or a DataFrame with an ``_order``
+    column.  Each call commits one delete file plus an atomic manifest
+    update tagged with the current snapshot id — time travel to an
+    OLDER snapshot does not see deletes committed after it.
+
+    Returns ``{"file", "n_positions", "as_of_snapshot"}``."""
+    import os
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    table = IceTable(table_dir)
+    del_dir = os.path.join(table_dir, "deletes")
+    os.makedirs(del_dir, exist_ok=True)
+    if isinstance(positions, DataFrame):
+        pdf = positions.select(F.col("_order").cast("long")).distinct().toPandas()
+        pos_list = sorted(int(x) for x in pdf["_order"])
+    else:
+        pos_list = sorted({int(x) for x in positions})
+    fname = os.path.join(del_dir, f"del-{_uuid.uuid4().hex[:12]}.parquet")
+    pq.write_table(pa.table({"_order": pa.array(pos_list, pa.int64())}), fname)
+    manifest_path = os.path.join(del_dir, "manifest.json")
+    entries = []
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            entries = json.load(f)
+    entry = {
+        "file": fname,
+        "n_positions": len(pos_list),
+        "as_of_snapshot": table.current_snapshot_id(),
+    }
+    entries.append(entry)
+    tmp = manifest_path + f".tmp-{_uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(entries, f)
+    os.replace(tmp, manifest_path)
+    return entry
+
+
+def _delete_positions(table_dir: str, snapshot_id: str | None) -> list:
+    """All deleted ``_order`` positions visible at ``snapshot_id``
+    (None = latest): delete files tagged with a snapshot at-or-before it
+    in the snapshot log."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    manifest_path = os.path.join(table_dir, "deletes", "manifest.json")
+    if not os.path.exists(manifest_path):
+        return []
+    with open(manifest_path) as f:
+        entries = json.load(f)
+    table = IceTable(table_dir)
+    order = [s["id"] for s in table.snapshots()]
+    limit = (
+        order.index(snapshot_id) if snapshot_id in order else len(order) - 1
+    )
+    # A tag no longer in the log was expired (e.g. by compact_table) —
+    # expiry only removes snapshots OLDER than every retained one, so
+    # such a delete predates all readable snapshots and always applies;
+    # dropping it would resurrect the deleted rows.
+    visible = [
+        e
+        for e in entries
+        if e["as_of_snapshot"] not in order
+        or order.index(e["as_of_snapshot"]) <= limit
+    ]
+    out: set = set()
+    for e in visible:
+        out.update(pq.read_table(e["file"], columns=["_order"])["_order"].to_pylist())
+    return sorted(out)
+
+
 def compact_table(spark: SparkSession, table_dir: str, keep_snapshots: int = 1) -> dict:
     """Maintenance rewrite (the Iceberg ``rewrite_data_files`` +
     ``expire_snapshots`` pair): consolidate the live block set into ONE
@@ -837,12 +918,18 @@ def decode_table(
     columns: list | None = None,
     snapshot_id: str | None = None,
     blocks: DataFrame | None = None,
+    apply_deletes: bool = True,
 ) -> DataFrame:
     """Decode an encoded-blocks table back to rows (with ``_order``).
 
     ``blocks``: optional DataFrame with a ``block_id`` column (e.g. from
     :func:`prune_blocks`) — only those blocks are decoded (zone-map data
     skipping; the block list is small, so it broadcasts).
+
+    ``apply_deletes``: merge-on-read — positions recorded by
+    :func:`delete_rows` and visible at this snapshot are anti-joined
+    out (broadcast of the tiny position set); blocks whose every row is
+    deleted are pruned before decode.  Pass False to audit raw blocks.
     """
     table = IceTable(table_dir)
     props = table.properties(snapshot_id)
@@ -858,6 +945,18 @@ def decode_table(
             "block_id",
             "left_semi",
         )
+    deleted: list = _delete_positions(table_dir, snapshot_id) if apply_deletes else []
+    if deleted:
+        # prune fully-deleted blocks before any decode work: the position
+        # set is driver-resident and small (O(deleted rows)), so the
+        # per-block tally is a dict pass, not a Spark job
+        per_block: dict = {}
+        for p in deleted:
+            b = p // block_rows
+            per_block[b] = per_block.get(b, 0) + 1
+        dead = [b for b, n in per_block.items() if n >= block_rows]
+        if dead:
+            enc = enc.filter(~F.col("block_id").isin(dead))
     enc = dedup_blocks(enc)
     enc = enc.repartition("block_id").sortWithinPartitions("block_id", "column")
     # ONE job resolves every column's arrow type (was one scan per column).
@@ -880,7 +979,13 @@ def decode_table(
     out_schema = ", ".join(
         ["_order long"] + [f"{c} {_spark_type_of(types[c])}" for c in cols]
     )
-    return enc.mapInArrow(_make_decode_fn(block_rows), out_schema)
+    out = enc.mapInArrow(_make_decode_fn(block_rows), out_schema)
+    if deleted:
+        dels = spark.createDataFrame(
+            [(int(p),) for p in deleted], "_order long"
+        )
+        out = out.join(F.broadcast(dels), "_order", "left_anti")
+    return out
 
 
 def _spark_type_of(at: str) -> str:

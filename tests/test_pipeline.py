@@ -647,3 +647,55 @@ def test_expire_snapshots_keeps_current(spark, webtext, tmp_path):
     assert len(table.snapshots()) == 1
     assert decode_table(spark, out).count() == N_ROWS
     assert verify_checksums(spark, out)["bad"] == 0
+
+
+def test_delete_rows_merge_on_read(spark, webtext, tmp_path):
+    """Row-level deletes (position delete vectors): deleted _order
+    positions vanish from decode without any block rewrite; a fully
+    deleted block is pruned before decode; time travel to a snapshot
+    older than the delete commit still sees the rows."""
+    from pyrle_spark.plans.encode_job import delete_rows
+
+    out = str(tmp_path / "mor")
+    half = webtext.filter(F.col("doc_seq") < N_ROWS // 2)
+    encode_table(spark, half, out, EncodeConfig(columns=["lang"], block_rows=BLOCK))
+    encode_table(spark, webtext, out, EncodeConfig(columns=["lang"], block_rows=BLOCK))
+    snaps = IceTable(out).snapshots()
+    old_id = snaps[0]["id"]
+
+    # scattered positions + one whole block (block 1: [BLOCK, 2*BLOCK))
+    scattered = [3, 77, N_ROWS - 1]
+    whole_block = list(range(BLOCK, 2 * BLOCK))
+    info = delete_rows(spark, out, scattered + whole_block)
+    assert info["n_positions"] == len(scattered) + BLOCK
+
+    dec = decode_table(spark, out)
+    got = {r["_order"] for r in dec.select("_order").collect()}
+    assert got == set(range(N_ROWS)) - set(scattered) - set(whole_block)
+    # time travel: the delete was committed at the CURRENT snapshot, so
+    # the older snapshot is unaffected
+    old = decode_table(spark, out, snapshot_id=old_id)
+    assert old.count() == N_ROWS // 2
+    assert {r["_order"] for r in old.select("_order").collect()} == set(
+        range(N_ROWS // 2)
+    )
+    # audit view bypasses deletes
+    assert decode_table(spark, out, apply_deletes=False).count() == N_ROWS
+
+    # second delete via a DataFrame of positions stacks with the first
+    delete_rows(spark, out, dec.filter(F.col("_order") == 42).select("_order"))
+    assert decode_table(spark, out).count() == N_ROWS - len(scattered) - BLOCK - 1
+
+
+def test_deletes_survive_compaction(spark, webtext, tmp_path):
+    """Compaction expires the snapshot a delete was tagged with; the
+    delete must still apply afterwards (an expired tag predates every
+    retained snapshot)."""
+    from pyrle_spark.plans.encode_job import compact_table, delete_rows
+
+    out = str(tmp_path / "mor2")
+    encode_table(spark, webtext, out, EncodeConfig(columns=["lang"], block_rows=BLOCK))
+    delete_rows(spark, out, [0, 1, 2])
+    assert decode_table(spark, out).count() == N_ROWS - 3
+    compact_table(spark, out)
+    assert decode_table(spark, out).count() == N_ROWS - 3
