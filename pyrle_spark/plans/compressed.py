@@ -33,12 +33,44 @@ __all__ = ["count_by_value", "count_where_in", "numeric_stats", "sum_by_value"]
 _NULL_SENTINEL = None  # null slots aggregate into a NULL value row
 
 
-def _block_value_counts(enc: Encoded):
+def _delete_map(table_dir: str, snapshot_id, block_rows: int) -> dict:
+    """{block_id: np.array(in-block deleted offsets)} visible at the
+    snapshot — the merge-on-read position deletes of
+    :func:`pyrle_spark.plans.encode_job.delete_rows`.  Driver-resident
+    and O(deleted rows); closures ship it to the Arrow passes so
+    compressed-domain answers agree with the decode path."""
+    from pyrle_spark.plans.encode_job import _delete_positions
+
+    dmap: dict = {}
+    for p in _delete_positions(table_dir, snapshot_id):
+        dmap.setdefault(p // block_rows, []).append(p % block_rows)
+    return {b: np.asarray(v, dtype=np.int64) for b, v in dmap.items()}
+
+
+def _keep_mask(n: int, kill: np.ndarray) -> np.ndarray:
+    keep = np.ones(n, dtype=bool)
+    keep[kill[kill < n]] = False
+    return keep
+
+
+def _block_value_counts(enc: Encoded, kill: np.ndarray | None = None):
     """(values: list, counts: np.ndarray, n_nulls: int) for one block —
     via codes/runs when the codec allows, full single-column decode
-    otherwise."""
+    otherwise.  ``kill``: in-block offsets deleted by merge-on-read —
+    an affected block takes the exact decode-and-mask path (affected
+    blocks are O(deleted)/block_rows of the table)."""
     from pyrle_spark.codecs import decode_array
     from pyrle_spark.codecs.dictionary import _decode_codes
+
+    if kill is not None and len(kill):
+        arr = decode_array(enc)
+        arr = arr.filter(pa.array(_keep_mask(len(arr), kill)))
+        vc = arr.drop_null().value_counts()
+        return (
+            vc.field("values").to_pylist(),
+            np.asarray(vc.field("counts")),
+            arr.null_count,
+        )
 
     meta, buffers = enc.meta, enc.buffers
     codec = enc.codec
@@ -112,8 +144,12 @@ def count_by_value(
     """``SELECT column, count(*) GROUP BY column`` computed from the
     encoded blocks.  Returns (value string, n_rows long); null slots
     aggregate into a NULL value row.  ``blocks``: optional survivor
-    list (from the prune family) to restrict the scan."""
+    list (from the prune family) to restrict the scan.  Merge-on-read
+    deletes apply: affected blocks decode-and-mask, so the histogram
+    equals the decode path's."""
     table = IceTable(table_dir)
+    block_rows = int(table.properties(snapshot_id)["block_rows"])
+    dmap = _delete_map(table_dir, snapshot_id, block_rows)
     enc = table.read_table(spark, snapshot_id).filter(F.col("column") == column)
     if blocks is not None:
         enc = enc.join(
@@ -127,7 +163,9 @@ def count_by_value(
             out_n: list = []
             for row in batch.to_pylist():
                 e = Encoded.from_row(row)
-                values, counts, n_nulls = _block_value_counts(e)
+                values, counts, n_nulls = _block_value_counts(
+                    e, dmap.get(row["block_id"])
+                )
                 out_v.extend(str(v) for v in values)
                 out_n.extend(int(c) for c in counts)
                 if n_nulls:
@@ -142,12 +180,22 @@ def count_by_value(
     return partial.groupBy("value").agg(F.sum("n_rows").alias("n_rows"))
 
 
-def _block_numeric_stats(enc: Encoded):
+def _block_numeric_stats(enc: Encoded, kill: np.ndarray | None = None):
     """(n, total, vmin, vmax) for one numeric block.  rle blocks fold
     runs×values without expansion (the reference's own run-level sum,
     rle.py:931-944, distributed); other fixed codecs decode the single
-    payload array — never any other column."""
+    payload array — never any other column.  ``kill``: deleted in-block
+    offsets → exact decode-and-mask (min/max cannot be subtracted, the
+    block recomputes over the kept rows)."""
     from pyrle_spark.codecs import decode_array
+
+    if kill is not None and len(kill):
+        arr = decode_array(enc)
+        arr = arr.filter(pa.array(_keep_mask(len(arr), kill)))
+        a = np.asarray(arr.drop_null(), dtype=np.float64)
+        if len(a) == 0:
+            return 0, 0.0, None, None
+        return len(a), float(a.sum()), float(a.min()), float(a.max())
 
     meta = enc.meta
     codec = enc.codec
@@ -192,6 +240,8 @@ def numeric_stats(
     Note: ``sum`` accumulates in float64 per block then across blocks —
     exact for int payloads up to 2^53 per the usual float-sum caveat."""
     table = IceTable(table_dir)
+    block_rows = int(table.properties(snapshot_id)["block_rows"])
+    dmap = _delete_map(table_dir, snapshot_id, block_rows)
     enc = table.read_table(spark, snapshot_id).filter(F.col("column") == column)
     if blocks is not None:
         enc = enc.join(
@@ -203,7 +253,9 @@ def numeric_stats(
         for batch in batches:
             rows = {"n": [], "total": [], "vmin": [], "vmax": []}
             for row in batch.to_pylist():
-                n, total, vmin, vmax = _block_numeric_stats(Encoded.from_row(row))
+                n, total, vmin, vmax = _block_numeric_stats(
+                    Encoded.from_row(row), dmap.get(row["block_id"])
+                )
                 rows["n"].append(n)
                 rows["total"].append(total)
                 rows["vmin"].append(vmin)
@@ -287,6 +339,8 @@ def sum_by_value(
     from pyrle_spark.codecs import decode_array
 
     table = IceTable(table_dir)
+    block_rows = int(table.properties(snapshot_id)["block_rows"])
+    dmap = _delete_map(table_dir, snapshot_id, block_rows)
     enc = table.read_table(spark, snapshot_id).filter(
         F.col("column").isin([group_col, measure_col])
     )
@@ -296,11 +350,12 @@ def sum_by_value(
     def _partials(batches):
         pending: dict = {}
 
-        def flush(cols):
+        def flush(bid, cols):
             g = cols.get(group_col)
             m = cols.get(measure_col)
             if g is None or m is None:
                 return None
+            kill = dmap.get(bid)
             marr = decode_array(m)
             mvalid = np.asarray(marr.is_valid()) if marr.null_count else None
             mvals = np.asarray(
@@ -310,6 +365,8 @@ def sum_by_value(
             if packed is not None:
                 codes, values, gvalid = packed
                 mask = np.ones(len(codes), dtype=bool)
+                if kill is not None and len(kill):
+                    mask &= _keep_mask(len(codes), kill)
                 if gvalid is not None:
                     mask &= gvalid
                 if mvalid is not None:
@@ -328,8 +385,15 @@ def sum_by_value(
                 )
             garr = decode_array(g)
             keys = garr.to_pylist()
+            gkeep = (
+                _keep_mask(len(keys), kill)
+                if kill is not None and len(kill)
+                else None
+            )
             agg: dict = {}
             for i, k in enumerate(keys):
+                if gkeep is not None and not gkeep[i]:
+                    continue
                 if k is None or (mvalid is not None and not mvalid[i]):
                     continue
                 c, s = agg.get(k, (0, 0.0))
@@ -366,14 +430,14 @@ def sum_by_value(
                 bid = row["block_id"]
                 if bid != cur_bid:
                     if cur_bid is not None:
-                        out = emit(flush(pending))
+                        out = emit(flush(cur_bid, pending))
                         if out is not None:
                             yield out
                     cur_bid = bid
                     pending = {}
                 pending[row["column"]] = Encoded.from_row(row)
         if cur_bid is not None:
-            out = emit(flush(pending))
+            out = emit(flush(cur_bid, pending))
             if out is not None:
                 yield out
 

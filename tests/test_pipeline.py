@@ -699,3 +699,63 @@ def test_deletes_survive_compaction(spark, webtext, tmp_path):
     assert decode_table(spark, out).count() == N_ROWS - 3
     compact_table(spark, out)
     assert decode_table(spark, out).count() == N_ROWS - 3
+
+
+def test_compressed_domain_respects_deletes(spark, tmp_path):
+    """Merge-on-read deletes reach the compressed-domain paths: after a
+    delete, count_by_value / numeric_stats / sum_by_value equal the
+    row-level answers over the KEPT rows (affected blocks take the
+    decode-and-mask path; untouched blocks stay compressed)."""
+    from pyrle_spark.plans.compressed import (
+        count_by_value,
+        numeric_stats,
+        sum_by_value,
+    )
+    from pyrle_spark.plans.encode_job import delete_rows
+
+    out = str(tmp_path / "cdom_del")
+    df = spark.range(0, 8192, 1, 4).select(
+        F.col("id").alias("doc_seq"),
+        F.when(F.col("id") % 100 == 0, None)
+        .otherwise(F.concat(F.lit("t"), (F.col("id") % 7).cast("string")))
+        .alias("tag"),
+        (F.col("id") / 1000).cast("long").alias("bucket"),
+    )
+    encode_table(
+        spark, df, out, EncodeConfig(columns=["tag", "bucket"], block_rows=1024)
+    )
+    # a scatter (mask path) + everything from id 7000 (covers the whole
+    # last block → prune path, plus a partial block → mask path), which
+    # also removes buckets 7 and 8 entirely so min/max must recompute
+    doomed = [5, 700, 1234, 4096] + list(range(7000, 8192))
+    delete_rows(spark, out, doomed)
+    kept = df.filter(~F.col("doc_seq").isin(doomed))
+
+    got = {r["value"]: r["n_rows"] for r in count_by_value(spark, out, "tag").collect()}
+    exp = {
+        (str(r["tag"]) if r["tag"] is not None else None): r["cnt"]
+        for r in kept.groupBy("tag").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got == exp
+
+    row = numeric_stats(spark, out, "bucket").collect()[0]
+    e = kept.agg(
+        F.count("bucket"), F.sum("bucket"), F.min("bucket"), F.max("bucket")
+    ).collect()[0]
+    assert (row["n_rows"], row["sum_value"], row["min_value"], row["max_value"]) == (
+        e[0], float(e[1]), float(e[2]), float(e[3]),
+    )
+    assert row["max_value"] == 6.0  # buckets 7 and 8 were fully deleted
+
+    got_s = {
+        r["value"]: (r["n_rows"], r["sum_value"])
+        for r in sum_by_value(spark, out, "tag", "bucket").collect()
+    }
+    exp_s = {
+        r["tag"]: (r["cnt"], float(r["s"]))
+        for r in kept.filter(F.col("tag").isNotNull())
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("bucket").alias("s"))
+        .collect()
+    }
+    assert got_s == exp_s
