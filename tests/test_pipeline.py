@@ -759,3 +759,29 @@ def test_compressed_domain_respects_deletes(spark, tmp_path):
         .collect()
     }
     assert got_s == exp_s
+
+
+@pytest.mark.parametrize(
+    "doomed",
+    [
+        [],                                  # no-op delete
+        [0],                                 # first position
+        [3999],                              # last position
+        [7, 7, 7, 8],                        # duplicates in the request
+        list(range(4000)),                   # delete everything
+        list(range(0, 4000, 2)),             # half the table, every block
+    ],
+)
+def test_delete_rows_edge_cases(spark, webtext, tmp_path, doomed):
+    """Delete-vector edges: empty set, boundary positions, duplicate
+    requests, full-table delete, and every-block scatter all leave
+    decode == all-minus-deleted."""
+    from pyrle_spark.plans.encode_job import delete_rows
+
+    out = str(tmp_path / "edge")
+    encode_table(spark, webtext, out, EncodeConfig(columns=["lang"], block_rows=BLOCK))
+    if doomed:
+        info = delete_rows(spark, out, doomed)
+        assert info["n_positions"] == len(set(doomed))
+    got = {r["_order"] for r in decode_table(spark, out).select("_order").collect()}
+    assert got == set(range(N_ROWS)) - set(doomed)
