@@ -1159,6 +1159,47 @@ FROM documents WHERE doc_id % 97 != 0 GROUP BY lang
 """
 
 
+def mor_compressed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain GROUP BY count AFTER a merge-on-read delete:
+    encode documents.lang, delete every ``doc_id % 97 == 0`` position,
+    then count by value straight from the blocks.  Blocks the delete
+    touches decode-and-mask; the rest aggregate their code streams.
+    Equality with the row-level oracle proves the compressed path and
+    the decode path agree about deleted rows."""
+    import tempfile
+
+    from pyrle_spark.plans.compressed import count_by_value
+    from pyrle_spark.plans.encode_job import EncodeConfig, delete_rows, encode_table
+
+    docs = load(spark, sf_dir, "documents")
+    ordered = docs.select(
+        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("_seq"),
+        "doc_id",
+        "lang",
+    )
+    out_dir = tempfile.mkdtemp(prefix="mor_ccount_")
+    encode_table(
+        spark,
+        ordered,
+        out_dir,
+        EncodeConfig(columns=["doc_id", "lang"], order_col="_seq", block_rows=64),
+    )
+    doomed = ordered.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("_seq").alias("_order")
+    )
+    delete_rows(spark, out_dir, doomed)
+    return (
+        count_by_value(spark, out_dir, "lang")
+        .select(F.col("value").alias("lang"), "n_rows")
+    )
+
+
+_MOR_COMPRESSED_COUNT_SQL = """
+SELECT lang, count(*) AS n_rows
+FROM documents WHERE doc_id % 97 != 0 GROUP BY lang
+"""
+
+
 def compressed_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP-BY-count answered IN THE COMPRESSED DOMAIN: encode
     documents.lang, then compute the histogram from each block's
@@ -1629,6 +1670,7 @@ QUERIES = {
     "rle_add_fused": rle_add_fused,
     "layout_advisor": layout_advisor,
     "mor_delete_agg": mor_delete_agg,
+    "mor_compressed_count": mor_compressed_count,
     "rle_eq_step": rle_eq_step,
     "rle_cmp_step": rle_cmp_step,
     "apply_values_runs": apply_values_runs,
@@ -1666,6 +1708,7 @@ ORACLE_SQL = {
     "rle_add_fused": _RLE_ADD_FUSED_SQL,
     "layout_advisor": _layout_advisor_sql(),
     "mor_delete_agg": _MOR_DELETE_AGG_SQL,
+    "mor_compressed_count": _MOR_COMPRESSED_COUNT_SQL,
     "rle_eq_step": _RLE_EQ_STEP_SQL,
     "rle_cmp_step": _RLE_CMP_STEP_SQL,
     "apply_values_runs": _APPLY_VALUES_RUNS_SQL,

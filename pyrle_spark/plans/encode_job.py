@@ -53,8 +53,10 @@ from pyrle_spark.sources.icetable import IceTable
 
 __all__ = [
     "EncodeConfig",
-    "encode_table",
+    "compact_table",
     "decode_table",
+    "delete_rows",
+    "encode_table",
     "prune_blocks",
     "prune_blocks_eq",
     "prune_blocks_in",
