@@ -56,6 +56,7 @@ __all__ = [
     "compact_table",
     "decode_table",
     "delete_rows",
+    "delete_where",
     "encode_table",
     "prune_blocks",
     "prune_blocks_eq",
@@ -598,6 +599,25 @@ def delete_rows(spark: SparkSession, table_dir: str, positions) -> dict:
         json.dump(entries, f)
     os.replace(tmp, manifest_path)
     return entry
+
+
+def delete_where(
+    spark: SparkSession, table_dir: str, column: str, values: list
+) -> dict:
+    """Equality delete (the Iceberg v2 equality-delete file, realized as
+    positions): remove every row whose ``column`` is in ``values`` —
+    'delete all rows for these urls', the takedown request as users
+    actually phrase it.
+
+    Resolution is pruned, not a full scan: bloom digests drop blocks
+    that cannot contain any of the values, only survivors decode (that
+    one column), and the matching ``_order`` positions become a regular
+    position-delete commit.  Returns :func:`delete_rows`'s summary."""
+    enc = IceTable(table_dir).read_table(spark)
+    live = prune_blocks_in(enc, column, values)
+    dec = decode_table(spark, table_dir, columns=[column], blocks=live)
+    doomed = dec.filter(F.col(column).isin(values)).select("_order")
+    return delete_rows(spark, table_dir, doomed)
 
 
 def _delete_positions(table_dir: str, snapshot_id: str | None) -> list:

@@ -785,3 +785,27 @@ def test_delete_rows_edge_cases(spark, webtext, tmp_path, doomed):
         assert info["n_positions"] == len(set(doomed))
     got = {r["_order"] for r in decode_table(spark, out).select("_order").collect()}
     assert got == set(range(N_ROWS)) - set(doomed)
+
+
+def test_delete_where_equality(spark, webtext, tmp_path):
+    """Equality delete: every row whose lang is in the kill list vanishes
+    (resolved through bloom-pruned decode of the one column, committed
+    as a position delete); re-running is idempotent."""
+    from pyrle_spark.plans.encode_job import delete_where
+
+    out = str(tmp_path / "eqdel")
+    encode_table(
+        spark, webtext, out, EncodeConfig(columns=["lang", "url"], block_rows=BLOCK)
+    )
+    kill = [r["lang"] for r in webtext.select("lang").distinct().limit(2).collect()]
+    n_kill = webtext.filter(F.col("lang").isin(kill)).count()
+    assert n_kill > 0
+    info = delete_where(spark, out, "lang", kill)
+    assert info["n_positions"] == n_kill
+    dec = decode_table(spark, out)
+    assert dec.count() == N_ROWS - n_kill
+    assert dec.filter(F.col("lang").isin(kill)).count() == 0
+    # idempotent: the survivors contain none of the values
+    info2 = delete_where(spark, out, "lang", kill)
+    assert info2["n_positions"] == 0
+    assert decode_table(spark, out).count() == N_ROWS - n_kill
