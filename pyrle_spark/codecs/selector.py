@@ -61,8 +61,30 @@ def column_stats(kind: str, payload) -> dict:
         distinct = len(head.unique())
     else:
         distinct = 0
+    if n:
+        # exact run count via one vectorized adjacent-not-equal on a
+        # zero-copy arrow view — block manifests carry it for every
+        # column, so layout metrics (rewrite_sorted's before/after run
+        # totals) see string columns too, not just fixed-width ones
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        view = pa.Array.from_buffers(
+            pa.large_binary(),
+            n,
+            [
+                None,
+                pa.py_buffer(np.ascontiguousarray(offsets, dtype=np.int64)),
+                pa.py_buffer(np.ascontiguousarray(data)),
+            ],
+        )
+        neq = pc.not_equal(view.slice(0, n - 1), view.slice(1))
+        n_runs = 1 + int(pc.sum(pc.cast(neq, "int64")).as_py() or 0)
+    else:
+        n_runs = 0
     return {
         "n": n,
+        "n_runs": n_runs,
         "avg_len": float(lens.mean()) if n else 0.0,
         "total_bytes": int(offsets[-1]) if n else 0,
         "distinct_est": distinct,

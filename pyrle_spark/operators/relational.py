@@ -1654,8 +1654,87 @@ def _layout_advisor_sql() -> str:
     )
 
 
+def layout_rewrite_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layout-advisor's promise, BANKED: encode documents in arrival
+    order, ``rewrite_sorted`` by ``lang`` (the advisor's winning sort
+    column), and report the per-column run totals the REWRITTEN table's
+    block manifests carry.  The oracle recomputes those totals from
+    first principles — row_number over (lang, doc_id), a lag-compare
+    per column, plus one run start per 64-row block boundary — so a
+    green hash proves (a) the two-pass distributed rank in
+    ``assign_row_order`` produced exactly the (lang, original-order)
+    permutation and (b) every block's ``n_runs`` stat (including the
+    arrow adjacent-not-equal count on string columns) is exact.
+
+    Scale shape: rank via bounded per-(key, sub-range) windows with
+    driver-cumulated group counts (no global window in the rewrite
+    path); encode/decode are the streaming mapInArrow passes.  The one
+    global row_number below only shapes the tiny test input's order
+    column, as in bloom_prune_eq_agg."""
+    import tempfile
+
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        dedup_blocks,
+        encode_table,
+        rewrite_sorted,
+    )
+    from pyrle_spark.sources.icetable import IceTable
+
+    docs = load(spark, sf_dir, "documents")
+    ordered = docs.select(
+        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("_seq"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    src_dir = tempfile.mkdtemp(prefix="layout_src_")
+    out_dir = tempfile.mkdtemp(prefix="layout_sorted_")
+    encode_table(
+        spark,
+        ordered,
+        src_dir,
+        EncodeConfig(
+            columns=["lang", "source", "n_chars"], order_col="_seq", block_rows=64
+        ),
+    )
+    rewrite_sorted(spark, src_dir, out_dir, ["lang"], block_rows=64)
+    blocks = dedup_blocks(IceTable(out_dir).read_table(spark))
+    return (
+        blocks.groupBy(F.col("column").alias("col_name"))
+        .agg(
+            F.sum("n_runs").alias("n_runs"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+    )
+
+
+_LAYOUT_REWRITE_RUNS_SQL = """
+WITH ordered AS (
+  SELECT lang, source, n_chars,
+         row_number() OVER (ORDER BY lang, doc_id) - 1 AS rk
+  FROM documents
+), marked AS (
+  SELECT rk,
+    CASE WHEN rk % 64 = 0 OR lang    IS DISTINCT FROM lag(lang)    OVER (ORDER BY rk) THEN 1 ELSE 0 END AS c_lang,
+    CASE WHEN rk % 64 = 0 OR source  IS DISTINCT FROM lag(source)  OVER (ORDER BY rk) THEN 1 ELSE 0 END AS c_source,
+    CASE WHEN rk % 64 = 0 OR n_chars IS DISTINCT FROM lag(n_chars) OVER (ORDER BY rk) THEN 1 ELSE 0 END AS c_n_chars
+  FROM ordered
+)
+SELECT col_name, n_runs, n_rows FROM (
+  SELECT 'lang' AS col_name, CAST(sum(c_lang) AS BIGINT) AS n_runs,
+         count(*) AS n_rows FROM marked
+  UNION ALL
+  SELECT 'source', CAST(sum(c_source) AS BIGINT), count(*) FROM marked
+  UNION ALL
+  SELECT 'n_chars', CAST(sum(c_n_chars) AS BIGINT), count(*) FROM marked
+)
+"""
+
+
 QUERIES = {
     "rle_encode_lang": rle_encode_lang,
+    "layout_rewrite_runs": layout_rewrite_runs,
     "zonemap_prune_agg": zonemap_prune_agg,
     "bloom_prune_eq_agg": bloom_prune_eq_agg,
     "compressed_count_by_lang": compressed_count_by_lang,
@@ -1707,6 +1786,7 @@ ORACLE_SQL = {
     "rle_add_step": _RLE_ADD_STEP_SQL,
     "rle_add_fused": _RLE_ADD_FUSED_SQL,
     "layout_advisor": _layout_advisor_sql(),
+    "layout_rewrite_runs": _LAYOUT_REWRITE_RUNS_SQL,
     "mor_delete_agg": _MOR_DELETE_AGG_SQL,
     "mor_compressed_count": _MOR_COMPRESSED_COUNT_SQL,
     "rle_eq_step": _RLE_EQ_STEP_SQL,

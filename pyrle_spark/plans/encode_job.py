@@ -45,6 +45,7 @@ import numpy as np
 import pyarrow as pa
 from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from pyrle_spark.codecs import Encoded, decode_array
@@ -53,10 +54,12 @@ from pyrle_spark.sources.icetable import IceTable
 
 __all__ = [
     "EncodeConfig",
+    "assign_row_order",
     "compact_table",
     "decode_table",
     "delete_rows",
     "delete_where",
+    "rewrite_sorted",
     "encode_table",
     "prune_blocks",
     "prune_blocks_eq",
@@ -697,6 +700,133 @@ def compact_table(spark: SparkSession, table_dir: str, keep_snapshots: int = 1) 
         "snapshots_expired": len(gc["expired_snapshots"]),
         "deleted_files": gc["deleted_files"],
         "reclaimed_bytes": gc["reclaimed_bytes"],
+    }
+
+
+def assign_row_order(
+    df: DataFrame,
+    order_by: list,
+    tiebreak: str = "_order",
+    sub_rows: int = 1 << 16,
+    out_col: str = "_new_order",
+) -> DataFrame:
+    """Contiguous total-order rank ``0..n-1`` by ``(order_by…, tiebreak)``
+    WITHOUT a global window (the single-partition ``row_number`` that a
+    naive ranking would use is the scale-killer the r1 audit flagged).
+
+    Two-pass distributed rank:
+
+    1. Rows are grouped by ``(order_by…, sub)`` where ``sub =
+       tiebreak // sub_rows`` splits hot key groups into bounded
+       sub-ranges (a Zipf-hot ``lang`` bucket never serializes onto one
+       task).  The group COUNTS — about ``n_distinct(order_by) +
+       n/sub_rows`` rows, driver-small even at 10^11 source rows — are
+       collected in Spark's own sort order (so engine collation, not
+       Python's, decides ties) and cumulated into start offsets.
+    2. Offsets broadcast-join back (null-safe on the key columns) and
+       each group ranks locally: ``rank = offset + row_number() over
+       (partition by key, sub order by tiebreak) - 1``.  Every window
+       is partitioned; max task size is ``sub_rows``.
+
+    ``tiebreak`` must be unique per row (e.g. the decode ``_order``),
+    which makes the total order deterministic and the rank a permutation."""
+    order_by = list(order_by)
+    sub = (F.col(tiebreak) / F.lit(int(sub_rows))).cast("long").alias("_sub")
+    keyed = df.withColumn("_sub", sub)
+    counts = (
+        keyed.groupBy(*order_by, "_sub")
+        .count()
+        .orderBy(*order_by, "_sub")
+        .collect()
+    )
+    total = 0
+    off_rows = []
+    for r in counts:
+        off_rows.append(tuple(r[c] for c in order_by) + (r["_sub"], total))
+        total += r["count"]
+    off_schema = keyed.select(*order_by, "_sub").schema.add("_off", "long")
+    offs = df.sparkSession.createDataFrame(off_rows, off_schema)
+    cond = [keyed[c].eqNullSafe(offs[c]) for c in order_by]
+    cond.append(keyed["_sub"] == offs["_sub"])
+    joined = keyed.join(F.broadcast(offs), cond, "inner").drop(offs["_sub"])
+    for c in order_by:
+        joined = joined.drop(offs[c])
+    w = W.partitionBy(*order_by, "_sub").orderBy(tiebreak)
+    return (
+        joined.withColumn(out_col, F.col("_off") + F.row_number().over(w) - 1)
+        .drop("_off", "_sub")
+    )
+
+
+def rewrite_sorted(
+    spark: SparkSession,
+    table_dir: str,
+    out_dir: str,
+    order_by: list,
+    block_rows: int | None = None,
+    sub_rows: int = 1 << 16,
+) -> dict:
+    """Layout-aware rewrite (Iceberg ``rewrite_data_files`` with a sort
+    strategy): decode the live table, re-sort by ``order_by`` (tie-broken
+    by the original position, so the rewrite is deterministic), and
+    re-encode into ``out_dir`` — acting on exactly the decision
+    :func:`~pyrle_spark.operators.relational.layout_advisor` prices.
+    Clustering equal values into runs is what turns the RLE/dict codecs
+    on: the advisor predicts the run-count drop, this op banks it.
+
+    Scale shape: one decode scan, one :func:`assign_row_order` rank
+    (bounded windows, driver holds only group counts), one encode pass —
+    no global window, no driver data. Merge-on-read deletes of the
+    source are applied during decode, so the rewrite also COMPACTS
+    DELETES (the new table starts with an empty delete set), matching
+    Iceberg's rewrite semantics.
+
+    Returns ``{"rows", "order_by", "bytes_out_before", "bytes_out_after",
+    "n_runs_before", "n_runs_after", "snapshot_id"}``."""
+    table = IceTable(table_dir)
+    props = table.properties()
+    cols = list(props["columns"])
+    block_rows = int(block_rows or props["block_rows"])
+    before = (
+        dedup_blocks(table.read_table(spark))
+        .agg(
+            F.sum("bytes_out").alias("b"),
+            F.sum("n_runs").alias("r"),
+        )
+        .first()
+    )
+    dec = decode_table(spark, table_dir)  # applies delete vectors
+    ranked = assign_row_order(dec, order_by, "_order", sub_rows, "_seq")
+    src = ranked.select("_seq", *cols)
+    summary = encode_table(
+        spark,
+        src,
+        out_dir,
+        EncodeConfig(
+            columns=cols,
+            order_col="_seq",
+            block_rows=block_rows,
+            properties={"rewrite_sorted_by": ",".join(map(str, order_by))},
+        ),
+    )
+    after = (
+        dedup_blocks(IceTable(out_dir).read_table(spark))
+        .agg(
+            F.sum("bytes_out").alias("b"),
+            F.sum("n_runs").alias("r"),
+            F.sum(F.when(F.col("column") == cols[0], F.col("n_rows"))).alias("n"),
+        )
+        .first()
+    )
+    n_rows = int(after["n"])
+    return {
+        "rows": n_rows,
+        "order_by": list(order_by),
+        "bytes_out_before": int(before["b"]),
+        "bytes_out_after": int(after["b"]),
+        "n_runs_before": int(before["r"]),
+        "n_runs_after": int(after["r"]),
+        "snapshot_id": summary["snapshot_id"],
     }
 
 

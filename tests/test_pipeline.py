@@ -809,3 +809,56 @@ def test_delete_where_equality(spark, webtext, tmp_path):
     info2 = delete_where(spark, out, "lang", kill)
     assert info2["n_positions"] == 0
     assert decode_table(spark, out).count() == N_ROWS - n_kill
+
+
+def test_assign_row_order_matches_global_rank(spark):
+    """The de-globalized two-pass rank equals a plain global row_number
+    over the same (key, tiebreak) order — including hot keys split
+    across many sub-buckets (sub_rows=8 forces the split) and ties
+    broken by the old position."""
+    from pyspark.sql import Window
+    from pyrle_spark.plans.encode_job import assign_row_order
+
+    df = spark.range(500).select(
+        F.col("id").alias("_order"),
+        (F.when(F.col("id") % 10 < 7, F.lit("hot")).otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 3).cast("string"))
+        )).alias("k"),
+    )
+    got = assign_row_order(df, ["k"], "_order", sub_rows=8, out_col="_rk")
+    want = df.withColumn(
+        "_rk", F.row_number().over(Window.orderBy("k", "_order")) - 1
+    )
+    assert got.count() == 500
+    diff = got.select("_order", "_rk").exceptAll(want.select("_order", "_rk"))
+    assert diff.count() == 0
+
+
+def test_rewrite_sorted_clusters_and_preserves(spark, webtext, tmp_path):
+    """Layout rewrite by lang: the multiset of rows is preserved, lang
+    comes out clustered (exactly n_distinct runs), total run count
+    drops, and merge-on-read deletes of the source are compacted away."""
+    from pyrle_spark.plans.encode_job import delete_rows, rewrite_sorted
+
+    src_dir, out_dir = str(tmp_path / "src"), str(tmp_path / "sorted")
+    encode_table(
+        spark,
+        webtext,
+        src_dir,
+        EncodeConfig(columns=["lang", "url", "warc_ts"], block_rows=BLOCK),
+    )
+    delete_rows(spark, src_dir, [0, 1, 2, 3, 4])
+    info = rewrite_sorted(spark, src_dir, out_dir, ["lang"])
+    assert info["rows"] == N_ROWS - 5
+    assert info["n_runs_after"] < info["n_runs_before"]
+    # multiset preservation (deletes applied): compare against source
+    dec = decode_table(spark, out_dir).select("lang", "url", "warc_ts")
+    src = webtext.filter(F.col("doc_seq") >= 5).select("lang", "url", "warc_ts")
+    assert dec.exceptAll(src).count() == 0
+    assert src.exceptAll(dec).count() == 0
+    # clustering: decoded in _order, lang never goes backwards
+    rows = decode_table(spark, out_dir).orderBy("_order").select("lang").collect()
+    langs = [r["lang"] for r in rows]
+    assert langs == sorted(langs)
+    # the new table starts with an empty delete set
+    assert decode_table(spark, out_dir, apply_deletes=False).count() == N_ROWS - 5
