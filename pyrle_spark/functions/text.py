@@ -490,8 +490,92 @@ FROM ranked WHERE rank <= 25
 """
 
 
+# ------------------------------------------------------------------ PII scrub
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (the redaction pass every web-text pipeline runs before
+    training): count and replace email addresses and phone numbers with
+    typed placeholders, and flag rows as clean when no residual match
+    survives.
+
+    The synthetic corpus carries no natural PII, so the query first
+    INJECTS it deterministically (an email for ``doc_id % 3 != 0``, a
+    phone for even ``doc_id`` — both derived from doc_id, so Spark and
+    the oracle build byte-identical inputs) and then proves the scrub
+    removes exactly those: counts vary per row, ``clean`` is true
+    everywhere, and the redacted text hash-matches the oracle's.
+
+    Scale shape: pure built-in regexp expressions per row — JVM-side,
+    whole-stage codegen, no shuffle, no Python; the patterns use no
+    lookaround so they run identically on Java regex and RE2."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(F.lit(" contact user"), did, F.lit("@mail.example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") * 7919 % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    salted = docs.select("doc_id", raw.alias("raw"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return salted.select(
+        "doc_id",
+        F.regexp_count(F.col("raw"), F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("raw"), F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        redacted.alias("redacted"),
+        (
+            ~redacted.rlike(_EMAIL_RE) & ~redacted.rlike(_PHONE_RE)
+        ).alias("clean"),
+    )
+
+
+_PII_REDACTION_SQL = f"""
+WITH salted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 <> 0
+                 THEN ' contact user' || doc_id || '@mail.example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' call +1-555-' ||
+                      lpad(CAST((doc_id * 7919) % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS raw
+  FROM documents
+), red AS (
+  SELECT doc_id, raw,
+         regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+  FROM salted
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       redacted,
+       (NOT regexp_matches(redacted, '{_EMAIL_RE}')
+        AND NOT regexp_matches(redacted, '{_PHONE_RE}')) AS clean
+FROM red
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
+    "pii_redaction": pii_redaction,
     "token_count_bpe_ish": token_count_bpe_ish,
     "quality_score": quality_score,
     "lang_id_ngram": lang_id_ngram,
@@ -505,6 +589,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "text_stats": _TEXT_STATS_SQL,
+    "pii_redaction": _PII_REDACTION_SQL,
     "token_count_bpe_ish": _TOKEN_COUNT_BPE_SQL,
     "quality_score": _QUALITY_SCORE_SQL,
     "lang_id_ngram": _LANG_ID_SQL,

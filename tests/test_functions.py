@@ -240,3 +240,24 @@ def test_kmeans_fit_improves_cells(spark):
     for a, b in zip(costs, costs[1:]):
         assert b <= a + 1e-9, costs  # Lloyd's monotonicity
     assert costs[-1] < costs[0], costs  # actually moved off the init
+
+
+def test_pii_redaction_scrubs_everything(spark):
+    """The injected emails/phones are counted per row and fully removed:
+    counts vary with doc_id parity, placeholders appear, clean is true
+    on every row, and no raw pattern survives redaction."""
+    import pyspark.sql.functions as F
+
+    from pyrle_spark.functions.text import pii_redaction
+
+    out = pii_redaction(spark, SF_SMALL).cache()
+    n = out.count()
+    assert n > 0
+    assert out.filter(~F.col("clean")).count() == 0
+    assert out.filter(F.col("n_emails") > 0).count() > 0
+    assert out.filter(F.col("n_phones") > 0).count() > 0
+    assert out.filter(F.col("n_emails") == 0).count() > 0  # doc_id % 3 == 0 rows
+    with_email = out.filter(F.col("n_emails") > 0)
+    assert with_email.filter(~F.col("redacted").contains("<EMAIL>")).count() == 0
+    assert out.filter(F.col("redacted").rlike("@mail[.]example[.]com")).count() == 0
+    out.unpersist()
