@@ -1732,9 +1732,67 @@ SELECT col_name, n_runs, n_rows FROM (
 """
 
 
+def incremental_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental processing end-to-end (the nightly "just the new
+    crawl" read): encode the first half of documents as snapshot 1,
+    append the rest (the resume anti-join re-encodes ONLY the missing
+    blocks) as snapshot 2, then ``scan_incremental`` between the two
+    snapshots and aggregate what it returns.  The oracle is the
+    second-half row filter — equality proves the incremental scan reads
+    exactly the appended rows, no more (no old block decodes), no less.
+
+    Scale shape: the incremental planner diffs two manifests (metadata,
+    driver-side, O(#files)) and scans only the added paths; the decode
+    cost is O(new data).  The global row_number only shapes the tiny
+    test input's order column, as in bloom_prune_eq_agg."""
+    import tempfile
+
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        encode_table,
+        scan_incremental,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    ordered = docs.select(
+        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("_seq"),
+        "lang",
+        "n_chars",
+    ).cache()
+    n = ordered.count()
+    half = (n // 100) * 50 or n
+    out_dir = tempfile.mkdtemp(prefix="inc_scan_")
+    cfg = EncodeConfig(columns=["lang", "n_chars"], order_col="_seq", block_rows=50)
+    first = encode_table(spark, ordered.filter(F.col("_seq") < half), out_dir, cfg)
+    encode_table(spark, ordered, out_dir, cfg)
+    ordered.unpersist()
+    inc = scan_incremental(spark, out_dir, first["snapshot_id"])
+    return inc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("_order").alias("first_pos"),
+    )
+
+
+_INCREMENTAL_SCAN_AGG_SQL = """
+WITH ordered AS (
+  SELECT lang, n_chars, row_number() OVER (ORDER BY doc_id) - 1 AS rk
+  FROM documents
+), half AS (
+  SELECT CASE WHEN (count(*) // 100) * 50 = 0 THEN count(*)
+              ELSE (count(*) // 100) * 50 END AS h
+  FROM ordered
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(rk) AS first_pos
+FROM ordered WHERE rk >= (SELECT h FROM half) GROUP BY lang
+"""
+
+
 QUERIES = {
     "rle_encode_lang": rle_encode_lang,
     "layout_rewrite_runs": layout_rewrite_runs,
+    "incremental_scan_agg": incremental_scan_agg,
     "zonemap_prune_agg": zonemap_prune_agg,
     "bloom_prune_eq_agg": bloom_prune_eq_agg,
     "compressed_count_by_lang": compressed_count_by_lang,
@@ -1787,6 +1845,7 @@ ORACLE_SQL = {
     "rle_add_fused": _RLE_ADD_FUSED_SQL,
     "layout_advisor": _layout_advisor_sql(),
     "layout_rewrite_runs": _LAYOUT_REWRITE_RUNS_SQL,
+    "incremental_scan_agg": _INCREMENTAL_SCAN_AGG_SQL,
     "mor_delete_agg": _MOR_DELETE_AGG_SQL,
     "mor_compressed_count": _MOR_COMPRESSED_COUNT_SQL,
     "rle_eq_step": _RLE_EQ_STEP_SQL,

@@ -59,7 +59,9 @@ __all__ = [
     "decode_table",
     "delete_rows",
     "delete_where",
+    "incremental_deletes",
     "rewrite_sorted",
+    "scan_incremental",
     "encode_table",
     "prune_blocks",
     "prune_blocks_eq",
@@ -701,6 +703,61 @@ def compact_table(spark: SparkSession, table_dir: str, keep_snapshots: int = 1) 
         "deleted_files": gc["deleted_files"],
         "reclaimed_bytes": gc["reclaimed_bytes"],
     }
+
+
+def scan_incremental(
+    spark: SparkSession,
+    table_dir: str,
+    from_snapshot: str,
+    to_snapshot: str | None = None,
+    columns: list | None = None,
+) -> DataFrame:
+    """CDC-style incremental read (Iceberg's incremental append scan):
+    decode only the rows committed AFTER ``from_snapshot`` and at or
+    before ``to_snapshot`` (default: current) — the "process just the
+    new crawl" primitive that lets a 100 TB pipeline re-run nightly
+    without touching yesterday's blocks.
+
+    Granularity is the data file: blocks contained in files added
+    between the two manifests decode; everything older is never read
+    (the planner sees only the added paths, so the scan cost is
+    O(new data), not O(table)).  With the standard append/resume
+    workflow block ids are disjoint per pass, so this is exactly the
+    added rows.  Deletes are NOT part of the append stream — diff them
+    with :func:`incremental_deletes`."""
+    table = IceTable(table_dir)
+    to_snapshot = to_snapshot or table.current_snapshot_id()
+    old = {f["path"] for f in table._manifest(from_snapshot)["files"]}
+    new_paths = [
+        f["path"]
+        for f in table._manifest(to_snapshot)["files"]
+        if f["path"] not in old
+    ]
+    if not new_paths:
+        return decode_table(
+            spark, table_dir, columns=columns, snapshot_id=to_snapshot
+        ).limit(0)
+    added_blocks = (
+        spark.read.parquet(*new_paths).select("block_id").distinct()
+    )
+    return decode_table(
+        spark,
+        table_dir,
+        columns=columns,
+        snapshot_id=to_snapshot,
+        blocks=added_blocks,
+    )
+
+
+def incremental_deletes(
+    table_dir: str, from_snapshot: str, to_snapshot: str | None = None
+) -> list:
+    """Positions deleted between two snapshots (the delete side of the
+    CDC stream): visible-at-``to`` minus visible-at-``from``, as a
+    sorted list of ``_order`` positions."""
+    old = set(_delete_positions(table_dir, from_snapshot))
+    new = set(_delete_positions(table_dir, to_snapshot))
+    return sorted(new - old)
 
 
 def assign_row_order(

@@ -862,3 +862,40 @@ def test_rewrite_sorted_clusters_and_preserves(spark, webtext, tmp_path):
     assert langs == sorted(langs)
     # the new table starts with an empty delete set
     assert decode_table(spark, out_dir, apply_deletes=False).count() == N_ROWS - 5
+
+
+def test_incremental_scan_and_deletes(spark, webtext, tmp_path):
+    """CDC between snapshots: the incremental scan returns exactly the
+    appended rows (by position), and incremental_deletes returns
+    exactly the positions deleted between the two snapshots."""
+    from pyrle_spark.plans.encode_job import (
+        delete_rows,
+        incremental_deletes,
+        scan_incremental,
+    )
+
+    out = str(tmp_path / "cdc")
+    cfg = EncodeConfig(columns=["lang", "url"], block_rows=BLOCK)
+    half = N_ROWS // 2
+    first = encode_table(
+        spark, webtext.filter(F.col("doc_seq") < half), out, cfg
+    )
+    s1 = first["snapshot_id"]
+    encode_table(spark, webtext, out, cfg)
+    inc = scan_incremental(spark, out, s1)
+    got = {r["_order"] for r in inc.select("_order").collect()}
+    assert got == set(range(half, N_ROWS))
+    # column pruning still applies on the incremental path
+    assert set(scan_incremental(spark, out, s1, columns=["lang"]).columns) == {
+        "_order",
+        "lang",
+    }
+    # delete CDC: a delete commits against the CURRENT snapshot (s2), so
+    # it appears in the s1→now diff but not in the s2→now diff (it is
+    # already visible when reading s2 itself — snapshot-scoped MoR)
+    s2 = IceTable(out).current_snapshot_id()
+    delete_rows(spark, out, [1, half + 1])
+    assert incremental_deletes(out, s1) == [1, half + 1]
+    assert incremental_deletes(out, s2) == []
+    # no appended data between s2 and now: incremental rows are empty
+    assert scan_incremental(spark, out, s2).count() == 0
