@@ -202,3 +202,50 @@ class IceTable:
             "deleted_files": deleted,
             "reclaimed_bytes": reclaimed,
         }
+
+    def vacuum(self, older_than_s: float = 0.0) -> dict:
+        """Iceberg-style ``remove_orphan_files``: delete files under
+        ``data/`` that NO retained snapshot manifest and no delete-vector
+        manifest references — the residue of a writer killed between its
+        parquet output and the manifest commit (the failure window the
+        kill-resume test exercises; the rerun re-encodes those blocks
+        into a fresh snapshot dir, stranding the partial one forever).
+
+        ``older_than_s``: only files modified at least this many seconds
+        ago are considered (Iceberg's safety margin against deleting a
+        CONCURRENT writer's in-flight output — at scale, run with hours).
+        Marker files (``_SUCCESS``, ``.crc``) are orphans by definition
+        and are removed on the same terms; emptied dirs are pruned.
+
+        Returns ``{"deleted_files": n, "reclaimed_bytes": n}``."""
+        meta = self._read_meta()
+        live = set()
+        for s in meta["snapshots"]:
+            for f in self._manifest(s["id"])["files"]:
+                live.add(os.path.realpath(f["path"]))
+        del_manifest = os.path.join(self.path, "deletes", "manifest.json")
+        if os.path.exists(del_manifest):
+            with open(del_manifest) as f:
+                for e in json.load(f):
+                    live.add(os.path.realpath(e["file"]))
+        deleted = reclaimed = 0
+        cutoff = time.time() - max(0.0, older_than_s)
+        data_root = os.path.join(self.path, "data")
+        if not os.path.isdir(data_root):
+            return {"deleted_files": 0, "reclaimed_bytes": 0}
+        for root, _, names in os.walk(data_root, topdown=False):
+            for name in names:
+                full = os.path.join(root, name)
+                if os.path.realpath(full) in live:
+                    continue
+                try:
+                    if os.path.getmtime(full) > cutoff:
+                        continue
+                    reclaimed += os.path.getsize(full)
+                    os.remove(full)
+                    deleted += 1
+                except FileNotFoundError:
+                    continue
+            if root != data_root and not os.listdir(root):
+                os.rmdir(root)
+        return {"deleted_files": deleted, "reclaimed_bytes": reclaimed}

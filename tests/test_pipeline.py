@@ -899,3 +899,44 @@ def test_incremental_scan_and_deletes(spark, webtext, tmp_path):
     assert incremental_deletes(out, s2) == []
     # no appended data between s2 and now: incremental rows are empty
     assert scan_incremental(spark, out, s2).count() == 0
+
+
+def test_vacuum_removes_orphans_only(spark, webtext, tmp_path):
+    """vacuum deletes exactly the unreferenced residue (a fake crashed
+    write + marker files) and never a live data or delete-vector file;
+    decode is bit-unchanged and a too-recent mtime is spared."""
+    import os
+
+    from pyrle_spark.plans.encode_job import delete_rows
+
+    out = str(tmp_path / "vac")
+    encode_table(
+        spark, webtext, out, EncodeConfig(columns=["lang", "url"], block_rows=BLOCK)
+    )
+    delete_rows(spark, out, [3])
+    before = {
+        r["_order"]: r["url"]
+        for r in decode_table(spark, out).select("_order", "url").collect()
+    }
+    # fake a crashed write: an orphan snapshot dir + a marker in a live dir
+    orphan_dir = os.path.join(out, "data", "deadbeef-crashed")
+    os.makedirs(orphan_dir)
+    with open(os.path.join(orphan_dir, "part-00000.parquet"), "wb") as f:
+        f.write(b"x" * 1024)
+    live_dirs = [d for d in os.listdir(os.path.join(out, "data")) if "crashed" not in d]
+    marker = os.path.join(out, "data", live_dirs[0], "_SUCCESS")
+    open(marker, "a").close()
+    # a fresh orphan is spared by the concurrency margin
+    spared = IceTable(out).vacuum(older_than_s=3600)
+    assert spared["deleted_files"] == 0
+    info = IceTable(out).vacuum()
+    assert info["deleted_files"] >= 2  # orphan parquet + marker
+    assert info["reclaimed_bytes"] >= 1024
+    assert not os.path.exists(orphan_dir)
+    after = {
+        r["_order"]: r["url"]
+        for r in decode_table(spark, out).select("_order", "url").collect()
+    }
+    assert after == before
+    # idempotent
+    assert IceTable(out).vacuum()["deleted_files"] == 0
