@@ -1789,10 +1789,82 @@ FROM ordered WHERE rk >= (SELECT h FROM half) GROUP BY lang
 """
 
 
+def time_travel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel × merge-on-read visibility, oracle-checked: snapshot 1
+    holds the first half of documents, snapshot 2 appends the rest, then
+    a position-delete (every 97th row) commits AGAINST snapshot 2.
+    Reading AT snapshot 1 must see the old row set with NO deletes
+    applied (the delete postdates it); reading latest must see all rows
+    minus the delete vector.  Both reads aggregate per lang into one
+    labeled union — the oracle rebuilds each from rank filters, so a
+    green hash pins the snapshot isolation rules exactly.
+
+    Scale shape: time travel is manifest selection (driver metadata);
+    the delete applies as a broadcast anti-join of the tiny position
+    set.  The global row_number only shapes the tiny test input's order
+    column, as in bloom_prune_eq_agg."""
+    import tempfile
+
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        decode_table,
+        delete_rows,
+        encode_table,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    ordered = docs.select(
+        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("_seq"),
+        "lang",
+        "n_chars",
+    ).cache()
+    n = ordered.count()
+    half = (n // 100) * 50 or n
+    out_dir = tempfile.mkdtemp(prefix="time_travel_")
+    cfg = EncodeConfig(columns=["lang", "n_chars"], order_col="_seq", block_rows=50)
+    first = encode_table(spark, ordered.filter(F.col("_seq") < half), out_dir, cfg)
+    encode_table(spark, ordered, out_dir, cfg)
+    delete_rows(
+        spark,
+        out_dir,
+        ordered.filter(F.col("_seq") % 97 == 0).select(F.col("_seq").alias("_order")),
+    )
+    ordered.unpersist()
+
+    def _agg(df, label):
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        ).select(F.lit(label).alias("snap"), "lang", "n_docs", "total_chars")
+
+    old = decode_table(spark, out_dir, snapshot_id=first["snapshot_id"])
+    new = decode_table(spark, out_dir)
+    return _agg(old, "old").unionAll(_agg(new, "new"))
+
+
+_TIME_TRAVEL_AGG_SQL = """
+WITH ordered AS (
+  SELECT lang, n_chars, row_number() OVER (ORDER BY doc_id) - 1 AS rk
+  FROM documents
+), half AS (
+  SELECT CASE WHEN (count(*) // 100) * 50 = 0 THEN count(*)
+              ELSE (count(*) // 100) * 50 END AS h
+  FROM ordered
+)
+SELECT 'old' AS snap, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM ordered WHERE rk < (SELECT h FROM half) GROUP BY lang
+UNION ALL
+SELECT 'new', lang, count(*), CAST(sum(n_chars) AS BIGINT)
+FROM ordered WHERE rk % 97 <> 0 GROUP BY lang
+"""
+
+
 QUERIES = {
     "rle_encode_lang": rle_encode_lang,
     "layout_rewrite_runs": layout_rewrite_runs,
     "incremental_scan_agg": incremental_scan_agg,
+    "time_travel_agg": time_travel_agg,
     "zonemap_prune_agg": zonemap_prune_agg,
     "bloom_prune_eq_agg": bloom_prune_eq_agg,
     "compressed_count_by_lang": compressed_count_by_lang,
@@ -1846,6 +1918,7 @@ ORACLE_SQL = {
     "layout_advisor": _layout_advisor_sql(),
     "layout_rewrite_runs": _LAYOUT_REWRITE_RUNS_SQL,
     "incremental_scan_agg": _INCREMENTAL_SCAN_AGG_SQL,
+    "time_travel_agg": _TIME_TRAVEL_AGG_SQL,
     "mor_delete_agg": _MOR_DELETE_AGG_SQL,
     "mor_compressed_count": _MOR_COMPRESSED_COUNT_SQL,
     "rle_eq_step": _RLE_EQ_STEP_SQL,
