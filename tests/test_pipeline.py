@@ -940,3 +940,32 @@ def test_vacuum_removes_orphans_only(spark, webtext, tmp_path):
     assert after == before
     # idempotent
     assert IceTable(out).vacuum()["deleted_files"] == 0
+
+
+def test_assign_row_order_null_and_degenerate_keys(spark):
+    """Null sort keys survive the offset join (null-safe equality), an
+    all-one-key input still ranks correctly across sub-buckets, and a
+    single row ranks 0."""
+    from pyspark.sql import Window
+    from pyrle_spark.plans.encode_job import assign_row_order
+
+    df = spark.range(100).select(
+        F.col("id").alias("_order"),
+        F.when(F.col("id") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 2).cast("string")))
+        .alias("k"),
+    )
+    got = assign_row_order(df, ["k"], "_order", sub_rows=16, out_col="_rk")
+    want = df.withColumn(
+        "_rk", F.row_number().over(Window.orderBy("k", "_order")) - 1
+    )
+    assert got.count() == 100
+    assert got.select("_order", "_rk").exceptAll(want.select("_order", "_rk")).count() == 0
+    one_key = spark.range(40).select(
+        F.col("id").alias("_order"), F.lit("same").alias("k")
+    )
+    got1 = assign_row_order(one_key, ["k"], "_order", sub_rows=7, out_col="_rk")
+    rows = {r["_order"]: r["_rk"] for r in got1.collect()}
+    assert rows == {i: i for i in range(40)}
+    single = spark.createDataFrame([(5, "x")], "_order long, k string")
+    assert assign_row_order(single, ["k"], "_order").first()["_new_order"] == 0
