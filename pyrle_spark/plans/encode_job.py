@@ -719,12 +719,14 @@ def scan_incremental(
     without touching yesterday's blocks.
 
     Granularity is the data file: blocks contained in files added
-    between the two manifests decode; everything older is never read
-    (the planner sees only the added paths, so the scan cost is
-    O(new data), not O(table)).  With the standard append/resume
-    workflow block ids are disjoint per pass, so this is exactly the
-    added rows.  Deletes are NOT part of the append stream — diff them
-    with :func:`incremental_deletes`."""
+    between the two manifests decode.  Fast path (the standard append /
+    resume workflow): the added files carry every requested column for
+    their blocks, so the decode scan plans ONLY the added paths — cost
+    O(new data), not O(table).  If the history interleaves column
+    widening (a block's columns split across old and new files), it
+    falls back to a block-filtered scan of the full snapshot, which is
+    still correct but reads old file footers.  Deletes are NOT part of
+    the append stream — diff them with :func:`incremental_deletes`."""
     table = IceTable(table_dir)
     to_snapshot = to_snapshot or table.current_snapshot_id()
     old = {f["path"] for f in table._manifest(from_snapshot)["files"]}
@@ -737,9 +739,24 @@ def scan_incremental(
         return decode_table(
             spark, table_dir, columns=columns, snapshot_id=to_snapshot
         ).limit(0)
-    added_blocks = (
-        spark.read.parquet(*new_paths).select("block_id").distinct()
+    cols = sorted(columns or table.properties(to_snapshot)["columns"])
+    new_enc = spark.read.parquet(*new_paths).filter(F.col("column").isin(cols))
+    per_block = (
+        new_enc.groupBy("block_id")
+        .agg(F.countDistinct("column").alias("_nc"))
+        .cache()
     )
+    complete = per_block.filter(F.col("_nc") != len(cols)).count() == 0
+    if complete:
+        per_block.unpersist()
+        return decode_table(
+            spark,
+            table_dir,
+            columns=columns,
+            snapshot_id=to_snapshot,
+            paths=new_paths,
+        )
+    added_blocks = per_block.select("block_id")
     return decode_table(
         spark,
         table_dir,
@@ -1128,6 +1145,7 @@ def decode_table(
     snapshot_id: str | None = None,
     blocks: DataFrame | None = None,
     apply_deletes: bool = True,
+    paths: list | None = None,
 ) -> DataFrame:
     """Decode an encoded-blocks table back to rows (with ``_order``).
 
@@ -1139,13 +1157,24 @@ def decode_table(
     :func:`delete_rows` and visible at this snapshot are anti-joined
     out (broadcast of the tiny position set); blocks whose every row is
     deleted are pruned before decode.  Pass False to audit raw blocks.
+
+    ``paths``: optional subset of the snapshot's data files to read
+    INSTEAD of the whole manifest — the scan plans only these files, so
+    cost is O(given files), not O(table) (:func:`scan_incremental`'s
+    fast path).  Caller must ensure every decoded block's requested
+    columns are present in the subset.
     """
     table = IceTable(table_dir)
     props = table.properties(snapshot_id)
     block_rows = int(props["block_rows"])
     all_cols = props["columns"]
     cols = sorted(columns or all_cols)
-    enc = table.read_table(spark, snapshot_id)
+    enc = (
+        spark.read.parquet(*paths)
+        if paths
+        else table.read_table(spark, snapshot_id)
+    )
+    enc_raw = enc
     if columns:
         enc = enc.filter(F.col("column").isin(cols))  # column pruning
     if blocks is not None:
@@ -1172,9 +1201,7 @@ def decode_table(
     # Types come from dedup_blocks so a re-encoded column's latest arrow type
     # wins deterministically (raw distinct() could yield two rows per column).
     types = dict(
-        dedup_blocks(
-            table.read_table(spark, snapshot_id).filter(F.col("column").isin(cols))
-        )
+        dedup_blocks(enc_raw.filter(F.col("column").isin(cols)))
         .select("column", "arrow_type")
         .distinct()
         .collect()

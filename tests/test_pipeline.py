@@ -969,3 +969,25 @@ def test_assign_row_order_null_and_degenerate_keys(spark):
     assert rows == {i: i for i in range(40)}
     single = spark.createDataFrame([(5, "x")], "_order long, k string")
     assert assign_row_order(single, ["k"], "_order").first()["_new_order"] == 0
+
+
+def test_incremental_scan_widen_fallback(spark, webtext, tmp_path):
+    """Column widening splits a block's columns across old and new
+    files: the incremental fast path (added-paths-only scan) is
+    unsound there, so scan_incremental must fall back to the
+    block-filtered full-snapshot scan and still return complete rows."""
+    from pyrle_spark.plans.encode_job import scan_incremental
+
+    out = str(tmp_path / "cdc_widen")
+    s1 = encode_table(
+        spark, webtext, out, EncodeConfig(columns=["url"], block_rows=BLOCK)
+    )["snapshot_id"]
+    encode_table(spark, webtext, out, EncodeConfig(columns=["lang"], block_rows=BLOCK))
+    inc = scan_incremental(spark, out, s1)  # all blocks touched by the widen
+    assert set(inc.columns) == {"_order", "lang", "url"}
+    assert inc.count() == N_ROWS
+    assert inc.filter(F.col("url").isNull() | F.col("lang").isNull()).count() == 0
+    # restricted to the widened column only: fast path applies, same rows
+    lang_only = scan_incremental(spark, out, s1, columns=["lang"])
+    assert lang_only.count() == N_ROWS
+    assert set(lang_only.columns) == {"_order", "lang"}
