@@ -1860,11 +1860,65 @@ FROM ordered WHERE rk % 97 <> 0 GROUP BY lang
 """
 
 
+def point_lookup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional point reads through the encoded table: probe every
+    83rd position, after deleting one of them (position 83) — the
+    result must contain exactly the probed, surviving rows.  Block
+    math (``pos // block_rows``) finds the containing blocks with no
+    index; only those decode.
+
+    Scale shape: a k-point probe decodes ≤ k blocks whatever the table
+    size; the delete applies as the usual broadcast anti-join.  The
+    global row_number only shapes the tiny test input's order column,
+    as in bloom_prune_eq_agg."""
+    import tempfile
+
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        delete_rows,
+        encode_table,
+        point_lookup,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    ordered = docs.select(
+        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("_seq"),
+        "lang",
+        "n_chars",
+    ).cache()
+    n = ordered.count()
+    out_dir = tempfile.mkdtemp(prefix="point_lookup_")
+    encode_table(
+        spark,
+        ordered,
+        out_dir,
+        EncodeConfig(columns=["lang", "n_chars"], order_col="_seq", block_rows=50),
+    )
+    ordered.unpersist()
+    delete_rows(spark, out_dir, [83])
+    probes = list(range(0, n, 83))
+    got = point_lookup(spark, out_dir, probes)
+    return got.select(
+        F.col("_order").alias("pos"), "lang", "n_chars"
+    )
+
+
+_POINT_LOOKUP_ROWS_SQL = """
+WITH ordered AS (
+  SELECT lang, n_chars, row_number() OVER (ORDER BY doc_id) - 1 AS rk
+  FROM documents
+)
+SELECT rk AS pos, lang, n_chars
+FROM ordered WHERE rk % 83 = 0 AND rk <> 83
+"""
+
+
 QUERIES = {
     "rle_encode_lang": rle_encode_lang,
     "layout_rewrite_runs": layout_rewrite_runs,
     "incremental_scan_agg": incremental_scan_agg,
     "time_travel_agg": time_travel_agg,
+    "point_lookup_rows": point_lookup_rows,
     "zonemap_prune_agg": zonemap_prune_agg,
     "bloom_prune_eq_agg": bloom_prune_eq_agg,
     "compressed_count_by_lang": compressed_count_by_lang,
@@ -1919,6 +1973,7 @@ ORACLE_SQL = {
     "layout_rewrite_runs": _LAYOUT_REWRITE_RUNS_SQL,
     "incremental_scan_agg": _INCREMENTAL_SCAN_AGG_SQL,
     "time_travel_agg": _TIME_TRAVEL_AGG_SQL,
+    "point_lookup_rows": _POINT_LOOKUP_ROWS_SQL,
     "mor_delete_agg": _MOR_DELETE_AGG_SQL,
     "mor_compressed_count": _MOR_COMPRESSED_COUNT_SQL,
     "rle_eq_step": _RLE_EQ_STEP_SQL,

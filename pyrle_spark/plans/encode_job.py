@@ -60,6 +60,7 @@ __all__ = [
     "delete_rows",
     "delete_where",
     "incremental_deletes",
+    "point_lookup",
     "rewrite_sorted",
     "scan_incremental",
     "encode_table",
@@ -764,6 +765,42 @@ def scan_incremental(
         snapshot_id=to_snapshot,
         blocks=added_blocks,
     )
+
+
+def point_lookup(
+    spark: SparkSession,
+    table_dir: str,
+    positions,
+    columns: list | None = None,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """O(probed blocks) point reads ("give me rows 17, 4096, 2000003"):
+    each requested ``_order`` position maps straight to its block
+    (``pos // block_rows`` — blocks are fixed logical spans, no index
+    needed), only those blocks decode, and a final filter keeps the
+    requested positions.  At 100 TB a k-row probe touches at most k
+    blocks regardless of table size.
+
+    ``positions``: iterable of ints (driver-small — a probe set, not a
+    table).  MoR deletes apply as usual: a deleted position is absent
+    from the result."""
+    pos = sorted({int(p) for p in positions})
+    if not pos:
+        return decode_table(
+            spark, table_dir, columns=columns, snapshot_id=snapshot_id
+        ).limit(0)
+    table = IceTable(table_dir)
+    block_rows = int(table.properties(snapshot_id)["block_rows"])
+    bids = sorted({p // block_rows for p in pos})
+    blocks_df = spark.createDataFrame([(b,) for b in bids], "block_id long")
+    dec = decode_table(
+        spark,
+        table_dir,
+        columns=columns,
+        snapshot_id=snapshot_id,
+        blocks=blocks_df,
+    )
+    return dec.filter(F.col("_order").isin(pos))
 
 
 def incremental_deletes(
