@@ -1860,6 +1860,49 @@ FROM ordered WHERE rk % 97 <> 0 GROUP BY lang
 """
 
 
+def compressed_distinct_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT answered from dictionary buffers alone
+    (``plans.compressed.distinct_values``): a dict block's dictionary
+    IS its distinct set, so the code streams never decode.  One
+    position-delete forces a single block down the exact
+    decode-and-mask fallback, proving both paths agree with the
+    row-level oracle.
+
+    Scale shape: per-block output is O(block-distinct) strings — the
+    shuffle moves dictionaries, not rows.  The global row_number only
+    shapes the tiny test input's order column, as in
+    bloom_prune_eq_agg."""
+    import tempfile
+
+    from pyrle_spark.plans.compressed import distinct_values
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        delete_rows,
+        encode_table,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    ordered = docs.select(
+        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("_seq"), "source"
+    )
+    out_dir = tempfile.mkdtemp(prefix="compressed_distinct_")
+    encode_table(
+        spark,
+        ordered,
+        out_dir,
+        EncodeConfig(columns=["source"], order_col="_seq", block_rows=64),
+    )
+    delete_rows(spark, out_dir, [0])
+    return distinct_values(spark, out_dir, "source").select(
+        F.col("value").alias("source")
+    )
+
+
+_COMPRESSED_DISTINCT_SQL = """
+SELECT DISTINCT source FROM documents
+"""
+
+
 def point_lookup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional point reads through the encoded table: probe every
     83rd position, after deleting one of them (position 83) — the
@@ -1919,6 +1962,7 @@ QUERIES = {
     "incremental_scan_agg": incremental_scan_agg,
     "time_travel_agg": time_travel_agg,
     "point_lookup_rows": point_lookup_rows,
+    "compressed_distinct_source": compressed_distinct_source,
     "zonemap_prune_agg": zonemap_prune_agg,
     "bloom_prune_eq_agg": bloom_prune_eq_agg,
     "compressed_count_by_lang": compressed_count_by_lang,
@@ -1974,6 +2018,7 @@ ORACLE_SQL = {
     "incremental_scan_agg": _INCREMENTAL_SCAN_AGG_SQL,
     "time_travel_agg": _TIME_TRAVEL_AGG_SQL,
     "point_lookup_rows": _POINT_LOOKUP_ROWS_SQL,
+    "compressed_distinct_source": _COMPRESSED_DISTINCT_SQL,
     "mor_delete_agg": _MOR_DELETE_AGG_SQL,
     "mor_compressed_count": _MOR_COMPRESSED_COUNT_SQL,
     "rle_eq_step": _RLE_EQ_STEP_SQL,

@@ -28,7 +28,13 @@ from pyrle_spark.codecs.rawcodec import ZstdCodec
 from pyrle_spark.plans.encode_job import dedup_blocks, prune_blocks_in
 from pyrle_spark.sources.icetable import IceTable
 
-__all__ = ["count_by_value", "count_where_in", "numeric_stats", "sum_by_value"]
+__all__ = [
+    "count_by_value",
+    "count_where_in",
+    "distinct_values",
+    "numeric_stats",
+    "sum_by_value",
+]
 
 _NULL_SENTINEL = None  # null slots aggregate into a NULL value row
 
@@ -314,6 +320,75 @@ def _dict_codes_and_values(enc: Encoded):
             np.frombuffer(buffers["validity"], dtype=np.uint8), count=enc.n_rows
         ).astype(bool)
     return codes, values, valid
+
+
+def distinct_values(
+    spark: SparkSession,
+    table_dir: str,
+    column: str,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """``SELECT DISTINCT column`` answered from DICTIONARY BUFFERS alone
+    where possible: a var-width dict block's dictionary IS its distinct
+    value set (built from the block's uniques), so the code stream —
+    the bulk of the block — is never decoded.  Per-block output is
+    O(block-distinct) values; the global distinct is a shuffle of only
+    those.  Exact fallbacks (decode + unique the ONE column): non-dict
+    codecs, blocks with a validity bitmap (a dict slot could back only
+    null rows), and delete-affected blocks (a delete can erase a
+    value's last occurrence).  Returns one ``value`` column; a NULL row
+    appears iff the column has nulls."""
+    from pyrle_spark.codecs import decode_array
+    from pyrle_spark.codecs.bitpack import DeltaCodec
+
+    table = IceTable(table_dir)
+    block_rows = int(table.properties(snapshot_id)["block_rows"])
+    dmap = _delete_map(table_dir, snapshot_id, block_rows)
+    enc = dedup_blocks(
+        table.read_table(spark, snapshot_id).filter(F.col("column") == column)
+    )
+
+    def _partials(batches):
+        for batch in batches:
+            out: list = []
+            for row in batch.to_pylist():
+                e = Encoded.from_row(row)
+                kill = dmap.get(row["block_id"])
+                meta, buffers = e.meta, e.buffers
+                codec = e.codec
+                if codec.endswith("+zstd"):
+                    codec = codec[: -len("+zstd")]
+                    meta, buffers = ZstdCodec.unwrap(meta, buffers)
+                if (
+                    codec == "dict"
+                    and meta["kind"] == "var"
+                    and not meta.get("has_validity")
+                    and (kill is None or not len(kill))
+                ):
+                    dict_offsets = DeltaCodec.decode(
+                        meta["dict_offsets_meta"],
+                        {"packed": buffers["dict_offsets"]},
+                    )
+                    dict_data = buffers["dict_data"]
+                    out.extend(
+                        bytes(
+                            dict_data[dict_offsets[i] : dict_offsets[i + 1]]
+                        ).decode("utf-8", "surrogateescape")
+                        for i in range(meta["n_dict"])
+                    )
+                else:
+                    arr = decode_array(e)
+                    if kill is not None and len(kill):
+                        arr = arr.filter(pa.array(_keep_mask(len(arr), kill)))
+                    if arr.null_count:
+                        out.append(None)
+                    uniq = arr.drop_null().unique()
+                    out.extend(str(v) for v in uniq.to_pylist())
+            yield pa.RecordBatch.from_pydict(
+                {"value": out}, schema=pa.schema([("value", pa.string())])
+            )
+
+    return enc.mapInArrow(_partials, "value string").distinct()
 
 
 def sum_by_value(

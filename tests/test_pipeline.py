@@ -991,3 +991,30 @@ def test_incremental_scan_widen_fallback(spark, webtext, tmp_path):
     lang_only = scan_incremental(spark, out, s1, columns=["lang"])
     assert lang_only.count() == N_ROWS
     assert set(lang_only.columns) == {"_order", "lang"}
+
+
+def test_distinct_values_with_nulls_and_deletes(spark, tmp_path):
+    """distinct_values: dict fast path, null fallback (validity blocks
+    must decode — a dict slot could back only null rows), and the
+    delete-aware fallback all agree with the row-level answer."""
+    from pyrle_spark.plans.compressed import distinct_values
+    from pyrle_spark.plans.encode_job import delete_rows
+
+    df = spark.range(200).select(
+        F.col("id").alias("_seq"),
+        F.when(F.col("id") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("v"), (F.col("id") % 3).cast("string")))
+        .alias("val"),
+    )
+    out = str(tmp_path / "dv")
+    encode_table(
+        spark, df, out, EncodeConfig(columns=["val"], order_col="_seq", block_rows=16)
+    )
+    got = {r["value"] for r in distinct_values(spark, out, "val").collect()}
+    assert got == {None, "v0", "v1", "v2"}
+    # delete every row of value v1 that lives in block 0 (positions 1,4,..)
+    # plus all other v1 positions: v1 must vanish from the distinct set
+    v1_pos = [i for i in range(200) if i % 7 != 0 and i % 3 == 1]
+    delete_rows(spark, out, v1_pos)
+    got2 = {r["value"] for r in distinct_values(spark, out, "val").collect()}
+    assert got2 == {None, "v0", "v2"}
