@@ -59,6 +59,7 @@ __all__ = [
     "decode_table",
     "delete_rows",
     "delete_where",
+    "drop_column",
     "incremental_deletes",
     "point_lookup",
     "rewrite_sorted",
@@ -383,8 +384,21 @@ def _encode_pass_inner(
     table = IceTable(out_dir)
     resumed_blocks = 0
     prior_cols: set = set()
+    prior_dropped: set = set()
     if table.exists():
-        prior_cols = set(table.properties().get("columns", []))
+        prior_props = table.properties()
+        prior_cols = set(prior_props.get("columns", []))
+        prior_dropped = set(prior_props.get("dropped_columns", []))
+        clash = prior_dropped & set(cols)
+        if clash:
+            # stale pre-drop blocks still live in the data files; the
+            # resume anti-join would see them as committed and decode
+            # would serve pre-drop data for the "new" column
+            raise ValueError(
+                f"columns {sorted(clash)} were dropped from {out_dir} but "
+                "their stale blocks remain in the data files; run "
+                "compact_table first to reclaim them, then re-encode"
+            )
         # Only COMPLETE blocks are resumable: a partial trailing block from
         # an earlier pass (input grew, or kill mid-range) must be re-encoded;
         # the new complete row supersedes it via max-n_rows dedup on read.
@@ -444,6 +458,7 @@ def _encode_pass_inner(
             # encodes only the NEW columns must not shrink the column list
             # the latest snapshot advertises to decode_table
             "columns": sorted(set(cols) | set(prior_cols)),
+            "dropped_columns": sorted(prior_dropped),
             **config.properties,
         },
     )
@@ -684,6 +699,12 @@ def compact_table(spark: SparkSession, table_dir: str, keep_snapshots: int = 1) 
     table = IceTable(table_dir)
     props = table.properties()
     live = dedup_blocks(table.read_table(spark))
+    dropped = sorted(props.get("dropped_columns", []))
+    if dropped:
+        # physical reclaim of metadata-dropped columns: their blocks are
+        # filtered out of the rewrite, and the tombstone clears so the
+        # column name is free for a fresh encode
+        live = live.filter(~F.col("column").isin(dropped))
     snap_id = table.write_snapshot(
         live,
         mode="overwrite",
@@ -691,7 +712,11 @@ def compact_table(spark: SparkSession, table_dir: str, keep_snapshots: int = 1) 
             "compression": "none",
             "parquet.block.size": str(16 * 1024 * 1024),
         },
-        properties={**props, "compacted_from": table.current_snapshot_id()},
+        properties={
+            **props,
+            "dropped_columns": [],
+            "compacted_from": table.current_snapshot_id(),
+        },
     )
     gc = table.expire_snapshots(keep_last=max(1, keep_snapshots))
     n_live = len(table._manifest(snap_id)["files"])
@@ -765,6 +790,37 @@ def scan_incremental(
         snapshot_id=to_snapshot,
         blocks=added_blocks,
     )
+
+
+def drop_column(spark: SparkSession, table_dir: str, column: str) -> dict:
+    """Schema evolution: drop an encoded column ("delete raw ``html``
+    once ``text`` is extracted" — the storage-reclaim move every web
+    pipeline makes).  The commit is METADATA-ONLY (O(manifest), zero
+    data I/O): the column leaves the advertised set, default decodes
+    stop seeing it, explicit requests for it fail with a clear error,
+    and time travel to the parent snapshot still reads it.
+
+    Physical reclaim happens at the next :func:`compact_table`, which
+    filters the dropped column's blocks out of the rewrite.  Until
+    then, re-encoding a same-named column is REFUSED (the stale blocks
+    would resurrect pre-drop data through the resume path — the
+    field-id renaming Iceberg uses is out of scope).
+
+    Returns ``{"snapshot_id", "columns"}``."""
+    table = IceTable(table_dir)
+    props = table.properties()
+    cols = list(props.get("columns", []))
+    if column not in cols:
+        raise KeyError(f"column {column!r} not in table columns {cols}")
+    new_props = {
+        **props,
+        "columns": [c for c in cols if c != column],
+        "dropped_columns": sorted(
+            set(props.get("dropped_columns", [])) | {column}
+        ),
+    }
+    snap = table.commit_metadata(new_props)
+    return {"snapshot_id": snap, "columns": new_props["columns"]}
 
 
 def point_lookup(
@@ -1206,6 +1262,13 @@ def decode_table(
     block_rows = int(props["block_rows"])
     all_cols = props["columns"]
     cols = sorted(columns or all_cols)
+    unknown = [c for c in cols if c not in all_cols]
+    if unknown:
+        raise KeyError(
+            f"columns {unknown} not available at this snapshot "
+            f"(available: {sorted(all_cols)}; dropped: "
+            f"{props.get('dropped_columns', [])})"
+        )
     enc = (
         spark.read.parquet(*paths)
         if paths

@@ -106,6 +106,41 @@ class IceTable:
         os.replace(tmp, self._meta_path)  # atomic commit
         return snap_id
 
+    def commit_metadata(self, properties: dict) -> str:
+        """Metadata-only snapshot (Iceberg's schema/property evolution
+        commit): the new snapshot references the SAME data files as the
+        current one, only ``properties`` change.  O(manifest) driver
+        work, zero data I/O; time travel to the parent still sees the
+        old properties."""
+        meta = self._read_meta()
+        cur = meta["current_snapshot_id"]
+        if cur is None:
+            raise FileNotFoundError(f"no snapshot in {self.path}")
+        parent = self._manifest(cur)
+        snap_id = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
+        manifest = {
+            **parent,
+            "snapshot_id": snap_id,
+            "parent": cur,
+            "timestamp_ms": int(time.time() * 1000),
+            "mode": "metadata",
+            "properties": properties,
+            "added_files": 0,
+            "added_bytes": 0,
+        }
+        snap_path = os.path.join(self.path, "metadata", f"snap-{snap_id}.json")
+        with open(snap_path, "w") as f:
+            json.dump(manifest, f)
+        meta["snapshots"].append(
+            {"id": snap_id, "timestamp_ms": manifest["timestamp_ms"], "mode": "metadata"}
+        )
+        meta["current_snapshot_id"] = snap_id
+        tmp = self._meta_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path)
+        return snap_id
+
     # ------------------------------------------------------------------- read
 
     def _manifest(self, snapshot_id: str) -> dict:

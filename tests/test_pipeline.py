@@ -1018,3 +1018,50 @@ def test_distinct_values_with_nulls_and_deletes(spark, tmp_path):
     delete_rows(spark, out, v1_pos)
     got2 = {r["value"] for r in distinct_values(spark, out, "val").collect()}
     assert got2 == {None, "v0", "v2"}
+
+
+def test_drop_column_lifecycle(spark, webtext, tmp_path):
+    """Column drop: metadata-only commit hides the column (default
+    decode, explicit request, time travel back still works); re-encode
+    of the same name is refused until compact_table physically reclaims
+    the blocks and clears the tombstone; after compaction a fresh
+    encode of that name serves the NEW data."""
+    from pyrle_spark.plans.encode_job import compact_table, drop_column
+
+    out = str(tmp_path / "dropcol")
+    encode_table(
+        spark, webtext, out, EncodeConfig(columns=["lang", "url"], block_rows=BLOCK)
+    )
+    pre_bytes = (
+        IceTable(out).read_table(spark).agg(F.sum("bytes_out").alias("b")).first()["b"]
+    )
+    pre_snap = IceTable(out).current_snapshot_id()
+    info = drop_column(spark, out, "url")
+    assert info["columns"] == ["lang"]
+    dec = decode_table(spark, out)
+    assert set(dec.columns) == {"_order", "lang"}
+    with pytest.raises(KeyError, match="url"):
+        decode_table(spark, out, columns=["url"])
+    # time travel to the pre-drop snapshot still reads url
+    old = decode_table(spark, out, columns=["url"], snapshot_id=pre_snap)
+    assert old.count() == N_ROWS
+    # re-encode of the dropped name is refused while stale blocks remain
+    with pytest.raises(ValueError, match="compact_table"):
+        encode_table(
+            spark, webtext, out, EncodeConfig(columns=["url"], block_rows=BLOCK)
+        )
+    compact_table(spark, out)
+    post_bytes = (
+        IceTable(out).read_table(spark).agg(F.sum("bytes_out").alias("b")).first()["b"]
+    )
+    assert post_bytes < pre_bytes  # url blocks physically gone
+    # tombstone cleared: the name is reusable, with fresh content
+    encode_table(
+        spark,
+        webtext.withColumn("url", F.upper(F.col("url"))),
+        out,
+        EncodeConfig(columns=["url"], block_rows=BLOCK),
+    )
+    dec2 = decode_table(spark, out)
+    assert set(dec2.columns) == {"_order", "lang", "url"}
+    assert dec2.filter(F.col("url") != F.upper(F.col("url"))).count() == 0
