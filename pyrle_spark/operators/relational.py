@@ -1903,6 +1903,69 @@ SELECT DISTINCT source FROM documents
 """
 
 
+def layout_prune_synergy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering × data skipping, quantified and oracle-checked: after
+    ``rewrite_sorted`` by lang, the zone maps on the sort column become
+    EXACT — the zone-range survivors for ``lang = 'fr'`` are precisely
+    the blocks holding a fr row (sorted order makes values contiguous,
+    so no straddling block can be a false positive).  The query returns
+    the survivor-block count alongside the decoded aggregate, and the
+    oracle recomputes that minimum (``count(distinct rk // 64)`` of fr
+    rows in (lang, doc_id) order) from first principles — a green hash
+    proves the scan touched the THEORETICAL MINIMUM of the table.
+
+    Scale shape: at 100 TB this is the difference between decoding
+    ~share-of-fr of the table and decoding all of it; pruning itself is
+    a manifest-only filter.  The global row_number only shapes the tiny
+    test input's order column, as in bloom_prune_eq_agg."""
+    import tempfile
+
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        decode_table,
+        encode_table,
+        prune_blocks,
+        rewrite_sorted,
+    )
+    from pyrle_spark.sources.icetable import IceTable
+
+    docs = load(spark, sf_dir, "documents")
+    ordered = docs.select(
+        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("_seq"),
+        "lang",
+        "n_chars",
+    )
+    src_dir = tempfile.mkdtemp(prefix="synergy_src_")
+    out_dir = tempfile.mkdtemp(prefix="synergy_sorted_")
+    encode_table(
+        spark,
+        ordered,
+        src_dir,
+        EncodeConfig(columns=["lang", "n_chars"], order_col="_seq", block_rows=64),
+    )
+    rewrite_sorted(spark, src_dir, out_dir, ["lang"], block_rows=64)
+    enc = IceTable(out_dir).read_table(spark)
+    live = prune_blocks(enc, "lang", lo="fr", hi="fr")
+    n_blocks = live.select("block_id").distinct().count()
+    dec = decode_table(spark, out_dir, columns=["lang", "n_chars"], blocks=live)
+    return dec.filter(F.col("lang") == "fr").agg(
+        F.lit(n_blocks).cast("long").alias("n_blocks"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+_LAYOUT_PRUNE_SYNERGY_SQL = """
+WITH ordered AS (
+  SELECT lang, n_chars, row_number() OVER (ORDER BY lang, doc_id) - 1 AS rk
+  FROM documents
+)
+SELECT CAST(count(DISTINCT rk // 64) AS BIGINT) AS n_blocks,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM ordered WHERE lang = 'fr'
+"""
+
+
 def point_lookup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional point reads through the encoded table: probe every
     83rd position, after deleting one of them (position 83) — the
@@ -1963,6 +2026,7 @@ QUERIES = {
     "time_travel_agg": time_travel_agg,
     "point_lookup_rows": point_lookup_rows,
     "compressed_distinct_source": compressed_distinct_source,
+    "layout_prune_synergy": layout_prune_synergy,
     "zonemap_prune_agg": zonemap_prune_agg,
     "bloom_prune_eq_agg": bloom_prune_eq_agg,
     "compressed_count_by_lang": compressed_count_by_lang,
@@ -2019,6 +2083,7 @@ ORACLE_SQL = {
     "time_travel_agg": _TIME_TRAVEL_AGG_SQL,
     "point_lookup_rows": _POINT_LOOKUP_ROWS_SQL,
     "compressed_distinct_source": _COMPRESSED_DISTINCT_SQL,
+    "layout_prune_synergy": _LAYOUT_PRUNE_SYNERGY_SQL,
     "mor_delete_agg": _MOR_DELETE_AGG_SQL,
     "mor_compressed_count": _MOR_COMPRESSED_COUNT_SQL,
     "rle_eq_step": _RLE_EQ_STEP_SQL,
