@@ -605,20 +605,26 @@ def delete_rows(spark: SparkSession, table_dir: str, positions) -> dict:
     fname = os.path.join(del_dir, f"del-{_uuid.uuid4().hex[:12]}.parquet")
     pq.write_table(pa.table({"_order": pa.array(pos_list, pa.int64())}), fname)
     manifest_path = os.path.join(del_dir, "manifest.json")
-    entries = []
-    if os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            entries = json.load(f)
-    entry = {
-        "file": fname,
-        "n_positions": len(pos_list),
-        "as_of_snapshot": table.current_snapshot_id(),
-    }
-    entries.append(entry)
-    tmp = manifest_path + f".tmp-{_uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump(entries, f)
-    os.replace(tmp, manifest_path)
+    # the manifest append is a read-modify-write: two concurrent
+    # takedown commits must both survive, so it serializes under the
+    # same table commit lock as snapshot commits
+    from pyrle_spark.sources.icetable import commit_lock
+
+    with commit_lock(table_dir):
+        entries = []
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                entries = json.load(f)
+        entry = {
+            "file": fname,
+            "n_positions": len(pos_list),
+            "as_of_snapshot": table.current_snapshot_id(),
+        }
+        entries.append(entry)
+        tmp = manifest_path + f".tmp-{_uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(entries, f)
+        os.replace(tmp, manifest_path)
     return entry
 
 

@@ -19,6 +19,7 @@ Commits are atomic: the snapshot manifest is written first, then
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -27,7 +28,52 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["IceTable"]
+__all__ = ["IceTable", "commit_lock"]
+
+
+@contextlib.contextmanager
+def commit_lock(table_dir: str, timeout_s: float = 90.0, stale_s: float = 60.0):
+    """Serialize metadata commits across concurrent writers.
+
+    Every metadata mutation is a read-modify-write of a JSON file
+    (snapshot log, delete manifest); two uncoordinated committers would
+    lose one side's update.  ``os.open(O_CREAT|O_EXCL)`` is atomic on
+    POSIX (and on the object-store filesystems that emulate it, this is
+    the same single-writer gate Iceberg's catalogs provide via
+    compare-and-swap), so one writer holds the lock while the other
+    spins.  A lock older than ``stale_s`` is presumed abandoned by a
+    killed process and is broken — the kill-resume workflow must not
+    deadlock on its own corpse (``stale_s < timeout_s`` by default, so
+    a waiter always outlives and breaks a stale lock rather than
+    timing out first; a LIVE commit holds the lock for milliseconds)."""
+    lock_dir = os.path.join(table_dir, "metadata")
+    os.makedirs(lock_dir, exist_ok=True)
+    lock = os.path.join(lock_dir, ".commit.lock")
+    t0 = time.time()
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock) > stale_s:
+                    os.remove(lock)
+                    continue
+            except FileNotFoundError:
+                continue
+            if time.time() - t0 > timeout_s:
+                raise TimeoutError(
+                    f"commit lock {lock} held for >{timeout_s}s; another "
+                    "writer is committing (or died within the stale window)"
+                )
+            time.sleep(0.02)
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        yield
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(lock)
 
 
 @dataclass
@@ -76,34 +122,37 @@ class IceTable:
                     files.append(
                         {"path": full, "bytes": os.path.getsize(full)}
                     )
-        meta = self._read_meta()
-        prev_files = []
-        if mode == "append" and meta["current_snapshot_id"]:
-            prev_files = self._manifest(meta["current_snapshot_id"])["files"]
-        manifest = {
-            "snapshot_id": snap_id,
-            "parent": meta["current_snapshot_id"],
-            "timestamp_ms": int(time.time() * 1000),
-            "mode": mode,
-            "schema": df.schema.json(),
-            "properties": properties or {},
-            "files": prev_files + files,
-            "added_files": len(files),
-            "added_bytes": sum(f["bytes"] for f in files),
-        }
-        os.makedirs(os.path.join(self.path, "metadata"), exist_ok=True)
-        snap_path = os.path.join(self.path, "metadata", f"snap-{snap_id}.json")
-        with open(snap_path, "w") as f:
-            json.dump(manifest, f)
-        meta["snapshots"].append(
-            {"id": snap_id, "timestamp_ms": manifest["timestamp_ms"], "mode": mode}
-        )
-        meta["current_snapshot_id"] = snap_id
-        meta["schema"] = df.schema.json()
-        tmp = self._meta_path + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self._meta_path)  # atomic commit
+        # the data write above is long and lock-free; only the metadata
+        # read-modify-write serializes (current state re-read INSIDE the
+        # lock, so a concurrent append committed meanwhile is linked in)
+        with commit_lock(self.path):
+            meta = self._read_meta()
+            prev_files = []
+            if mode == "append" and meta["current_snapshot_id"]:
+                prev_files = self._manifest(meta["current_snapshot_id"])["files"]
+            manifest = {
+                "snapshot_id": snap_id,
+                "parent": meta["current_snapshot_id"],
+                "timestamp_ms": int(time.time() * 1000),
+                "mode": mode,
+                "schema": df.schema.json(),
+                "properties": properties or {},
+                "files": prev_files + files,
+                "added_files": len(files),
+                "added_bytes": sum(f["bytes"] for f in files),
+            }
+            snap_path = os.path.join(self.path, "metadata", f"snap-{snap_id}.json")
+            with open(snap_path, "w") as f:
+                json.dump(manifest, f)
+            meta["snapshots"].append(
+                {"id": snap_id, "timestamp_ms": manifest["timestamp_ms"], "mode": mode}
+            )
+            meta["current_snapshot_id"] = snap_id
+            meta["schema"] = df.schema.json()
+            tmp = self._meta_path + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, self._meta_path)  # atomic commit
         return snap_id
 
     def commit_metadata(self, properties: dict) -> str:
@@ -112,33 +161,38 @@ class IceTable:
         current one, only ``properties`` change.  O(manifest) driver
         work, zero data I/O; time travel to the parent still sees the
         old properties."""
-        meta = self._read_meta()
-        cur = meta["current_snapshot_id"]
-        if cur is None:
-            raise FileNotFoundError(f"no snapshot in {self.path}")
-        parent = self._manifest(cur)
-        snap_id = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
-        manifest = {
-            **parent,
-            "snapshot_id": snap_id,
-            "parent": cur,
-            "timestamp_ms": int(time.time() * 1000),
-            "mode": "metadata",
-            "properties": properties,
-            "added_files": 0,
-            "added_bytes": 0,
-        }
-        snap_path = os.path.join(self.path, "metadata", f"snap-{snap_id}.json")
-        with open(snap_path, "w") as f:
-            json.dump(manifest, f)
-        meta["snapshots"].append(
-            {"id": snap_id, "timestamp_ms": manifest["timestamp_ms"], "mode": "metadata"}
-        )
-        meta["current_snapshot_id"] = snap_id
-        tmp = self._meta_path + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self._meta_path)
+        with commit_lock(self.path):
+            meta = self._read_meta()
+            cur = meta["current_snapshot_id"]
+            if cur is None:
+                raise FileNotFoundError(f"no snapshot in {self.path}")
+            parent = self._manifest(cur)
+            snap_id = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
+            manifest = {
+                **parent,
+                "snapshot_id": snap_id,
+                "parent": cur,
+                "timestamp_ms": int(time.time() * 1000),
+                "mode": "metadata",
+                "properties": properties,
+                "added_files": 0,
+                "added_bytes": 0,
+            }
+            snap_path = os.path.join(self.path, "metadata", f"snap-{snap_id}.json")
+            with open(snap_path, "w") as f:
+                json.dump(manifest, f)
+            meta["snapshots"].append(
+                {
+                    "id": snap_id,
+                    "timestamp_ms": manifest["timestamp_ms"],
+                    "mode": "metadata",
+                }
+            )
+            meta["current_snapshot_id"] = snap_id
+            tmp = self._meta_path + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, self._meta_path)
         return snap_id
 
     # ------------------------------------------------------------------- read
@@ -190,6 +244,10 @@ class IceTable:
 
         Returns ``{"expired_snapshots": [...], "deleted_files": n,
         "reclaimed_bytes": n}``."""
+        with commit_lock(self.path):
+            return self._expire_snapshots_locked(keep_last)
+
+    def _expire_snapshots_locked(self, keep_last: int) -> dict:
         keep_last = max(1, keep_last)
         meta = self._read_meta()
         snaps = meta["snapshots"]

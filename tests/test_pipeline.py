@@ -1065,3 +1065,39 @@ def test_drop_column_lifecycle(spark, webtext, tmp_path):
     dec2 = decode_table(spark, out)
     assert set(dec2.columns) == {"_order", "lang", "url"}
     assert dec2.filter(F.col("url") != F.upper(F.col("url"))).count() == 0
+
+
+def test_concurrent_commits_are_serialized(spark, webtext, tmp_path):
+    """The commit lock makes concurrent metadata read-modify-writes
+    lose nothing: 8 parallel delete commits all land in the manifest
+    (without the lock, last-writer-wins would drop entries), and 6
+    parallel metadata commits all append to the snapshot log."""
+    import json as _json
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyrle_spark.plans.encode_job import delete_rows
+
+    out = str(tmp_path / "conc")
+    encode_table(
+        spark, webtext, out, EncodeConfig(columns=["lang"], block_rows=BLOCK)
+    )
+    with ThreadPoolExecutor(8) as ex:
+        list(ex.map(lambda i: delete_rows(spark, out, [i]), range(8)))
+    with open(os.path.join(out, "deletes", "manifest.json")) as f:
+        entries = _json.load(f)
+    assert len(entries) == 8
+    dec = decode_table(spark, out)
+    assert dec.count() == N_ROWS - 8
+    assert dec.filter(F.col("_order") < 8).count() == 0
+    props = IceTable(out).properties()
+    n_before = len(IceTable(out).snapshots())
+    with ThreadPoolExecutor(6) as ex:
+        list(
+            ex.map(
+                lambda i: IceTable(out).commit_metadata({**props, "tag": i}),
+                range(6),
+            )
+        )
+    assert len(IceTable(out).snapshots()) == n_before + 6
+    assert not os.path.exists(os.path.join(out, "metadata", ".commit.lock"))
