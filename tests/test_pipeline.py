@@ -1101,3 +1101,52 @@ def test_concurrent_commits_are_serialized(spark, webtext, tmp_path):
         )
     assert len(IceTable(out).snapshots()) == n_before + 6
     assert not os.path.exists(os.path.join(out, "metadata", ".commit.lock"))
+
+
+def test_table_op_sequence_model(spark, tmp_path):
+    """Model-based interleaving check: a sequence of append / delete /
+    compact / expire / vacuum ops, each followed by a full decode
+    compared against a driver-side reference model (dict of live rows).
+    Catches cross-op interactions (deletes surviving compaction and
+    expiry, duplicate deletes, whole-block deletes, resume appends)
+    that single-op tests cannot."""
+    from pyrle_spark.plans.encode_job import compact_table, delete_rows
+
+    out = str(tmp_path / "model")
+    B = 32
+    cfg = EncodeConfig(columns=["lang"], order_col="doc_seq", block_rows=B)
+
+    def mkrows(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_seq"),
+            F.concat(F.lit("L"), (F.col("id") % 5).cast("string")).alias("lang"),
+        )
+
+    model: dict = {}
+    deleted: set = set()
+
+    def append(lo, hi):
+        # resume semantics: encode the FULL prefix; committed blocks skip
+        encode_table(spark, mkrows(0, hi), out, cfg)
+        model.update({i: f"L{i % 5}" for i in range(lo, hi)})
+
+    def check(step):
+        got = {
+            r["_order"]: r["lang"]
+            for r in decode_table(spark, out).collect()
+        }
+        want = {k: v for k, v in model.items() if k not in deleted}
+        assert got == want, f"step {step}: {len(got)} vs {len(want)} rows"
+
+    append(0, 96); check("append1")
+    delete_rows(spark, out, [5, 40]); deleted |= {5, 40}; check("delete1")
+    append(96, 160); check("append2")
+    delete_rows(spark, out, [96, 5]); deleted |= {96, 5}; check("dup-delete")
+    compact_table(spark, out); check("compact")
+    delete_rows(spark, out, [130]); deleted |= {130}; check("delete-after-compact")
+    IceTable(out).expire_snapshots(keep_last=1); check("expire")
+    IceTable(out).vacuum(); check("vacuum")
+    append(160, 192); check("append3")
+    whole = list(range(32, 64))
+    delete_rows(spark, out, whole); deleted |= set(whole); check("whole-block-delete")
+    compact_table(spark, out); check("final-compact")
