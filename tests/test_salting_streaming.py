@@ -419,3 +419,40 @@ def test_streaming_neardup_lsh_index(spark, tmp_path):
     assert got == expect
     assert 0 in got and 3 in got          # first-seen docs kept
     assert {1, 2, 5}.isdisjoint(got)      # exact copies dropped both ways
+
+
+def test_streaming_decode_tails_snapshots(spark, webtext, tmp_path):
+    """The decode consumer: drain 1 sees every committed row; after a
+    new snapshot appends, drain 2 (same checkpoint) delivers ONLY the
+    newly added rows, already decoded."""
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+    from pyrle_spark.streaming.decode_stream import decode_stream
+
+    table = str(tmp_path / "dec_tail")
+    cp = str(tmp_path / "dec_cp")
+    cfg = EncodeConfig(columns=["lang", "url"], block_rows=500)
+    half = webtext.filter(F.col("doc_seq") < 2000)
+    encode_table(spark, half, table, cfg)
+
+    got: dict = {}
+
+    def collect_batch(df, epoch):
+        for r in df.select("_order", "lang", "url").collect():
+            got[r["_order"]] = (r["lang"], r["url"])
+
+    q = decode_stream(spark, table, cp, collect_batch)
+    q.awaitTermination(120)
+    assert set(got) == set(range(2000))
+    src = {
+        r["doc_seq"]: (r["lang"], r["url"])
+        for r in webtext.select("doc_seq", "lang", "url").collect()
+    }
+    n = len(src)  # this module's webtext fixture is 3000 rows
+    assert got == {k: src[k] for k in range(2000)}
+    # snapshot 2 appends the rest; the tail delivers only the new rows
+    encode_table(spark, webtext, table, cfg)
+    got.clear()
+    q2 = decode_stream(spark, table, cp, collect_batch)
+    q2.awaitTermination(120)
+    assert set(got) == set(range(2000, n))
+    assert got == {k: src[k] for k in range(2000, n)}
