@@ -1903,6 +1903,63 @@ SELECT DISTINCT source FROM documents
 """
 
 
+def update_where_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoR UPDATE end-to-end under oracle check: encode documents,
+    ``update_where lang='fr' SET lang='und', n_chars=n_chars+1000``,
+    decode and aggregate.  The oracle is the row-level CASE rewrite —
+    equality proves the update touched exactly the matched rows
+    (append-at-tail + position-delete, no untouched block rewritten)
+    and the SET expressions evaluated over the original row images.
+
+    Scale shape: cost is O(matched rows) — pruned resolve, one tail
+    append, one delete commit.  The global row_number only shapes the
+    tiny test input's order column, as in bloom_prune_eq_agg."""
+    import tempfile
+
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        decode_table,
+        encode_table,
+        update_where,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    ordered = docs.select(
+        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("_seq"),
+        "lang",
+        "n_chars",
+    )
+    out_dir = tempfile.mkdtemp(prefix="update_where_")
+    encode_table(
+        spark,
+        ordered,
+        out_dir,
+        EncodeConfig(columns=["lang", "n_chars"], order_col="_seq", block_rows=50),
+    )
+    update_where(
+        spark, out_dir, "lang", ["fr"], {"lang": "'und'", "n_chars": "n_chars + 1000"}
+    )
+    return (
+        decode_table(spark, out_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_UPDATE_WHERE_AGG_SQL = """
+WITH rewritten AS (
+  SELECT CASE WHEN lang = 'fr' THEN 'und' ELSE lang END AS lang,
+         CASE WHEN lang = 'fr' THEN n_chars + 1000 ELSE n_chars END AS n_chars
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM rewritten GROUP BY lang
+"""
+
+
 def layout_prune_synergy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clustering × data skipping, quantified and oracle-checked: after
     ``rewrite_sorted`` by lang, the zone maps on the sort column become
@@ -2027,6 +2084,7 @@ QUERIES = {
     "point_lookup_rows": point_lookup_rows,
     "compressed_distinct_source": compressed_distinct_source,
     "layout_prune_synergy": layout_prune_synergy,
+    "update_where_agg": update_where_agg,
     "zonemap_prune_agg": zonemap_prune_agg,
     "bloom_prune_eq_agg": bloom_prune_eq_agg,
     "compressed_count_by_lang": compressed_count_by_lang,
@@ -2084,6 +2142,7 @@ ORACLE_SQL = {
     "point_lookup_rows": _POINT_LOOKUP_ROWS_SQL,
     "compressed_distinct_source": _COMPRESSED_DISTINCT_SQL,
     "layout_prune_synergy": _LAYOUT_PRUNE_SYNERGY_SQL,
+    "update_where_agg": _UPDATE_WHERE_AGG_SQL,
     "mor_delete_agg": _MOR_DELETE_AGG_SQL,
     "mor_compressed_count": _MOR_COMPRESSED_COUNT_SQL,
     "rle_eq_step": _RLE_EQ_STEP_SQL,

@@ -64,6 +64,7 @@ __all__ = [
     "point_lookup",
     "rewrite_sorted",
     "scan_incremental",
+    "update_where",
     "encode_table",
     "prune_blocks",
     "prune_blocks_eq",
@@ -796,6 +797,91 @@ def scan_incremental(
         snapshot_id=to_snapshot,
         blocks=added_blocks,
     )
+
+
+def update_where(
+    spark: SparkSession,
+    table_dir: str,
+    column: str,
+    values: list,
+    set_exprs: dict,
+) -> dict:
+    """``UPDATE … SET`` in merge-on-read flavor: rows whose ``column``
+    is in ``values`` get their updated images APPENDED at fresh tail
+    positions, then the originals are position-deleted — no block of
+    untouched data is rewritten, so the cost is O(matched rows), not
+    O(table).
+
+    ``set_exprs``: ``{col: SQL expression}`` evaluated over the matched
+    row (e.g. ``{"lang": "'und'"}`` or ``{"n_chars": "n_chars + 1"}``).
+
+    Ordering makes time travel clean: the append commits first (the
+    pre-update snapshot still shows the original table), the delete tags
+    the post-append snapshot.  A crash between the two commits leaves
+    the originals alive next to their updated copies — re-running the
+    same update converges (the copies match the predicate only if SET
+    changed nothing).  Like Iceberg's copy-on-write update, row
+    POSITIONS of updated rows change.
+
+    Returns ``{"n_updated", "first_new_pos", "snapshot_id"}``."""
+    table = IceTable(table_dir)
+    props = table.properties()
+    cols = list(props["columns"])
+    block_rows = int(props["block_rows"])
+    enc = dedup_blocks(table.read_table(spark))
+    # resolve matches through the pruned scan (deletes applied: an
+    # already-deleted row must not resurrect through an update)
+    live = prune_blocks_in(enc, column, values)
+    dec = decode_table(spark, table_dir, blocks=live)
+    hit = dec.filter(F.col(column).isin(values)).cache()
+    n_hit = hit.count()
+    if n_hit == 0:
+        hit.unpersist()
+        return {
+            "n_updated": 0,
+            "first_new_pos": None,
+            "snapshot_id": table.current_snapshot_id(),
+        }
+    # next free position = end of the dense position domain
+    base = int(
+        enc.filter(F.col("column") == cols[0])
+        .agg(F.max(F.col("block_id") * block_rows + F.col("n_rows")))
+        .first()[0]
+    )
+    ranked = assign_row_order(hit, [], tiebreak="_order", out_col="_new")
+    updated = ranked.withColumn("_seq", F.col("_new") + F.lit(base))
+    for c, e in set_exprs.items():
+        if c not in cols:
+            raise KeyError(f"SET column {c!r} not in table columns {cols}")
+        updated = updated.withColumn(c, F.expr(e))
+    new_rows = updated.select("_seq", *cols)
+    # the tail block may be partial: re-encoding it must carry its
+    # EXISTING rows too (two partials of one block would dedup to one,
+    # losing data).  Raw decode (deletes NOT applied) keeps the block
+    # dense so positions stay stable; the delete vector keeps masking.
+    tail_bid = (base - 1) // block_rows if base else 0
+    tail_n = base - tail_bid * block_rows
+    if base and tail_n < block_rows:
+        tail = decode_table(
+            spark,
+            table_dir,
+            blocks=spark.createDataFrame([(tail_bid,)], "block_id long"),
+            apply_deletes=False,
+        ).select(F.col("_order").alias("_seq"), *cols)
+        new_rows = tail.unionByName(new_rows)
+    summary = encode_table(
+        spark,
+        new_rows,
+        table_dir,
+        EncodeConfig(columns=cols, order_col="_seq", block_rows=block_rows),
+    )
+    delete_rows(spark, table_dir, hit.select("_order"))
+    hit.unpersist()
+    return {
+        "n_updated": n_hit,
+        "first_new_pos": base,
+        "snapshot_id": summary["snapshot_id"],
+    }
 
 
 def drop_column(spark: SparkSession, table_dir: str, column: str) -> dict:

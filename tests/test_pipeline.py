@@ -1150,3 +1150,58 @@ def test_table_op_sequence_model(spark, tmp_path):
     whole = list(range(32, 64))
     delete_rows(spark, out, whole); deleted |= set(whole); check("whole-block-delete")
     compact_table(spark, out); check("final-compact")
+
+
+def test_update_where_mor(spark, webtext, tmp_path):
+    """MoR update: matched rows reappear updated at tail positions, the
+    originals position-delete away, untouched rows never rewrite, time
+    travel pre-update sees the original table — including the tricky
+    partial-tail-block re-encode (existing tail rows must carry over,
+    not be superseded away)."""
+    from pyrle_spark.plans.encode_job import delete_rows, update_where
+
+    out = str(tmp_path / "upd")
+    block = 512  # 4000 % 512 != 0 → partial tail block
+    encode_table(
+        spark, webtext, out, EncodeConfig(columns=["lang", "url"], block_rows=block)
+    )
+    kill = [r["lang"] for r in webtext.select("lang").distinct().limit(2).collect()]
+    n_kill = webtext.filter(F.col("lang").isin(kill)).count()
+    # one matching row already deleted: it must NOT resurrect as updated
+    victim = (
+        webtext.filter(F.col("lang").isin(kill)).select("doc_seq").first()["doc_seq"]
+    )
+    delete_rows(spark, out, [victim])
+    pre_snap = IceTable(out).current_snapshot_id()
+    info = update_where(spark, out, "lang", kill, {"lang": "'und'"})
+    assert info["n_updated"] == n_kill - 1
+    assert info["first_new_pos"] == N_ROWS
+    dec = decode_table(spark, out).cache()
+    assert dec.count() == N_ROWS - 1  # victim stays deleted
+    assert dec.filter(F.col("lang").isin(kill)).count() == 0
+    assert dec.filter(F.col("lang") == "und").count() == n_kill - 1
+    # updated images carry the other columns: url multiset preserved
+    src_urls = webtext.filter(
+        F.col("lang").isin(kill) & (F.col("doc_seq") != victim)
+    ).select("url")
+    upd_urls = dec.filter(F.col("lang") == "und").select("url")
+    assert upd_urls.exceptAll(src_urls).count() == 0
+    assert src_urls.exceptAll(upd_urls).count() == 0
+    # untouched rows stay at their positions with their values
+    untouched = dec.filter(
+        (~F.col("lang").isin(kill)) & (F.col("lang") != "und")
+    )
+    srcu = webtext.filter(~F.col("lang").isin(kill)).select(
+        F.col("doc_seq").alias("_order"), "lang", "url"
+    )
+    assert untouched.exceptAll(srcu).count() == 0
+    dec.unpersist()
+    # time travel: pre-update snapshot shows the original rows (minus
+    # the earlier delete), none marked 'und'
+    old = decode_table(spark, out, snapshot_id=pre_snap)
+    assert old.count() == N_ROWS - 1
+    assert old.filter(F.col("lang") == "und").count() == 0
+    assert old.filter(F.col("lang").isin(kill)).count() == n_kill - 1
+    # idempotent: nothing matches the predicate any more
+    again = update_where(spark, out, "lang", kill, {"lang": "'und'"})
+    assert again["n_updated"] == 0
