@@ -80,3 +80,72 @@ def test_kill_mid_encode_then_resume(tmp_path, spark):
     assert dec.count() == N_ROWS
     assert dec.select("_order").distinct().count() == N_ROWS
     assert verify_checksums(spark, out)["bad"] == 0
+
+
+REWRITE_WORKER = """
+import sys
+sys.path.insert(0, sys.argv[4])
+from pyrle_spark.session import get_spark
+from pyrle_spark.plans.encode_job import rewrite_sorted
+
+spark = get_spark("killme_rw", cpus=4, shuffle_partitions=4)
+rewrite_sorted(spark, sys.argv[1], sys.argv[2], ["lang"],
+               sub_rows=int(sys.argv[3]))
+print("WORKER_DONE", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_kill_mid_rewrite_then_resume(tmp_path, spark):
+    """SIGKILL a layout rewrite mid-encode, then rerun it: the
+    deterministic two-pass rank reproduces identical _seq values, so the
+    encode resume completes the SAME sorted table — byte-identical to a
+    never-killed rewrite."""
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        decode_table,
+        encode_table,
+        rewrite_sorted,
+        verify_checksums,
+    )
+    from pyrle_spark.sources.icetable import IceTable
+    from pyrle_spark.sources.webtext import generate_webtext
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ref = str(tmp_path / "ref")
+    wt = generate_webtext(spark, N_ROWS, n_hosts=20)
+    encode_table(
+        spark, wt, src, EncodeConfig(columns=["url", "lang"], block_rows=500)
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", REWRITE_WORKER, src, dst, "512", REPO],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    meta = os.path.join(dst, "metadata", "metadata.json")
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        if os.path.exists(meta) or proc.poll() is not None:
+            break
+        time.sleep(0.25)
+    killed = proc.poll() is None
+    if killed:
+        proc.send_signal(signal.SIGKILL)
+        proc.wait()
+    # rerun the rewrite; a stale commit lock from the kill must break
+    rewrite_sorted(spark, src, dst, ["lang"], sub_rows=512)
+    # reference: the same rewrite, never killed
+    rewrite_sorted(spark, src, ref, ["lang"], sub_rows=512)
+    from pyrle_spark.plans.encode_job import dedup_blocks
+
+    sig_of = lambda d: {  # noqa: E731
+        (r["block_id"], r["column"]): (r["crc32"], r["n_rows"])
+        for r in dedup_blocks(IceTable(d).read_table(spark))
+        .select("block_id", "column", "crc32", "n_rows")
+        .collect()
+    }
+    assert sig_of(dst) == sig_of(ref)
+    assert decode_table(spark, dst).count() == N_ROWS
+    assert verify_checksums(spark, dst)["bad"] == 0
