@@ -101,13 +101,20 @@ class IceTable:
         mode: str = "append",
         properties: dict | None = None,
         write_options: dict | None = None,
+        publish: bool = True,
     ) -> str:
         """Write df as a new snapshot; returns the snapshot id.
 
         mode="append" keeps prior snapshots' files live; "overwrite"
         starts the file list fresh (older snapshots stay readable —
         time travel — their files are never deleted here).
-        """
+
+        ``publish=False`` STAGES the snapshot (write-audit-publish): the
+        manifest commits and is readable via
+        ``read_table(snapshot_id=...)`` for auditing, but the current
+        pointer does not move — readers keep seeing the parent until
+        :meth:`publish_snapshot` flips it (or the stage is abandoned and
+        eventually expired)."""
         snap_id = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
         data_dir = os.path.join(self.path, "data", snap_id)
         writer = df.write.mode("errorifexists")
@@ -141,19 +148,65 @@ class IceTable:
                 "added_files": len(files),
                 "added_bytes": sum(f["bytes"] for f in files),
             }
+            if not publish:
+                manifest["staged"] = True
             snap_path = os.path.join(self.path, "metadata", f"snap-{snap_id}.json")
             with open(snap_path, "w") as f:
                 json.dump(manifest, f)
             meta["snapshots"].append(
-                {"id": snap_id, "timestamp_ms": manifest["timestamp_ms"], "mode": mode}
+                {
+                    "id": snap_id,
+                    "timestamp_ms": manifest["timestamp_ms"],
+                    "mode": mode,
+                    **({"staged": True} if not publish else {}),
+                }
             )
-            meta["current_snapshot_id"] = snap_id
-            meta["schema"] = df.schema.json()
+            if publish:
+                meta["current_snapshot_id"] = snap_id
+                meta["schema"] = df.schema.json()
             tmp = self._meta_path + f".tmp-{uuid.uuid4().hex[:8]}"
             with open(tmp, "w") as f:
                 json.dump(meta, f)
             os.replace(tmp, self._meta_path)  # atomic commit
         return snap_id
+
+    def publish_snapshot(self, snapshot_id: str) -> str:
+        """Publish a staged snapshot (the P of write-audit-publish):
+        flip the current pointer to it AFTER the audit passed.
+
+        Optimistic-concurrency check: publishing fails if another commit
+        moved the table since the stage was written (the staged manifest
+        embeds its parent's file list — publishing over an interleaved
+        commit would silently drop that commit's files, the classic
+        lost update)."""
+        with commit_lock(self.path):
+            meta = self._read_meta()
+            manifest = self._manifest(snapshot_id)
+            if not manifest.get("staged"):
+                raise ValueError(f"snapshot {snapshot_id} is not staged")
+            if manifest["parent"] != meta["current_snapshot_id"]:
+                raise RuntimeError(
+                    f"publish conflict: {snapshot_id} was staged on parent "
+                    f"{manifest['parent']} but the table moved to "
+                    f"{meta['current_snapshot_id']}; re-stage on the new "
+                    "current snapshot"
+                )
+            manifest.pop("staged", None)
+            snap_path = os.path.join(
+                self.path, "metadata", f"snap-{snapshot_id}.json"
+            )
+            with open(snap_path, "w") as f:
+                json.dump(manifest, f)
+            for s in meta["snapshots"]:
+                if s["id"] == snapshot_id:
+                    s.pop("staged", None)
+            meta["current_snapshot_id"] = snapshot_id
+            meta["schema"] = manifest["schema"]
+            tmp = self._meta_path + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, self._meta_path)
+        return snapshot_id
 
     def commit_metadata(self, properties: dict) -> str:
         """Metadata-only snapshot (Iceberg's schema/property evolution

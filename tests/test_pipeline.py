@@ -1205,3 +1205,38 @@ def test_update_where_mor(spark, webtext, tmp_path):
     # idempotent: nothing matches the predicate any more
     again = update_where(spark, out, "lang", kill, {"lang": "'und'"})
     assert again["n_updated"] == 0
+
+
+def test_write_audit_publish(spark, webtext, tmp_path):
+    """Write-audit-publish: a staged snapshot (publish=False) is readable
+    by id for auditing but invisible to current readers until
+    publish_snapshot flips the pointer; publishing over an interleaved
+    commit is refused (lost-update guard)."""
+    out = str(tmp_path / "wap")
+    base = webtext.filter(F.col("doc_seq") < 100).select("doc_seq", "url", "lang")
+    extra = webtext.filter(
+        (F.col("doc_seq") >= 100) & (F.col("doc_seq") < 150)
+    ).select("doc_seq", "url", "lang")
+    table = IceTable(out)
+    table.write_snapshot(base)
+    cur = table.current_snapshot_id()
+    staged = table.write_snapshot(extra, publish=False)
+    # current readers still see only the base rows
+    assert table.current_snapshot_id() == cur
+    assert table.read_table(spark).count() == 100
+    # the audit path sees the staged state by id
+    assert table.read_table(spark, snapshot_id=staged).count() == 150
+    # audit passed → publish flips the pointer atomically
+    table.publish_snapshot(staged)
+    assert table.current_snapshot_id() == staged
+    assert table.read_table(spark).count() == 150
+    # publishing a published snapshot is an error
+    with pytest.raises(ValueError):
+        table.publish_snapshot(staged)
+    # conflict: stage, then another commit interleaves → publish refused
+    staged2 = table.write_snapshot(
+        extra.withColumn("lang", F.lit("xx")), publish=False
+    )
+    table.write_snapshot(base.limit(1))  # interleaved append
+    with pytest.raises(RuntimeError, match="publish conflict"):
+        table.publish_snapshot(staged2)
