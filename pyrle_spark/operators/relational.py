@@ -2076,8 +2076,108 @@ FROM ordered WHERE rk % 83 = 0 AND rk <> 83
 """
 
 
+# ---------------------------------------------------------- hidden partitioning
+
+
+def partition_prune_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning end-to-end: write ``documents`` into a
+    partitioned IceTable (``identity(lang)`` + ``truncate[100](doc_id)``
+    — the user never sees either), read back with *source-column*
+    predicates (``lang = 'en' AND doc_id >= 200``) that the spec
+    projects into partition space to prune files before any data IO,
+    then aggregate.  The oracle is the naive full scan — equality proves
+    pruning drops and invents nothing (the same superset contract as the
+    block-level zone maps; the two compose: files first, blocks second).
+
+    Scale shape: pruning is O(#files) driver-side manifest work; the
+    scan reads only surviving files; at 10^12 docs a ``lang`` predicate
+    touches 1/#langs of the table without a partition column in any
+    query (Iceberg hidden partitioning; reference has no tables — engine
+    infrastructure per the north rule)."""
+    import tempfile
+
+    from pyrle_spark.sources.partitioned import (
+        PartitionField,
+        PartitionSpec,
+        PartitionedIceTable,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    spec = PartitionSpec(
+        PartitionField("lang"),
+        PartitionField("doc_id", "truncate[100]", "doc_range"),
+    )
+    t = PartitionedIceTable(tempfile.mkdtemp(prefix="part_prune_"), spec)
+    t.write_snapshot(docs)
+    preds = [("lang", "=", "en"), ("doc_id", ">=", 200)]
+    stats = t.prune(preds)
+    assert stats["kept_files"] < stats["total_files"], "pruning must bite"
+    return (
+        t.read(spark, preds)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_PARTITION_PRUNE_AGG_SQL = """
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE lang = 'en' AND doc_id >= 200 GROUP BY source
+"""
+
+
+def partition_prune_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time + bucket transforms: ``events`` partitioned by ``days(ts)``
+    and ``bucket[8](event_type)``; a timestamp range predicate prunes
+    whole days (monotone transform projection), an equality predicate
+    prunes by murmur3 bucket (the driver-side murmur3 is differential-
+    tested against ``F.hash``).  Oracle = naive scan."""
+    import datetime
+    import tempfile
+
+    from pyrle_spark.sources.partitioned import (
+        PartitionField,
+        PartitionSpec,
+        PartitionedIceTable,
+    )
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    spec = PartitionSpec(
+        PartitionField("ts", "days", "ts_day"),
+        PartitionField("event_type", "bucket[8]", "etype_bucket"),
+    )
+    t = PartitionedIceTable(tempfile.mkdtemp(prefix="part_days_"), spec)
+    t.write_snapshot(ev)
+    cutoff = datetime.datetime(2024, 1, 15, 12, 0, 0)
+    preds = [("ts", ">=", cutoff), ("event_type", "=", "click")]
+    stats = t.prune(preds)
+    assert stats["kept_files"] < stats["total_files"], "pruning must bite"
+    return (
+        t.read(spark, preds)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+    )
+
+
+_PARTITION_PRUNE_DAYS_SQL = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 3) AS sum_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-15 12:00:00' AND event_type = 'click'
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "rle_encode_lang": rle_encode_lang,
+    "partition_prune_agg": partition_prune_agg,
+    "partition_prune_days": partition_prune_days,
     "layout_rewrite_runs": layout_rewrite_runs,
     "incremental_scan_agg": incremental_scan_agg,
     "time_travel_agg": time_travel_agg,
@@ -2123,6 +2223,8 @@ QUERIES = {
 
 ORACLE_SQL = {
     "rle_encode_lang": _RLE_ENCODE_LANG_SQL,
+    "partition_prune_agg": _PARTITION_PRUNE_AGG_SQL,
+    "partition_prune_days": _PARTITION_PRUNE_DAYS_SQL,
     "zonemap_prune_agg": _ZONEMAP_PRUNE_AGG_SQL,
     "bloom_prune_eq_agg": _BLOOM_PRUNE_EQ_AGG_SQL,
     "compressed_count_by_lang": _COMPRESSED_COUNT_SQL,
