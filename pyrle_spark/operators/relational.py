@@ -2174,10 +2174,71 @@ GROUP BY event_type
 """
 
 
+def merge_upsert_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``MERGE INTO`` end-to-end through the real encoded table: encode
+    ``documents[doc_id < 400]``, merge a re-crawl source covering
+    ``doc_id 300..499`` (new lang + shifted n_chars) → 100 updates + 100
+    inserts, decode, aggregate.  Oracle = the merged state computed
+    relationally over the raw table (CASE on the re-crawled range).
+
+    Proves the full MoR upsert chain: key-column-only match resolution
+    (bloom-candidate decode), cardinality check, tail-block carry,
+    append-then-position-delete commit order, and that decode equals the
+    relational merge semantics row-for-row."""
+    import tempfile
+
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        decode_table,
+        encode_table,
+        merge_into,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    out_dir = tempfile.mkdtemp(prefix="merge_upsert_")
+    encode_table(
+        spark,
+        docs.filter(F.col("doc_id") < 400).select("doc_id", *cols),
+        out_dir,
+        EncodeConfig(columns=cols, order_col="doc_id", block_rows=128),
+    )
+    src = docs.filter(F.col("doc_id") >= 300).select(
+        "doc_id",
+        F.lit("und").alias("lang"),
+        "source",
+        (F.col("n_chars") + 1000).alias("n_chars"),
+    )
+    info = merge_into(spark, out_dir, src, on="doc_id")
+    assert info["n_updated"] == 100 and info["n_inserted"] == 100
+    return (
+        decode_table(spark, out_dir)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_MERGE_UPSERT_AGG_SQL = """
+WITH merged AS (
+  SELECT CASE WHEN doc_id >= 300 THEN 'und' ELSE lang END AS lang,
+         source,
+         CASE WHEN doc_id >= 300 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+  FROM documents
+)
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM merged GROUP BY lang, source
+"""
+
+
 QUERIES = {
     "rle_encode_lang": rle_encode_lang,
     "partition_prune_agg": partition_prune_agg,
     "partition_prune_days": partition_prune_days,
+    "merge_upsert_agg": merge_upsert_agg,
     "layout_rewrite_runs": layout_rewrite_runs,
     "incremental_scan_agg": incremental_scan_agg,
     "time_travel_agg": time_travel_agg,
@@ -2225,6 +2286,7 @@ ORACLE_SQL = {
     "rle_encode_lang": _RLE_ENCODE_LANG_SQL,
     "partition_prune_agg": _PARTITION_PRUNE_AGG_SQL,
     "partition_prune_days": _PARTITION_PRUNE_DAYS_SQL,
+    "merge_upsert_agg": _MERGE_UPSERT_AGG_SQL,
     "zonemap_prune_agg": _ZONEMAP_PRUNE_AGG_SQL,
     "bloom_prune_eq_agg": _BLOOM_PRUNE_EQ_AGG_SQL,
     "compressed_count_by_lang": _COMPRESSED_COUNT_SQL,

@@ -884,6 +884,161 @@ def update_where(
     }
 
 
+def merge_into(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    on: str,
+    when_matched: str | None = "update",
+    when_not_matched: str | None = "insert",
+    source_key_limit: int = 4096,
+) -> dict:
+    """``MERGE INTO`` (upsert) in merge-on-read flavor — the DML verb a
+    re-crawl lands with: rows whose key exists get their new images
+    APPENDED at fresh tail positions and the originals position-deleted;
+    unseen keys append as inserts.  No untouched block is rewritten:
+    cost is O(matched + inserted), not O(table).
+
+    ``on``: the join key column (must be an encoded column).
+    ``when_matched``: ``"update"`` (replace row with the source image),
+    ``"delete"``, or None (leave matched rows alone).
+    ``when_not_matched``: ``"insert"`` or None.
+
+    Contract: source keys must be UNIQUE (the SQL-standard MERGE
+    cardinality rule — a target row updated twice in one statement is an
+    error; here enforced up front with one small aggregate).  Multiple
+    TARGET rows sharing a key all match the one source row, as in SQL.
+
+    Scale shape: match resolution decodes ONLY the key column, and when
+    the source key set is driver-small (≤ ``source_key_limit``) the
+    decode is restricted to bloom-candidate blocks
+    (:func:`prune_blocks_in`) — the anti-join for inserts stays exact
+    because the bloom digest never misses a block that holds a key.  Big
+    sources fall back to a full key-column scan + shuffle join (the
+    unavoidable cost of a big MERGE).  Positions are assigned by the
+    de-globalized two-pass rank, so the result is deterministic at any
+    parallelism.
+
+    Commit order is append-then-delete, like :func:`update_where`: a
+    crash between the commits leaves originals alive next to their new
+    images, and re-running the same MERGE converges (both copies match
+    and are replaced by one image).
+
+    Returns ``{"n_updated", "n_deleted", "n_inserted", "first_new_pos",
+    "snapshot_id"}``."""
+    if when_matched not in ("update", "delete", None):
+        raise ValueError(f"when_matched={when_matched!r}")
+    if when_not_matched not in ("insert", None):
+        raise ValueError(f"when_not_matched={when_not_matched!r}")
+    if when_matched is None and when_not_matched is None:
+        raise ValueError("MERGE with no action")
+    table = IceTable(table_dir)
+    props = table.properties()
+    cols = list(props["columns"])
+    block_rows = int(props["block_rows"])
+    if on not in cols:
+        raise KeyError(f"merge key {on!r} not in table columns {cols}")
+    need_images = when_matched == "update" or when_not_matched == "insert"
+    if need_images:
+        missing = [c for c in cols if c not in source.columns]
+        if missing:
+            raise KeyError(f"source is missing table columns {missing}")
+    src = source.select(*(cols if need_images else [on])).cache()
+    dup = src.groupBy(on).count().filter(F.col("count") > 1).limit(1).collect()
+    if dup:
+        src.unpersist()
+        raise ValueError(
+            f"MERGE cardinality violation: duplicate source key {dup[0][on]!r}"
+        )
+    n_src = src.count()
+    enc = dedup_blocks(table.read_table(spark))
+    blocks = None
+    if 0 < n_src <= source_key_limit:
+        vals = [r[0] for r in src.select(on).collect()]
+        blocks = prune_blocks_in(enc, on, vals)
+    tgt_keys = decode_table(spark, table_dir, columns=[on], blocks=blocks).select(
+        "_order", on
+    )
+    src_side = F.broadcast(src) if n_src <= source_key_limit else src
+    matched = tgt_keys.join(src_side, on, "inner").cache()
+    n_matched = matched.count()
+    inserts = None
+    n_ins = 0
+    if when_not_matched == "insert":
+        inserts = src.join(tgt_keys.select(on).distinct(), on, "left_anti").cache()
+        n_ins = inserts.count()
+    n_upd = n_matched if when_matched == "update" else 0
+    if n_upd == 0 and n_ins == 0 and (when_matched != "delete" or n_matched == 0):
+        src.unpersist()
+        matched.unpersist()
+        return {
+            "n_updated": 0,
+            "n_deleted": 0,
+            "n_inserted": 0,
+            "first_new_pos": None,
+            "snapshot_id": table.current_snapshot_id(),
+        }
+    base = int(
+        enc.filter(F.col("column") == cols[0])
+        .agg(F.max(F.col("block_id") * block_rows + F.col("n_rows")))
+        .first()[0]
+    )
+    parts = []
+    if n_upd:
+        upd = assign_row_order(matched, [], tiebreak="_order", out_col="_rk")
+        parts.append(upd.select((F.col("_rk") + F.lit(base)).alias("_seq"), *cols))
+    if n_ins:
+        # source keys are unique (checked above) ⇒ every (key) group has
+        # one row, so ranking by key alone is a deterministic total order
+        ins = assign_row_order(
+            inserts.withColumn("_tb", F.lit(0)),
+            [on],
+            tiebreak="_tb",
+            out_col="_rk",
+        )
+        parts.append(
+            ins.select((F.col("_rk") + F.lit(base + n_upd)).alias("_seq"), *cols)
+        )
+    first_new_pos = base if parts else None
+    snap = table.current_snapshot_id()
+    if parts:
+        new_rows = parts[0]
+        for p in parts[1:]:
+            new_rows = new_rows.unionByName(p)
+        # partial tail block: re-encode it WITH its existing rows (raw
+        # decode keeps positions dense; the delete vector keeps masking)
+        tail_bid = (base - 1) // block_rows if base else 0
+        tail_n = base - tail_bid * block_rows
+        if base and tail_n < block_rows:
+            tail = decode_table(
+                spark,
+                table_dir,
+                blocks=spark.createDataFrame([(tail_bid,)], "block_id long"),
+                apply_deletes=False,
+            ).select(F.col("_order").alias("_seq"), *cols)
+            new_rows = tail.unionByName(new_rows)
+        summary = encode_table(
+            spark,
+            new_rows,
+            table_dir,
+            EncodeConfig(columns=cols, order_col="_seq", block_rows=block_rows),
+        )
+        snap = summary["snapshot_id"]
+    if when_matched in ("update", "delete") and n_matched:
+        delete_rows(spark, table_dir, matched.select("_order"))
+    src.unpersist()
+    matched.unpersist()
+    if inserts is not None:
+        inserts.unpersist()
+    return {
+        "n_updated": n_upd,
+        "n_deleted": n_matched if when_matched == "delete" else 0,
+        "n_inserted": n_ins,
+        "first_new_pos": first_new_pos,
+        "snapshot_id": snap,
+    }
+
+
 def drop_column(spark: SparkSession, table_dir: str, column: str) -> dict:
     """Schema evolution: drop an encoded column ("delete raw ``html``
     once ``text`` is extracted" — the storage-reclaim move every web

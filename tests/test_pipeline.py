@@ -1240,3 +1240,92 @@ def test_write_audit_publish(spark, webtext, tmp_path):
     table.write_snapshot(base.limit(1))  # interleaved append
     with pytest.raises(RuntimeError, match="publish conflict"):
         table.publish_snapshot(staged2)
+
+
+def test_merge_into_upsert(spark, webtext, tmp_path):
+    """MERGE INTO: matched keys replaced by the source image, unseen keys
+    inserted, untouched rows byte-stable; re-running the same MERGE
+    converges; time travel to the pre-merge snapshot is clean."""
+    from pyrle_spark.plans.encode_job import merge_into
+
+    out = str(tmp_path / "merge")
+    cols = ["url", "lang", "n_chars"]
+    base = webtext.filter(F.col("doc_seq") < 1000).select(
+        "doc_seq", "url", "lang", F.length("text").alias("n_chars")
+    )
+    encode_table(
+        spark, base, out,
+        EncodeConfig(columns=cols, order_col="doc_seq", block_rows=BLOCK),
+    )
+    pre_snap = IceTable(out).current_snapshot_id()
+    # source: re-crawl of docs 900..1099 — 100 updates + 100 inserts,
+    # with a changed payload on the updated half
+    src = webtext.filter(
+        (F.col("doc_seq") >= 900) & (F.col("doc_seq") < 1100)
+    ).select(
+        "url", F.lit("und").alias("lang"),
+        (F.length("text") + 7).alias("n_chars"),
+    )
+    info = merge_into(spark, out, src, on="url")
+    assert info["n_updated"] == 100 and info["n_inserted"] == 100
+    assert info["first_new_pos"] == 1000
+    dec = decode_table(spark, out).cache()
+    assert dec.count() == 1100
+    # every source row is present with the source image (exact multiset)
+    got_imgs = dec.filter(F.col("lang") == "und").select("url", "lang", "n_chars")
+    assert got_imgs.count() == 200
+    assert got_imgs.exceptAll(src).count() == 0
+    assert src.exceptAll(got_imgs).count() == 0
+    # untouched rows keep their original values and positions
+    untouched = dec.filter(F.col("lang") != "und").select(
+        "_order", "url", "lang", "n_chars"
+    )
+    orig = base.filter(F.col("doc_seq") < 900).select(
+        F.col("doc_seq").alias("_order"), "url", "lang", "n_chars"
+    )
+    assert untouched.exceptAll(orig).count() == 0
+    assert orig.exceptAll(untouched).count() == 0
+    dec.unpersist()
+    # time travel: pre-merge snapshot shows the original 1000 rows
+    old = decode_table(spark, out, snapshot_id=pre_snap)
+    assert old.count() == 1000
+    assert old.filter(F.col("lang") == "und").count() == 0
+    # convergence: the same MERGE again updates the 200, inserts nothing
+    again = merge_into(spark, out, src, on="url")
+    assert again["n_updated"] == 200 and again["n_inserted"] == 0
+    assert decode_table(spark, out).count() == 1100
+
+
+def test_merge_into_delete_and_errors(spark, webtext, tmp_path):
+    from pyrle_spark.plans.encode_job import merge_into
+
+    out = str(tmp_path / "merge_del")
+    cols = ["url", "lang"]
+    base = webtext.filter(F.col("doc_seq") < 500).select("doc_seq", "url", "lang")
+    encode_table(
+        spark, base, out,
+        EncodeConfig(columns=cols, order_col="doc_seq", block_rows=BLOCK),
+    )
+    # matched-delete: a takedown list by key, no inserts
+    kill = webtext.filter(F.col("doc_seq") < 50).select("url")
+    info = merge_into(
+        spark, out, kill, on="url", when_matched="delete", when_not_matched=None
+    )
+    assert info["n_deleted"] == 50 and info["n_inserted"] == 0
+    assert decode_table(spark, out).count() == 450
+    # cardinality violation: duplicate source keys are refused
+    dup_src = kill.union(kill)
+    with pytest.raises(ValueError, match="cardinality"):
+        merge_into(spark, out, dup_src, on="url", when_matched="delete",
+                   when_not_matched=None)
+    # missing columns for an update merge are refused
+    with pytest.raises(KeyError, match="missing table columns"):
+        merge_into(spark, out, kill, on="url")
+    # no-op merge: nothing matches, nothing inserted
+    none_src = webtext.filter(
+        (F.col("doc_seq") >= 600) & (F.col("doc_seq") < 610)
+    ).select("url")
+    noop = merge_into(
+        spark, out, none_src, on="url", when_matched="delete", when_not_matched=None
+    )
+    assert noop["n_deleted"] == 0 and noop["snapshot_id"] == info["snapshot_id"]
