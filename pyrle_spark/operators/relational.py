@@ -2234,11 +2234,66 @@ FROM merged GROUP BY lang, source
 """
 
 
+def text_search_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index keyword search end-to-end: encode ``documents``
+    (with a marker word planted on ``doc_id % 100 < 5`` so block pruning
+    measurably bites on the dense synthetic vocabulary), build the
+    block-level index (posting lists compressed by the engine's own
+    delta/bit-pack codecs), then search ``marker AND 'join'``.
+
+    The index prunes to the marker's blocks; the decoded survivors are
+    re-checked row-level, so the result is EXACT — the oracle is the
+    naive tokenized scan.  Scale shape: search cost = O(#terms) pushed-
+    down index lookups + decode of surviving blocks only
+    (``plans/text_index.py``; same superset contract as zone maps)."""
+    import tempfile
+
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+    from pyrle_spark.plans.text_index import (
+        build_text_index,
+        prune_blocks_text,
+        search_text,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 100 < 5,
+            F.concat(F.col("text"), F.lit(" zebraqux")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+    )
+    out_dir = tempfile.mkdtemp(prefix="text_search_")
+    encode_table(
+        spark,
+        docs,
+        out_dir,
+        EncodeConfig(columns=["text", "lang"], order_col="doc_id", block_rows=50),
+    )
+    build_text_index(spark, out_dir)
+    cand, _ = prune_blocks_text(spark, out_dir, ["zebraqux", "join"])
+    n_docs = docs.count()
+    assert len(cand) < -(-n_docs // 50), "index pruning must bite"
+    return search_text(
+        spark, out_dir, ["zebraqux", "join"], extra_columns=["lang"]
+    ).select("_order", "lang")
+
+
+_TEXT_SEARCH_PRUNED_SQL = """
+SELECT doc_id AS _order, lang FROM documents
+WHERE doc_id % 100 < 5
+  AND list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'join')
+"""
+
+
 QUERIES = {
     "rle_encode_lang": rle_encode_lang,
     "partition_prune_agg": partition_prune_agg,
     "partition_prune_days": partition_prune_days,
     "merge_upsert_agg": merge_upsert_agg,
+    "text_search_pruned": text_search_pruned,
     "layout_rewrite_runs": layout_rewrite_runs,
     "incremental_scan_agg": incremental_scan_agg,
     "time_travel_agg": time_travel_agg,
@@ -2287,6 +2342,7 @@ ORACLE_SQL = {
     "partition_prune_agg": _PARTITION_PRUNE_AGG_SQL,
     "partition_prune_days": _PARTITION_PRUNE_DAYS_SQL,
     "merge_upsert_agg": _MERGE_UPSERT_AGG_SQL,
+    "text_search_pruned": _TEXT_SEARCH_PRUNED_SQL,
     "zonemap_prune_agg": _ZONEMAP_PRUNE_AGG_SQL,
     "bloom_prune_eq_agg": _BLOOM_PRUNE_EQ_AGG_SQL,
     "compressed_count_by_lang": _COMPRESSED_COUNT_SQL,
