@@ -1505,6 +1505,8 @@ def decode_table(
     columns are present in the subset.
     """
     table = IceTable(table_dir)
+    if snapshot_id:
+        snapshot_id = table.resolve_ref(snapshot_id)  # tag/branch names work
     props = table.properties(snapshot_id)
     block_rows = int(props["block_rows"])
     all_cols = props["columns"]

@@ -102,6 +102,7 @@ class IceTable:
         properties: dict | None = None,
         write_options: dict | None = None,
         publish: bool = True,
+        branch: str | None = None,
     ) -> str:
         """Write df as a new snapshot; returns the snapshot id.
 
@@ -114,7 +115,14 @@ class IceTable:
         ``read_table(snapshot_id=...)`` for auditing, but the current
         pointer does not move — readers keep seeing the parent until
         :meth:`publish_snapshot` flips it (or the stage is abandoned and
-        eventually expired)."""
+        eventually expired).
+
+        ``branch``: commit onto that branch instead of main — the parent
+        and (append-mode) inherited files come from the branch head, and
+        only the branch ref advances; main readers see nothing until
+        :meth:`fast_forward`."""
+        if branch is not None and not publish:
+            raise ValueError("stage (publish=False) applies to main only")
         snap_id = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
         data_dir = os.path.join(self.path, "data", snap_id)
         writer = df.write.mode("errorifexists")
@@ -134,12 +142,19 @@ class IceTable:
         # lock, so a concurrent append committed meanwhile is linked in)
         with commit_lock(self.path):
             meta = self._read_meta()
+            if branch is not None:
+                ref = meta.get("refs", {}).get(branch)
+                if ref is None or ref["type"] != "branch":
+                    raise KeyError(f"no branch {branch!r}")
+                parent_snap = ref["snapshot_id"]
+            else:
+                parent_snap = meta["current_snapshot_id"]
             prev_files = []
-            if mode == "append" and meta["current_snapshot_id"]:
-                prev_files = self._manifest(meta["current_snapshot_id"])["files"]
+            if mode == "append" and parent_snap:
+                prev_files = self._manifest(parent_snap)["files"]
             manifest = {
                 "snapshot_id": snap_id,
-                "parent": meta["current_snapshot_id"],
+                "parent": parent_snap,
                 "timestamp_ms": int(time.time() * 1000),
                 "mode": mode,
                 "schema": df.schema.json(),
@@ -159,9 +174,12 @@ class IceTable:
                     "timestamp_ms": manifest["timestamp_ms"],
                     "mode": mode,
                     **({"staged": True} if not publish else {}),
+                    **({"branch": branch} if branch else {}),
                 }
             )
-            if publish:
+            if branch is not None:
+                meta["refs"][branch]["snapshot_id"] = snap_id
+            elif publish:
                 meta["current_snapshot_id"] = snap_id
                 meta["schema"] = df.schema.json()
             tmp = self._meta_path + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -207,6 +225,114 @@ class IceTable:
                 json.dump(meta, f)
             os.replace(tmp, self._meta_path)
         return snapshot_id
+
+    # ------------------------------------------------------------------- refs
+
+    def create_tag(self, name: str, snapshot_id: str | None = None) -> str:
+        """An immutable named pointer (Iceberg ref of type tag): pin
+        "the snapshot we trained run X on" forever, independent of where
+        the main pointer moves.  Tagged snapshots survive
+        ``expire_snapshots``."""
+        return self._create_ref(name, "tag", snapshot_id)
+
+    def create_branch(self, name: str, snapshot_id: str | None = None) -> str:
+        """A mutable named pointer: ``write_snapshot(..., branch=name)``
+        advances it without touching the main pointer — the multi-commit
+        generalization of write-audit-publish (audit a whole chain of
+        commits, then :meth:`fast_forward` main onto it)."""
+        return self._create_ref(name, "branch", snapshot_id)
+
+    def _create_ref(self, name: str, kind: str, snapshot_id: str | None) -> str:
+        with commit_lock(self.path):
+            meta = self._read_meta()
+            snap = snapshot_id or meta["current_snapshot_id"]
+            if snap is None:
+                raise FileNotFoundError(f"no snapshot in {self.path}")
+            if not any(s["id"] == snap for s in meta["snapshots"]):
+                raise KeyError(f"unknown snapshot {snap}")
+            refs = meta.setdefault("refs", {})
+            if name in refs:
+                raise ValueError(f"ref {name!r} already exists")
+            refs[name] = {"type": kind, "snapshot_id": snap}
+            self._write_meta(meta)
+        return snap
+
+    def drop_ref(self, name: str) -> None:
+        with commit_lock(self.path):
+            meta = self._read_meta()
+            if name not in meta.get("refs", {}):
+                raise KeyError(f"no ref {name!r}")
+            del meta["refs"][name]
+            self._write_meta(meta)
+
+    def refs(self) -> dict:
+        return dict(self._read_meta().get("refs", {}))
+
+    def resolve_ref(self, name_or_snapshot: str) -> str:
+        """A ref name resolves to its head; anything else is assumed to
+        be a snapshot id (so every read API accepts either)."""
+        refs = self._read_meta().get("refs", {})
+        if name_or_snapshot in refs:
+            return refs[name_or_snapshot]["snapshot_id"]
+        return name_or_snapshot
+
+    def rollback_to(self, snapshot_id: str) -> str:
+        """Move the main pointer back to an existing snapshot (Iceberg's
+        ``rollback_to_snapshot``).  Nothing is deleted: the abandoned
+        commits stay in the log (readable by id, GC'd by expiry), so a
+        bad ingest is undone in O(metadata)."""
+        with commit_lock(self.path):
+            meta = self._read_meta()
+            target = next(
+                (s for s in meta["snapshots"] if s["id"] == snapshot_id), None
+            )
+            if target is None:
+                raise KeyError(f"unknown snapshot {snapshot_id}")
+            if target.get("staged"):
+                raise ValueError(f"cannot roll back to staged {snapshot_id}")
+            meta["current_snapshot_id"] = snapshot_id
+            meta["schema"] = self._manifest(snapshot_id)["schema"]
+            self._write_meta(meta)
+        return snapshot_id
+
+    def is_ancestor(self, ancestor: str, descendant: str) -> bool:
+        """Walk the parent chain of ``descendant`` looking for
+        ``ancestor`` — O(history), driver metadata only."""
+        cur: str | None = descendant
+        while cur is not None:
+            if cur == ancestor:
+                return True
+            cur = self._manifest(cur).get("parent")
+        return False
+
+    def fast_forward(self, branch: str) -> str:
+        """Advance the main pointer to a branch head, REQUIRING that the
+        current main snapshot is an ancestor of the branch (the git
+        fast-forward rule): an interleaved main commit the branch never
+        saw would otherwise be silently dropped — the same lost-update
+        guard as :meth:`publish_snapshot`, generalized to a chain."""
+        with commit_lock(self.path):
+            meta = self._read_meta()
+            ref = meta.get("refs", {}).get(branch)
+            if ref is None or ref["type"] != "branch":
+                raise KeyError(f"no branch {branch!r}")
+            head = ref["snapshot_id"]
+            cur = meta["current_snapshot_id"]
+            if cur is not None and not self.is_ancestor(cur, head):
+                raise RuntimeError(
+                    f"fast-forward refused: main ({cur}) is not an ancestor "
+                    f"of branch {branch!r} ({head}); rebase the branch"
+                )
+            meta["current_snapshot_id"] = head
+            meta["schema"] = self._manifest(head)["schema"]
+            self._write_meta(meta)
+        return head
+
+    def _write_meta(self, meta: dict) -> None:
+        tmp = self._meta_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path)  # atomic commit
 
     def commit_metadata(self, properties: dict) -> str:
         """Metadata-only snapshot (Iceberg's schema/property evolution
@@ -266,9 +392,12 @@ class IceTable:
         self, spark: SparkSession, snapshot_id: str | None = None
     ) -> DataFrame:
         """Read the table at a snapshot (default: current). Time travel =
-        pass an older snapshot id."""
+        pass an older snapshot id; a ref name (tag/branch) also works."""
         meta = self._read_meta()
         snap = snapshot_id or meta["current_snapshot_id"]
+        refs = meta.get("refs", {})
+        if snap in refs:
+            snap = refs[snap]["snapshot_id"]
         if snap is None:
             raise FileNotFoundError(f"no snapshot in {self.path}")
         manifest = self._manifest(snap)
@@ -278,7 +407,7 @@ class IceTable:
         return spark.read.parquet(*paths)
 
     def properties(self, snapshot_id: str | None = None) -> dict:
-        snap = snapshot_id or self.current_snapshot_id()
+        snap = self.resolve_ref(snapshot_id) if snapshot_id else self.current_snapshot_id()
         return self._manifest(snap)["properties"] if snap else {}
 
     # ------------------------------------------------------------ maintenance
@@ -308,10 +437,14 @@ class IceTable:
             return {"expired_snapshots": [], "deleted_files": 0, "reclaimed_bytes": 0}
         retained = snaps[-keep_last:]
         expired = snaps[:-keep_last]
-        current = meta["current_snapshot_id"]
-        if current and all(s["id"] != current for s in retained):
-            retained = [s for s in snaps if s["id"] == current] + retained
-            expired = [s for s in expired if s["id"] != current]
+        # the current pointer and every ref head (tag or branch) are
+        # pinned — expiry must never break a named pointer
+        pinned = {meta["current_snapshot_id"]} - {None}
+        pinned |= {r["snapshot_id"] for r in meta.get("refs", {}).values()}
+        must_keep = pinned - {s["id"] for s in retained}
+        if must_keep:
+            retained = [s for s in snaps if s["id"] in must_keep] + retained
+            expired = [s for s in expired if s["id"] not in must_keep]
         live_files = set()
         for s in retained:
             for f in self._manifest(s["id"])["files"]:

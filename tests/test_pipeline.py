@@ -1329,3 +1329,50 @@ def test_merge_into_delete_and_errors(spark, webtext, tmp_path):
         spark, out, none_src, on="url", when_matched="delete", when_not_matched=None
     )
     assert noop["n_deleted"] == 0 and noop["snapshot_id"] == info["snapshot_id"]
+
+
+def test_refs_tags_branches_rollback(spark, webtext, tmp_path):
+    """Snapshot refs: tags pin state through expiry, branches isolate a
+    commit chain until fast-forward, rollback undoes in O(metadata)."""
+    out = str(tmp_path / "refs")
+    base = webtext.filter(F.col("doc_seq") < 300).select("doc_seq", "url", "lang")
+    more = webtext.filter(
+        (F.col("doc_seq") >= 300) & (F.col("doc_seq") < 400)
+    ).select("doc_seq", "url", "lang")
+    t = IceTable(out)
+    s1 = t.write_snapshot(base)
+    t.create_tag("v1")
+    # branch from v1, two commits on the branch — main never moves
+    t.create_branch("audit", s1)
+    t.write_snapshot(more, branch="audit")
+    b2 = t.write_snapshot(
+        webtext.filter(
+            (F.col("doc_seq") >= 400) & (F.col("doc_seq") < 450)
+        ).select("doc_seq", "url", "lang"),
+        branch="audit",
+    )
+    assert t.current_snapshot_id() == s1
+    assert t.read_table(spark).count() == 300
+    assert t.read_table(spark, snapshot_id="audit").count() == 450
+    assert t.refs()["audit"]["snapshot_id"] == b2
+    # fast-forward main onto the audited branch head
+    t.fast_forward("audit")
+    assert t.current_snapshot_id() == b2
+    assert t.read_table(spark).count() == 450
+    # rollback undoes both branch commits on main; tag still resolves
+    t.rollback_to(s1)
+    assert t.read_table(spark).count() == 300
+    assert t.read_table(spark, snapshot_id="v1").count() == 300
+    # fast-forward refused after a diverging main commit
+    t.write_snapshot(more.limit(10))
+    with pytest.raises(RuntimeError, match="fast-forward refused"):
+        t.fast_forward("audit")
+    # expiry keeps every ref head: v1 (= s1) and the audit head survive
+    t.expire_snapshots(keep_last=1)
+    assert t.read_table(spark, snapshot_id="v1").count() == 300
+    assert t.read_table(spark, snapshot_id="audit").count() == 450
+    # dropping the refs unpins them for the next expiry
+    t.drop_ref("v1")
+    t.drop_ref("audit")
+    t.expire_snapshots(keep_last=1)
+    assert len(t.snapshots()) == 1
