@@ -456,3 +456,86 @@ def test_streaming_decode_tails_snapshots(spark, webtext, tmp_path):
     q2.awaitTermination(120)
     assert set(got) == set(range(2000, n))
     assert got == {k: src[k] for k in range(2000, n)}
+
+
+def test_streaming_merge_cdc_apply(spark, webtext, tmp_path):
+    """CDC apply: upserts and delete markers fold into the encoded table
+    per micro-batch; per-batch version collapse picks the latest change
+    per key; the checkpoint skips already-applied files on restart."""
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+    from pyrle_spark.streaming.merge_stream import merge_stream
+
+    src = str(tmp_path / "cdc_src")
+    table = str(tmp_path / "cdc_table")
+    cp = str(tmp_path / "cdc_cp")
+    cols = ["url", "lang", "n_chars"]
+    base = webtext.filter(F.col("doc_seq") < 1000).select(
+        "doc_seq", "url", "lang", F.length("text").alias("n_chars")
+    )
+    encode_table(
+        spark, base, table,
+        EncodeConfig(columns=cols, order_col="doc_seq", block_rows=250),
+    )
+    # batch 1: two versions for keys 900..949 (v2 must win: n_chars=-2),
+    # inserts for 1000..1049, no deletes
+    upd = webtext.filter(
+        (F.col("doc_seq") >= 900) & (F.col("doc_seq") < 950)
+    ).select("url", "lang")
+    b1 = (
+        upd.withColumn("n_chars", F.lit(-1)).withColumn("version", F.lit(1))
+        .union(upd.withColumn("n_chars", F.lit(-2)).withColumn("version", F.lit(2)))
+        .union(
+            webtext.filter(
+                (F.col("doc_seq") >= 1000) & (F.col("doc_seq") < 1050)
+            )
+            .select("url", "lang", F.length("text").alias("n_chars"))
+            .withColumn("version", F.lit(1))
+        )
+        .withColumn("is_delete", F.lit(False))
+    )
+    b1.repartition(1).write.mode("append").parquet(src)
+    q = merge_stream(
+        spark, src, table, on="url", checkpoint_dir=cp,
+        version_col="version", delete_col="is_delete",
+    )
+    q.awaitTermination(180)
+    dec = decode_table(spark, table).cache()
+    assert dec.count() == 1050
+    assert dec.filter("n_chars = -2").count() == 50  # v2 won
+    assert dec.filter("n_chars = -1").count() == 0
+    dec.unpersist()
+    # batch 2: delete keys 0..24, update key 900 again
+    dels = (
+        webtext.filter(F.col("doc_seq") < 25)
+        .select("url", "lang")
+        .withColumn("n_chars", F.lit(0))
+        .withColumn("version", F.lit(3))
+        .withColumn("is_delete", F.lit(True))
+    )
+    one_upd = (
+        webtext.filter(F.col("doc_seq") == 900)
+        .select("url", "lang")
+        .withColumn("n_chars", F.lit(-7))
+        .withColumn("version", F.lit(3))
+        .withColumn("is_delete", F.lit(False))
+    )
+    dels.union(one_upd).repartition(1).write.mode("append").parquet(src)
+    q2 = merge_stream(
+        spark, src, table, on="url", checkpoint_dir=cp,
+        version_col="version", delete_col="is_delete",
+    )
+    q2.awaitTermination(180)
+    dec2 = decode_table(spark, table).cache()
+    assert dec2.count() == 1025
+    assert dec2.filter("n_chars = -7").count() == 1
+    assert dec2.filter("n_chars = -2").count() == 49
+    n_snaps = len(IceTable(table).snapshots())
+    dec2.unpersist()
+    # restart with nothing new: checkpoint replays no file, no new commit
+    q3 = merge_stream(
+        spark, src, table, on="url", checkpoint_dir=cp,
+        version_col="version", delete_col="is_delete",
+    )
+    q3.awaitTermination(120)
+    assert len(IceTable(table).snapshots()) == n_snaps
+    assert decode_table(spark, table).count() == 1025
