@@ -2201,7 +2201,8 @@ def merge_upsert_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         docs.filter(F.col("doc_id") < 400).select("doc_id", *cols),
         out_dir,
-        EncodeConfig(columns=cols, order_col="doc_id", block_rows=128),
+        EncodeConfig(columns=cols, order_col="doc_id", block_rows=128,
+                     shuffle_partitions=16),
     )
     src = docs.filter(F.col("doc_id") >= 300).select(
         "doc_id",
@@ -2209,7 +2210,7 @@ def merge_upsert_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (F.col("n_chars") + 1000).alias("n_chars"),
     )
-    info = merge_into(spark, out_dir, src, on="doc_id")
+    info = merge_into(spark, out_dir, src, on="doc_id", shuffle_partitions=16)
     assert info["n_updated"] == 100 and info["n_inserted"] == 100
     return (
         decode_table(spark, out_dir)
@@ -2270,7 +2271,8 @@ def text_search_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         docs,
         out_dir,
-        EncodeConfig(columns=["text", "lang"], order_col="doc_id", block_rows=50),
+        EncodeConfig(columns=["text", "lang"], order_col="doc_id", block_rows=50,
+                     shuffle_partitions=16),
     )
     build_text_index(spark, out_dir)
     cand, _ = prune_blocks_text(spark, out_dir, ["zebraqux", "join"])
@@ -2288,8 +2290,74 @@ WHERE doc_id % 100 < 5
 """
 
 
+def zorder_prune_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering × multi-column data skipping: encode
+    ``documents`` in doc_id order (both predicate columns random per
+    block → zones prune nothing), rewrite with the Morton key of
+    ``(lang, n_chars)`` (``plans/zorder.py``), then answer
+    ``lang = 'fr' AND n_chars >= 300`` through the INTERSECTION of the
+    bloom survivors (lang) and zone survivors (n_chars).  The in-query
+    assert pins that the intersection is a strict subset of the blocks;
+    the oracle (naive scan) proves the pruned decode is exact.
+
+    Scale shape: one rewrite buys sharp skipping on BOTH dimensions —
+    single-column sort only serves its own column; at 10^12 docs the
+    two-predicate scan touches the z-curve rectangle, not the table."""
+    import tempfile
+
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        decode_table,
+        dedup_blocks,
+        encode_table,
+        prune_blocks,
+        prune_blocks_eq,
+    )
+    from pyrle_spark.plans.zorder import rewrite_zorder
+    from pyrle_spark.sources.icetable import IceTable
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("_seq"), "lang", "source", "n_chars"
+    )
+    src_dir = tempfile.mkdtemp(prefix="zorder_src_")
+    out_dir = tempfile.mkdtemp(prefix="zorder_out_")
+    cols = ["lang", "source", "n_chars"]
+    encode_table(
+        spark,
+        docs,
+        src_dir,
+        EncodeConfig(columns=cols, order_col="_seq", block_rows=64,
+                     shuffle_partitions=16),
+    )
+    rewrite_zorder(spark, src_dir, out_dir, ["lang", "n_chars"], block_rows=64,
+                   shuffle_partitions=16)
+    enc = dedup_blocks(IceTable(out_dir).read_table(spark))
+    total = enc.select("block_id").distinct().count()
+    by_eq = prune_blocks_eq(enc, "lang", "fr")
+    by_rng = prune_blocks(enc, "n_chars", lo=300)
+    live = by_eq.join(by_rng, "block_id", "left_semi")
+    n_live = live.select("block_id").distinct().count()
+    assert n_live < total, "z-order pruning must bite"
+    dec = decode_table(spark, out_dir, blocks=live)
+    return (
+        dec.filter((F.col("lang") == "fr") & (F.col("n_chars") >= 300))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_ZORDER_PRUNE_AGG_SQL = """
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE lang = 'fr' AND n_chars >= 300 GROUP BY source
+"""
+
+
 QUERIES = {
     "rle_encode_lang": rle_encode_lang,
+    "zorder_prune_agg": zorder_prune_agg,
     "partition_prune_agg": partition_prune_agg,
     "partition_prune_days": partition_prune_days,
     "merge_upsert_agg": merge_upsert_agg,
@@ -2343,6 +2411,7 @@ ORACLE_SQL = {
     "partition_prune_days": _PARTITION_PRUNE_DAYS_SQL,
     "merge_upsert_agg": _MERGE_UPSERT_AGG_SQL,
     "text_search_pruned": _TEXT_SEARCH_PRUNED_SQL,
+    "zorder_prune_agg": _ZORDER_PRUNE_AGG_SQL,
     "zonemap_prune_agg": _ZONEMAP_PRUNE_AGG_SQL,
     "bloom_prune_eq_agg": _BLOOM_PRUNE_EQ_AGG_SQL,
     "compressed_count_by_lang": _COMPRESSED_COUNT_SQL,

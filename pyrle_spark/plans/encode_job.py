@@ -892,6 +892,7 @@ def merge_into(
     when_matched: str | None = "update",
     when_not_matched: str | None = "insert",
     source_key_limit: int = 4096,
+    shuffle_partitions: int | None = None,
 ) -> dict:
     """``MERGE INTO`` (upsert) in merge-on-read flavor — the DML verb a
     re-crawl lands with: rows whose key exists get their new images
@@ -1021,7 +1022,12 @@ def merge_into(
             spark,
             new_rows,
             table_dir,
-            EncodeConfig(columns=cols, order_col="_seq", block_rows=block_rows),
+            EncodeConfig(
+                columns=cols,
+                order_col="_seq",
+                block_rows=block_rows,
+                shuffle_partitions=shuffle_partitions,
+            ),
         )
         snap = summary["snapshot_id"]
     if when_matched in ("update", "delete") and n_matched:
