@@ -2355,8 +2355,61 @@ FROM documents WHERE lang = 'fr' AND n_chars >= 300 GROUP BY source
 """
 
 
+def analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE, oracle-checked: encode ``documents``, compute
+    per-column stats WITHOUT a row scan (manifest zone/size folds +
+    dictionary-buffer NDV — ``plans/stats.py``), persist them as a
+    metadata-only commit, and return the stats relation.  The oracle
+    recomputes n_rows/NDV/min/max by brute force — a green hash proves
+    the decode-free statistics are EXACT, not estimates.
+
+    Scale shape: the manifest fold is O(#blocks); NDV reads dictionary
+    buffers only (code streams never decode); at 10^12 docs this is the
+    difference between ANALYZE as a metadata pass and a full scan."""
+    import tempfile
+
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+    from pyrle_spark.plans.stats import analyze_table, table_stats_df
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("_seq"), "lang", "source", "n_chars"
+    )
+    out_dir = tempfile.mkdtemp(prefix="analyze_")
+    encode_table(
+        spark,
+        docs,
+        out_dir,
+        EncodeConfig(
+            columns=["lang", "source", "n_chars"],
+            order_col="_seq",
+            block_rows=64,
+            shuffle_partitions=16,
+        ),
+    )
+    analyze_table(spark, out_dir)
+    return table_stats_df(spark, out_dir).select(
+        "column", "n_rows", "ndv", "vmin", "vmax"
+    )
+
+
+_ANALYZE_STATS_SQL = """
+SELECT 'lang' AS column, count(*) AS n_rows, count(DISTINCT lang) AS ndv,
+       CAST(min(lang) AS VARCHAR) AS vmin, CAST(max(lang) AS VARCHAR) AS vmax
+FROM documents
+UNION ALL
+SELECT 'n_chars', count(*), count(DISTINCT n_chars),
+       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'source', count(*), count(DISTINCT source),
+       CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+FROM documents
+"""
+
+
 QUERIES = {
     "rle_encode_lang": rle_encode_lang,
+    "analyze_stats": analyze_stats,
     "zorder_prune_agg": zorder_prune_agg,
     "partition_prune_agg": partition_prune_agg,
     "partition_prune_days": partition_prune_days,
@@ -2412,6 +2465,7 @@ ORACLE_SQL = {
     "merge_upsert_agg": _MERGE_UPSERT_AGG_SQL,
     "text_search_pruned": _TEXT_SEARCH_PRUNED_SQL,
     "zorder_prune_agg": _ZORDER_PRUNE_AGG_SQL,
+    "analyze_stats": _ANALYZE_STATS_SQL,
     "zonemap_prune_agg": _ZONEMAP_PRUNE_AGG_SQL,
     "bloom_prune_eq_agg": _BLOOM_PRUNE_EQ_AGG_SQL,
     "compressed_count_by_lang": _COMPRESSED_COUNT_SQL,

@@ -1,0 +1,149 @@
+"""ANALYZE TABLE — decode-free column statistics, persisted to metadata.
+
+A query planner (and a human) wants per-column ``n_rows / NDV / min /
+max / null presence / size / codec mix`` without scanning data.  This
+engine already stores the raw material in two compressed-domain places:
+
+- the **blocks manifest** carries per-block row counts, byte sizes, run
+  counts, codec names and zone bounds → one O(#blocks) aggregation
+  yields rows, sizes, codec mix, and global min/max (fold of the
+  per-block zones);
+- **dictionary buffers** are per-block distinct sets →
+  :func:`pyrle_spark.plans.compressed.distinct_values` yields EXACT NDV
+  with the code streams never decoded (exact decode fallback for
+  non-dict blocks), delete-aware.
+
+``analyze_table`` runs both and commits the result as a metadata-only
+snapshot (``properties["stats"]``), stamped with the analyzed snapshot
+id — the Iceberg ``ANALYZE``/Puffin-statistics pattern: stats travel
+with the table, readers know exactly how stale they are, and time
+travel to the parent still sees the old stats.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pyrle_spark.plans.compressed import distinct_values
+from pyrle_spark.plans.encode_job import dedup_blocks
+from pyrle_spark.sources.icetable import IceTable
+
+__all__ = ["analyze_table", "table_stats_df"]
+
+_NUMERIC_PREFIXES = ("int", "uint", "float", "double", "timestamp", "date")
+
+
+def analyze_table(
+    spark: SparkSession,
+    table_dir: str,
+    ndv_columns: list[str] | None = None,
+) -> dict:
+    """Compute and persist column statistics at the current snapshot.
+
+    ``ndv_columns``: columns to compute exact NDV for (default: all).
+    Pass ``[]`` to skip NDV entirely (manifest-only, zero data IO).
+
+    Returns the stats dict (also committed to table properties)."""
+    table = IceTable(table_dir)
+    snap = table.current_snapshot_id()
+    props = table.properties()
+    cols = list(props["columns"])
+    if ndv_columns is None:
+        ndv_columns = cols
+    unknown = [c for c in ndv_columns if c not in cols]
+    if unknown:
+        raise KeyError(f"ndv columns {unknown} not in table columns {cols}")
+    enc = dedup_blocks(table.read_table(spark))
+    # one manifest aggregation for every per-block quantity
+    rows = (
+        enc.groupBy("column", "arrow_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum("bytes_out").alias("bytes_out"),
+            F.sum("n_runs").alias("n_runs"),
+            F.sort_array(F.collect_set("codec")).alias("codecs"),
+            F.min(F.when(F.col("zmin").isNotNull(), F.col("zmin"))).alias(
+                "zmin_str"
+            ),
+            F.max(F.when(F.col("zmax").isNotNull(), F.col("zmax"))).alias(
+                "zmax_str"
+            ),
+            # numeric zones must fold numerically ("99" > "100" as strings)
+            F.min(F.expr("try_cast(zmin AS double)")).alias("zmin_num"),
+            F.max(F.expr("try_cast(zmax AS double)")).alias("zmax_num"),
+            F.sum(F.when(F.col("zmin").isNull(), 1).otherwise(0)).alias(
+                "blocks_without_zone"
+            ),
+        )
+        .collect()
+    )
+    stats: dict = {}
+    for r in rows:
+        numeric = r["arrow_type"].startswith(_NUMERIC_PREFIXES)
+        if numeric and r["blocks_without_zone"] == 0:
+            vmin, vmax = r["zmin_num"], r["zmax_num"]
+            if r["arrow_type"].startswith(("int", "uint")) and vmin is not None:
+                vmin, vmax = int(vmin), int(vmax)
+        elif not numeric:
+            vmin, vmax = r["zmin_str"], r["zmax_str"]
+        else:
+            vmin = vmax = None  # a zoneless numeric block → bounds unknown
+        stats[r["column"]] = {
+            "arrow_type": r["arrow_type"],
+            "n_blocks": r["n_blocks"],
+            "n_rows": int(r["n_rows"]),
+            "bytes_in": int(r["bytes_in"]),
+            "bytes_out": int(r["bytes_out"]),
+            "n_runs": int(r["n_runs"]) if r["n_runs"] is not None else None,
+            "codecs": list(r["codecs"]),
+            "min": vmin,
+            "max": vmax,
+        }
+    for c in ndv_columns:
+        vals = distinct_values(spark, table_dir, c)
+        agg = vals.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("nulls"),
+        ).first()
+        stats[c]["ndv"] = int(agg["n"]) - int(agg["nulls"])  # NDV of non-nulls
+        stats[c]["has_nulls"] = bool(agg["nulls"])
+    payload = {
+        "analyzed_snapshot": snap,
+        "analyzed_at_ms": int(time.time() * 1000),
+        "columns": stats,
+    }
+    table.commit_metadata({**table.properties(), "stats": payload})
+    return payload
+
+
+def table_stats_df(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The persisted stats as a relation (one row per column)."""
+    props = IceTable(table_dir).properties()
+    if "stats" not in props:
+        raise FileNotFoundError(
+            f"no stats committed for {table_dir}; run analyze_table first"
+        )
+    payload = props["stats"]
+    rows = [
+        {
+            "column": c,
+            "n_rows": s["n_rows"],
+            "ndv": s.get("ndv"),
+            "vmin": None if s["min"] is None else str(s["min"]),
+            "vmax": None if s["max"] is None else str(s["max"]),
+            "bytes_out": s["bytes_out"],
+            "n_blocks": s["n_blocks"],
+            "codecs": ",".join(s["codecs"]),
+        }
+        for c, s in sorted(payload["columns"].items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column string, n_rows long, ndv long, vmin string, vmax string, "
+        "bytes_out long, n_blocks long, codecs string",
+    )

@@ -1376,3 +1376,55 @@ def test_refs_tags_branches_rollback(spark, webtext, tmp_path):
     t.drop_ref("audit")
     t.expire_snapshots(keep_last=1)
     assert len(t.snapshots()) == 1
+
+
+def test_analyze_table_stats(spark, webtext, tmp_path):
+    """ANALYZE: decode-free stats are exact (vs brute force), nulls are
+    counted, the commit is metadata-only and snapshot-stamped, and the
+    manifest-only mode ([] NDV columns) runs without data IO."""
+    from pyrle_spark.plans.stats import analyze_table, table_stats_df
+
+    out = str(tmp_path / "stats")
+    src = webtext.filter(F.col("doc_seq") < 1000).select(
+        "doc_seq",
+        "url",
+        # plant nulls: lang NULL on every 10th row
+        F.when(F.col("doc_seq") % 10 == 0, None)
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        F.length("text").alias("n_chars"),
+    )
+    encode_table(
+        spark, src, out,
+        EncodeConfig(columns=["url", "lang", "n_chars"], order_col="doc_seq",
+                     block_rows=250),
+    )
+    n_snaps = len(IceTable(out).snapshots())
+    payload = analyze_table(spark, out)
+    assert payload["analyzed_snapshot"] is not None
+    # metadata-only commit: exactly one new snapshot, zero data files added
+    snaps = IceTable(out).snapshots()
+    assert len(snaps) == n_snaps + 1 and snaps[-1]["mode"] == "metadata"
+    stats = payload["columns"]
+    exp = src.agg(
+        F.countDistinct("lang"),
+        F.countDistinct("url"),
+        F.countDistinct("n_chars"),
+        F.min("n_chars"),
+        F.max("n_chars"),
+        F.min("url"),
+        F.max("url"),
+    ).first()
+    assert stats["lang"]["ndv"] == exp[0] and stats["lang"]["has_nulls"]
+    assert stats["url"]["ndv"] == exp[1] and not stats["url"]["has_nulls"]
+    assert stats["n_chars"]["ndv"] == exp[2]
+    assert stats["n_chars"]["min"] == exp[3] and stats["n_chars"]["max"] == exp[4]
+    assert stats["url"]["min"] == exp[5] and stats["url"]["max"] == exp[6]
+    assert all(s["n_rows"] == 1000 for s in stats.values())
+    # the relation view matches the dict
+    df = {r["column"]: r for r in table_stats_df(spark, out).collect()}
+    assert df["n_chars"]["ndv"] == exp[2] and df["lang"]["n_rows"] == 1000
+    # manifest-only re-analyze (no NDV): stays exact on bounds, skips ndv
+    p2 = analyze_table(spark, out, ndv_columns=[])
+    assert "ndv" not in p2["columns"]["lang"]
+    assert p2["columns"]["n_chars"]["max"] == exp[4]
