@@ -2407,8 +2407,68 @@ FROM documents
 """
 
 
+def table_changes_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC changelog, oracle-checked: encode the first half of
+    ``documents``, snapshot, append the rest, MoR-delete every 40th
+    doc, then read ``table_changes`` from the first snapshot — inserts
+    are the second half still visible, deletes carry pre-images of every
+    removed row from BOTH halves.  The oracle reconstructs both streams
+    relationally.
+
+    Scale shape: the insert stream plans only the appended files
+    (O(new data)); the delete stream decodes ≤ one block per deleted
+    position.  Nothing rescans the unchanged majority of the table."""
+    import tempfile
+
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        delete_rows,
+        encode_table,
+        table_changes,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("_seq"), "lang", "n_chars"
+    )
+    n = docs.count()
+    half = n // 2
+    out_dir = tempfile.mkdtemp(prefix="changes_")
+    cfg = EncodeConfig(
+        columns=["lang", "n_chars"],
+        order_col="_seq",
+        block_rows=64,
+        shuffle_partitions=16,
+    )
+    s1 = encode_table(spark, docs.filter(F.col("_seq") < half), out_dir, cfg)
+    encode_table(spark, docs, out_dir, cfg)  # resume-append the rest
+    delete_rows(spark, out_dir, range(0, n, 40))
+    ch = table_changes(spark, out_dir, s1["snapshot_id"])
+    return ch.groupBy("_change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def _table_changes_sql() -> str:
+    return """
+WITH n AS (SELECT count(*) AS c FROM documents),
+ins AS (
+  SELECT 'insert' AS _change_type, n_chars FROM documents, n
+  WHERE doc_id >= n.c // 2 AND doc_id % 40 <> 0
+),
+del AS (
+  SELECT 'delete' AS _change_type, n_chars FROM documents WHERE doc_id % 40 = 0
+),
+allc AS (SELECT * FROM ins UNION ALL SELECT * FROM del)
+SELECT _change_type, count(*) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM allc GROUP BY _change_type
+"""
+
+
 QUERIES = {
     "rle_encode_lang": rle_encode_lang,
+    "table_changes_agg": table_changes_agg,
     "analyze_stats": analyze_stats,
     "zorder_prune_agg": zorder_prune_agg,
     "partition_prune_agg": partition_prune_agg,
@@ -2466,6 +2526,7 @@ ORACLE_SQL = {
     "text_search_pruned": _TEXT_SEARCH_PRUNED_SQL,
     "zorder_prune_agg": _ZORDER_PRUNE_AGG_SQL,
     "analyze_stats": _ANALYZE_STATS_SQL,
+    "table_changes_agg": _table_changes_sql(),
     "zonemap_prune_agg": _ZONEMAP_PRUNE_AGG_SQL,
     "bloom_prune_eq_agg": _BLOOM_PRUNE_EQ_AGG_SQL,
     "compressed_count_by_lang": _COMPRESSED_COUNT_SQL,

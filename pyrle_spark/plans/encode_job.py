@@ -1123,6 +1123,65 @@ def incremental_deletes(
     return sorted(new - old)
 
 
+def table_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_snapshot: str,
+    to_snapshot: str | None = None,
+    columns: list | None = None,
+) -> DataFrame:
+    """The full CDC changelog between two snapshots: one DataFrame with
+    a ``_change_type`` column — ``insert`` rows (appended and still
+    visible at ``to``) carry post-images via :func:`scan_incremental`'s
+    O(new data) path, ``delete`` rows carry PRE-images (decoded raw from
+    exactly the deleted positions' blocks — ≤ one block per deleted
+    position, like :func:`point_lookup`).
+
+    Replay contract: applying the changelog to a copy of the table at
+    ``from`` — upsert every ``insert`` by ``_order``, then remove every
+    ``delete`` position — reproduces the table at ``to`` exactly.  A row
+    appended AND deleted inside the window appears only in the delete
+    stream (its delete is a no-op on replay).  An UPDATE (MERGE) appears
+    as the standard pair: delete of the old position's pre-image +
+    insert of the new image at its tail position."""
+    table = IceTable(table_dir)
+    to_snapshot = to_snapshot or table.current_snapshot_id()
+    # scan_incremental is FILE-granular: a resumed partial tail block is
+    # re-encoded whole, so its carried-over old rows ride along in the
+    # added files.  The changelog contract is ROW-level — clip inserts
+    # to positions past the from-snapshot's dense row domain (one
+    # O(#blocks) manifest fold).
+    from_enc = dedup_blocks(table.read_table(spark, from_snapshot))
+    block_rows_f = int(table.properties(from_snapshot)["block_rows"])
+    row_end = from_enc.agg(
+        F.max(F.col("block_id") * block_rows_f + F.col("n_rows"))
+    ).first()[0]
+    ins = (
+        scan_incremental(spark, table_dir, from_snapshot, to_snapshot, columns)
+        .filter(F.col("_order") >= F.lit(int(row_end or 0)))
+        .withColumn("_change_type", F.lit("insert"))
+    )
+    dels = incremental_deletes(table_dir, from_snapshot, to_snapshot)
+    if not dels:
+        return ins
+    block_rows = int(table.properties(to_snapshot)["block_rows"])
+    bids = sorted({p // block_rows for p in dels})
+    blocks_df = spark.createDataFrame([(b,) for b in bids], "block_id long")
+    pre = (
+        decode_table(
+            spark,
+            table_dir,
+            columns=columns,
+            snapshot_id=to_snapshot,
+            blocks=blocks_df,
+            apply_deletes=False,
+        )
+        .filter(F.col("_order").isin(dels))
+        .withColumn("_change_type", F.lit("delete"))
+    )
+    return ins.unionByName(pre)
+
+
 def assign_row_order(
     df: DataFrame,
     order_by: list,

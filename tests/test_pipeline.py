@@ -1428,3 +1428,52 @@ def test_analyze_table_stats(spark, webtext, tmp_path):
     p2 = analyze_table(spark, out, ndv_columns=[])
     assert "ndv" not in p2["columns"]["lang"]
     assert p2["columns"]["n_chars"]["max"] == exp[4]
+
+
+def test_table_changes_replay(spark, webtext, tmp_path):
+    """Changelog replay contract: applying table_changes(from) to a copy
+    of the table at `from` reproduces the table at `to` exactly; a MERGE
+    update appears as delete(pre-image) + insert(post-image)."""
+    from pyrle_spark.plans.encode_job import merge_into, table_changes
+
+    out = str(tmp_path / "changes")
+    cols = ["url", "lang", "n_chars"]
+    base = webtext.filter(F.col("doc_seq") < 1000).select(
+        "doc_seq", "url", "lang", F.length("text").alias("n_chars")
+    )
+    s0 = encode_table(
+        spark, base, out,
+        EncodeConfig(columns=cols, order_col="doc_seq", block_rows=250),
+    )
+    # window: an upsert MERGE (50 updates + 50 inserts) and a raw delete
+    src = webtext.filter(
+        (F.col("doc_seq") >= 950) & (F.col("doc_seq") < 1050)
+    ).select("url", F.lit("und").alias("lang"), F.lit(-1).alias("n_chars"))
+    merge_into(spark, out, src, on="url")
+    from pyrle_spark.plans.encode_job import delete_rows
+
+    delete_rows(spark, out, [10, 11])
+    ch = table_changes(spark, out, s0["snapshot_id"]).cache()
+    ins = ch.filter("_change_type = 'insert'")
+    dels = ch.filter("_change_type = 'delete'")
+    # updates: 50 pre-images deleted at original positions + 50 post-
+    # images inserted at tail; plus 50 pure inserts; plus the 2 raw dels
+    assert ins.count() == 100
+    assert dels.count() == 52
+    assert ins.filter("n_chars = -1").count() == 100
+    assert dels.filter("n_chars = -1").count() == 0  # pre-images only
+    assert sorted(
+        r["_order"] for r in dels.filter("_order < 100").collect()
+    ) == [10, 11]
+    # replay onto the from-state: upsert inserts by _order, drop deletes
+    at_from = decode_table(spark, out, snapshot_id=s0["snapshot_id"])
+    del_pos = {r["_order"] for r in dels.select("_order").collect()}
+    replayed = (
+        at_from.join(ins.select("_order"), "_order", "left_anti")
+        .unionByName(ins.drop("_change_type"))
+        .filter(~F.col("_order").isin(list(del_pos)))
+    )
+    now = decode_table(spark, out)
+    assert replayed.exceptAll(now).count() == 0
+    assert now.exceptAll(replayed).count() == 0
+    ch.unpersist()
