@@ -49,7 +49,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from pyrle_spark.codecs import Encoded, decode_array
-from pyrle_spark.codecs.base import arrow_to_payload
+from pyrle_spark.codecs.base import arrow_to_payload, str_to_type
 from pyrle_spark.sources.icetable import IceTable
 
 __all__ = [
@@ -1501,7 +1501,10 @@ def scan_encoded(
 # --------------------------------------------------------------------- decode
 
 
-def _make_decode_fn(block_rows: int):
+def _make_decode_fn(block_rows: int, types: dict | None = None):
+    # ``types``: column -> resolved arrow-type string.  Blocks written
+    # before a type widening decode at their narrow type and are cast up
+    # here so every emitted RecordBatch matches the output schema.
     def decode_stream(batches):
         # rows: one per (block, column), sorted by (block_id, column)
         cur_bid = None
@@ -1512,6 +1515,9 @@ def _make_decode_fn(block_rows: int):
             n = None
             for colname, enc in cols.items():
                 arr = decode_array(enc)
+                target = types.get(colname) if types else None
+                if target is not None and str(arr.type) != target:
+                    arr = arr.cast(str_to_type(target))
                 arrays[colname] = arr
                 n = len(arr)
             order = pa.array(
@@ -1614,12 +1620,20 @@ def decode_table(
     # ONE job resolves every column's arrow type (was one scan per column).
     # Types come from dedup_blocks so a re-encoded column's latest arrow type
     # wins deterministically (raw distinct() could yield two rows per column).
-    types = dict(
+    # A column whose BLOCKS disagree on width (schema evolution: int32
+    # blocks before a widening, int64 after) resolves to the WIDEST type
+    # of its family, and decode casts narrow blocks up — Iceberg's
+    # promotion rule (int→long, float→double); incompatible mixes raise.
+    type_rows = (
         dedup_blocks(enc_raw.filter(F.col("column").isin(cols)))
         .select("column", "arrow_type")
         .distinct()
         .collect()
     )
+    by_col: dict = {}
+    for r in type_rows:
+        by_col.setdefault(r["column"], set()).add(r["arrow_type"])
+    types = {c: _widest_type(c, ts) for c, ts in by_col.items()}
     missing = [c for c in cols if c not in types]
     if missing:
         raise KeyError(
@@ -1629,13 +1643,37 @@ def decode_table(
     out_schema = ", ".join(
         ["_order long"] + [f"{c} {_spark_type_of(types[c])}" for c in cols]
     )
-    out = enc.mapInArrow(_make_decode_fn(block_rows), out_schema)
+    out = enc.mapInArrow(_make_decode_fn(block_rows, types), out_schema)
     if deleted:
         dels = spark.createDataFrame(
             [(int(p),) for p in deleted], "_order long"
         )
         out = out.join(F.broadcast(dels), "_order", "left_anti")
     return out
+
+
+_PROMOTIONS = [
+    ({"int32", "int64"}, "int64"),
+    ({"float", "double"}, "double"),
+    ({"string", "large_string"}, "large_string"),
+    ({"binary", "large_binary"}, "large_binary"),
+]
+
+
+def _widest_type(col: str, ts: set) -> str:
+    """Resolve a column whose blocks carry mixed arrow types (written
+    before/after a type widening) to the widest type of its promotion
+    family — Iceberg's rule (int->long, float->double).  Incompatible
+    mixes are a corrupt table, not a promotable one: raise."""
+    if len(ts) == 1:
+        return next(iter(ts))
+    for family, widest in _PROMOTIONS:
+        if ts <= family:
+            return widest
+    raise TypeError(
+        f"column {col!r} has blocks of incompatible arrow types {sorted(ts)}; "
+        "supported promotions: int32->int64, float->double"
+    )
 
 
 def _spark_type_of(at: str) -> str:

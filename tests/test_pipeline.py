@@ -1477,3 +1477,29 @@ def test_table_changes_replay(spark, webtext, tmp_path):
     assert replayed.exceptAll(now).count() == 0
     assert now.exceptAll(replayed).count() == 0
     ch.unpersist()
+
+
+def test_type_widening_int32_to_int64(spark, tmp_path):
+    """Schema evolution: blocks written as int32 before a widening and
+    int64 after decode as one long column (Iceberg's int->long promotion),
+    with the narrow blocks cast up bit-exactly."""
+    from pyrle_spark.plans.encode_job import _widest_type
+
+    out = str(tmp_path / "enc_typew")
+    cfg = EncodeConfig(columns=["v"], order_col="seq", block_rows=4096)
+    df32 = spark.range(0, 8192).select(
+        F.col("id").alias("seq"), F.col("id").cast("int").alias("v")
+    )
+    encode_table(spark, df32, out, cfg)
+    full = spark.range(0, 12288).select(
+        F.col("id").alias("seq"), F.col("id").cast("long").alias("v")
+    )
+    encode_table(spark, full, out, cfg)
+    dec = decode_table(spark, out)
+    assert dec.schema["v"].dataType.simpleString() == "bigint"
+    got = [r["v"] for r in dec.orderBy("_order").collect()]
+    assert got == list(range(12288))
+    # incompatible mixes are an error, not a silent pick
+    assert _widest_type("c", {"float", "double"}) == "double"
+    with pytest.raises(TypeError):
+        _widest_type("c", {"int64", "string"})
