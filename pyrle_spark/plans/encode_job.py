@@ -62,6 +62,7 @@ __all__ = [
     "drop_column",
     "incremental_deletes",
     "point_lookup",
+    "rename_column",
     "rewrite_sorted",
     "scan_incremental",
     "update_where",
@@ -386,10 +387,23 @@ def _encode_pass_inner(
     resumed_blocks = 0
     prior_cols: set = set()
     prior_dropped: set = set()
+    prior_aliases: dict = {}
     if table.exists():
         prior_props = table.properties()
         prior_cols = set(prior_props.get("columns", []))
         prior_dropped = set(prior_props.get("dropped_columns", []))
+        prior_aliases = dict(prior_props.get("column_aliases", {}))
+        alias_clash = set(cols) & (
+            set(prior_aliases) | set(prior_aliases.values())
+        )
+        if alias_clash:
+            # resume matches blocks by PHYSICAL name; encoding an aliased
+            # logical name would fork the column into two physical names
+            raise ValueError(
+                f"columns {sorted(alias_clash)} are involved in a pending "
+                f"rename in {out_dir}; run compact_table first to "
+                "materialize the rename, then re-encode"
+            )
         clash = prior_dropped & set(cols)
         if clash:
             # stale pre-drop blocks still live in the data files; the
@@ -460,6 +474,7 @@ def _encode_pass_inner(
             # the latest snapshot advertises to decode_table
             "columns": sorted(set(cols) | set(prior_cols)),
             "dropped_columns": sorted(prior_dropped),
+            "column_aliases": prior_aliases,
             **config.properties,
         },
     )
@@ -712,6 +727,24 @@ def compact_table(spark: SparkSession, table_dir: str, keep_snapshots: int = 1) 
         # filtered out of the rewrite, and the tombstone clears so the
         # column name is free for a fresh encode
         live = live.filter(~F.col("column").isin(dropped))
+    aliases = dict(props.get("column_aliases", {}))
+    if aliases:
+        # materialize pending renames: block rows are rewritten under
+        # their logical names and the alias map clears, so post-compaction
+        # reads and encode passes see one physical name per column
+        inv = {p: c for c, p in aliases.items()}
+        live = live.withColumn(
+            "column",
+            F.coalesce(
+                F.element_at(
+                    F.create_map(
+                        *[F.lit(x) for kv in inv.items() for x in kv]
+                    ),
+                    F.col("column"),
+                ),
+                F.col("column"),
+            ),
+        )
     snap_id = table.write_snapshot(
         live,
         mode="overwrite",
@@ -722,6 +755,7 @@ def compact_table(spark: SparkSession, table_dir: str, keep_snapshots: int = 1) 
         properties={
             **props,
             "dropped_columns": [],
+            "column_aliases": {},
             "compacted_from": table.current_snapshot_id(),
         },
     )
@@ -1074,6 +1108,54 @@ def drop_column(spark: SparkSession, table_dir: str, column: str) -> dict:
     }
     snap = table.commit_metadata(new_props)
     return {"snapshot_id": snap, "columns": new_props["columns"]}
+
+
+def rename_column(spark: SparkSession, table_dir: str, old: str, new: str) -> dict:
+    """Schema evolution: rename an encoded column ("``html`` →
+    ``raw_html``" without rewriting a byte).  Like Iceberg's
+    ``RenameColumn``, the commit is METADATA-ONLY: blocks keep their
+    physical (storage) column name and the snapshot carries a
+    ``column_aliases`` map ``{logical_name: physical_name}`` that
+    :func:`decode_table` / :func:`scan_encoded` resolve on read.
+    Chained renames collapse to the original physical name; renaming
+    back to the physical name clears the alias.  Time travel to the
+    parent snapshot still reads the old name.
+
+    The alias is MATERIALIZED at the next :func:`compact_table`, which
+    rewrites block rows under their logical names and clears the map.
+    Until then, encode passes touching an aliased column are refused
+    (the resume anti-join matches on physical names and would treat the
+    logical name as a brand-new column).
+
+    Returns ``{"snapshot_id", "columns", "column_aliases"}``."""
+    table = IceTable(table_dir)
+    props = table.properties()
+    cols = list(props.get("columns", []))
+    if old not in cols:
+        raise KeyError(f"column {old!r} not in table columns {cols}")
+    if new in cols:
+        raise ValueError(f"column {new!r} already exists in {cols}")
+    if new in props.get("dropped_columns", []):
+        raise ValueError(
+            f"column {new!r} was dropped but its stale blocks remain; "
+            "run compact_table first to reclaim the name"
+        )
+    aliases = dict(props.get("column_aliases", {}))
+    physical = aliases.pop(old, old)  # chained renames collapse
+    if new != physical:
+        aliases[new] = physical
+    new_props = {
+        **props,
+        "columns": sorted(c for c in cols if c != old) + [new],
+        "column_aliases": aliases,
+    }
+    new_props["columns"] = sorted(new_props["columns"])
+    snap = table.commit_metadata(new_props)
+    return {
+        "snapshot_id": snap,
+        "columns": new_props["columns"],
+        "column_aliases": aliases,
+    }
 
 
 def point_lookup(
@@ -1454,6 +1536,9 @@ def scan_encoded(
     """
     table = IceTable(table_dir)
     enc = table.read_table(spark, snapshot_id)
+    # predicates arrive on LOGICAL names; zone/bloom pruning runs on the
+    # manifest's physical names (rename_column is metadata-only)
+    aliases = table.properties(snapshot_id).get("column_aliases", {})
     blocks = None
     need_cols = set(columns or [])
     norm = []  # (colname, lo, hi, values_or_None)
@@ -1468,14 +1553,15 @@ def scan_encoded(
             norm.append((colname, lo, hi, None))
     for colname, lo, hi, values in norm:
         need_cols.add(colname) if columns else None
-        surv = prune_blocks(enc, colname, lo, hi)
+        phys = aliases.get(colname, colname)
+        surv = prune_blocks(enc, phys, lo, hi)
         if values is not None:
             surv = surv.join(
-                prune_blocks_in(enc, colname, values), "block_id", "inner"
+                prune_blocks_in(enc, phys, values), "block_id", "inner"
             )
         elif lo is not None and lo == hi:
             surv = surv.join(
-                prune_blocks_eq(enc, colname, lo), "block_id", "inner"
+                prune_blocks_eq(enc, phys, lo), "block_id", "inner"
             )
         blocks = surv if blocks is None else blocks.join(
             surv, "block_id", "inner"
@@ -1501,10 +1587,14 @@ def scan_encoded(
 # --------------------------------------------------------------------- decode
 
 
-def _make_decode_fn(block_rows: int, types: dict | None = None):
-    # ``types``: column -> resolved arrow-type string.  Blocks written
-    # before a type widening decode at their narrow type and are cast up
-    # here so every emitted RecordBatch matches the output schema.
+def _make_decode_fn(
+    block_rows: int, types: dict | None = None, rename: dict | None = None
+):
+    # ``types``: LOGICAL column -> resolved arrow-type string.  Blocks
+    # written before a type widening decode at their narrow type and are
+    # cast up here so every emitted RecordBatch matches the output schema.
+    # ``rename``: physical (storage) name -> logical name, from
+    # rename_column's metadata-only alias map.
     def decode_stream(batches):
         # rows: one per (block, column), sorted by (block_id, column)
         cur_bid = None
@@ -1536,7 +1626,12 @@ def _make_decode_fn(block_rows: int, types: dict | None = None):
                         yield flush(cur_bid, pending)
                     cur_bid = bid
                     pending = {}
-                pending[row["column"]] = Encoded(
+                logical = (
+                    rename.get(row["column"], row["column"])
+                    if rename
+                    else row["column"]
+                )
+                pending[logical] = Encoded(
                     codec=row["codec"],
                     arrow_type=row["arrow_type"],
                     n_rows=row["n_rows"],
@@ -1589,14 +1684,22 @@ def decode_table(
             f"(available: {sorted(all_cols)}; dropped: "
             f"{props.get('dropped_columns', [])})"
         )
+    # rename_column is metadata-only: blocks keep their physical name and
+    # the snapshot's alias map {logical: physical} is resolved here — the
+    # scan filters on physical names, the output carries logical names.
+    aliases = props.get("column_aliases", {})
+    phys_of = {c: aliases.get(c, c) for c in cols}
+    phys_cols = sorted(phys_of.values())
+    rename = {p: c for c, p in phys_of.items() if p != c}
     enc = (
         spark.read.parquet(*paths)
         if paths
         else table.read_table(spark, snapshot_id)
     )
     enc_raw = enc
-    if columns:
-        enc = enc.filter(F.col("column").isin(cols))  # column pruning
+    # always prune to the requested physical set: stale blocks (dropped or
+    # renamed-away columns awaiting compaction) must not reach the decoder
+    enc = enc.filter(F.col("column").isin(phys_cols))
     if blocks is not None:
         enc = enc.join(
             F.broadcast(blocks.select("block_id").distinct()),
@@ -1625,14 +1728,17 @@ def decode_table(
     # of its family, and decode casts narrow blocks up — Iceberg's
     # promotion rule (int→long, float→double); incompatible mixes raise.
     type_rows = (
-        dedup_blocks(enc_raw.filter(F.col("column").isin(cols)))
+        dedup_blocks(enc_raw.filter(F.col("column").isin(phys_cols)))
         .select("column", "arrow_type")
         .distinct()
         .collect()
     )
     by_col: dict = {}
     for r in type_rows:
-        by_col.setdefault(r["column"], set()).add(r["arrow_type"])
+        # type map is keyed by LOGICAL name (what the decode fn emits)
+        by_col.setdefault(rename.get(r["column"], r["column"]), set()).add(
+            r["arrow_type"]
+        )
     types = {c: _widest_type(c, ts) for c, ts in by_col.items()}
     missing = [c for c in cols if c not in types]
     if missing:
@@ -1643,7 +1749,7 @@ def decode_table(
     out_schema = ", ".join(
         ["_order long"] + [f"{c} {_spark_type_of(types[c])}" for c in cols]
     )
-    out = enc.mapInArrow(_make_decode_fn(block_rows, types), out_schema)
+    out = enc.mapInArrow(_make_decode_fn(block_rows, types, rename), out_schema)
     if deleted:
         dels = spark.createDataFrame(
             [(int(p),) for p in deleted], "_order long"

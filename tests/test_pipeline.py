@@ -1503,3 +1503,80 @@ def test_type_widening_int32_to_int64(spark, tmp_path):
     assert _widest_type("c", {"float", "double"}) == "double"
     with pytest.raises(TypeError):
         _widest_type("c", {"int64", "string"})
+
+
+def test_rename_column_metadata_only(spark, tmp_path):
+    """rename_column is a metadata-only commit: decode resolves the alias
+    (logical name out, physical blocks untouched), time travel sees the
+    old name, scan_encoded prunes on the physical name, encode passes on
+    the aliased column are refused, and compact_table materializes the
+    rename and clears the alias map."""
+    from pyrle_spark.plans.encode_job import (
+        compact_table,
+        rename_column,
+        scan_encoded,
+    )
+
+    out = str(tmp_path / "enc_rename")
+    cfg = EncodeConfig(columns=["v", "u"], order_col="seq", block_rows=1024)
+    df = spark.range(0, 4096).select(
+        F.col("id").alias("seq"),
+        F.col("id").alias("v"),
+        (F.col("id") % 7).alias("u"),
+    )
+    encode_table(spark, df, out, cfg)
+    pre_snap = IceTable(out).current_snapshot_id()
+
+    res = rename_column(spark, out, "v", "w")
+    assert res["columns"] == ["u", "w"]
+    assert res["column_aliases"] == {"w": "v"}
+
+    dec = decode_table(spark, out)
+    assert sorted(dec.columns) == ["_order", "u", "w"]
+    got = [r["w"] for r in dec.orderBy("_order").collect()]
+    assert got == list(range(4096))
+    # old name is gone at the head...
+    with pytest.raises(KeyError):
+        decode_table(spark, out, columns=["v"])
+    # ...but time travel to the parent snapshot still reads it
+    old = decode_table(spark, out, columns=["v"], snapshot_id=pre_snap)
+    assert old.count() == 4096
+
+    # pushdown on the logical name prunes via the physical zone maps
+    sc = scan_encoded(spark, out, columns=["w"], predicates=[("w", 100, 200)])
+    assert sc.count() == 101
+
+    # chained rename collapses to the original physical name
+    res2 = rename_column(spark, out, "w", "x")
+    assert res2["column_aliases"] == {"x": "v"}
+    # renaming back to the physical name clears the alias
+    res3 = rename_column(spark, out, "x", "v")
+    assert res3["column_aliases"] == {}
+    rename_column(spark, out, "v", "w")
+
+    # encode passes on a renamed column are refused until compaction
+    with pytest.raises(ValueError, match="pending rename"):
+        encode_table(
+            spark,
+            df.select("seq", F.col("v").alias("w")),
+            out,
+            EncodeConfig(columns=["w"], order_col="seq", block_rows=1024),
+        )
+
+    # compaction materializes: blocks carry logical names, alias clears
+    compact_table(spark, out)
+    table = IceTable(out)
+    assert table.properties().get("column_aliases") == {}
+    phys = {
+        r["column"]
+        for r in table.read_table(spark).select("column").distinct().collect()
+    }
+    assert phys == {"u", "w"}
+    dec2 = decode_table(spark, out)
+    assert [r["w"] for r in dec2.orderBy("_order").collect()] == list(range(4096))
+
+    # collisions are refused
+    with pytest.raises(ValueError):
+        rename_column(spark, out, "w", "u")
+    with pytest.raises(KeyError):
+        rename_column(spark, out, "nope", "y")
