@@ -235,12 +235,23 @@ class PartitionSpec:
 
 class PartitionedIceTable:
     """IceTable + partition spec: partition-fanned writes, manifests that
-    carry each file's partition tuple, transform-aware file pruning, and
-    queryable metadata tables."""
+    carry each file's partition tuple, transform-aware file pruning,
+    queryable metadata tables, and PARTITION EVOLUTION (Iceberg spec
+    §Partition Evolution): :meth:`evolve_spec` commits a new default spec
+    as metadata only — existing files keep the spec id they were written
+    under and continue to prune by it, new files are laid out and pruned
+    by the new spec.  No data rewrite ever happens on a spec change."""
 
     def __init__(self, path: str, spec: PartitionSpec | None = None):
         self.table = IceTable(path)
-        meta_spec = self.table._read_meta().get("partition_spec")
+        meta = self.table._read_meta()
+        specs_json = meta.get("partition_specs")
+        if specs_json is None and meta.get("partition_spec") is not None:
+            # table written before evolution support: its single spec is
+            # spec 0 and the default
+            specs_json = [meta["partition_spec"]]
+        default_id = meta.get("default_spec_id", 0)
+        meta_spec = specs_json[default_id] if specs_json else None
         if spec is None:
             if meta_spec is None:
                 raise ValueError(
@@ -249,10 +260,64 @@ class PartitionedIceTable:
             spec = PartitionSpec.from_json(meta_spec)
         elif meta_spec is not None and meta_spec != spec.to_json():
             raise ValueError(
-                f"{path}: recorded partition spec {meta_spec} differs from "
-                f"the given one {spec.to_json()}"
+                f"{path}: recorded default partition spec {meta_spec} "
+                f"differs from the given one {spec.to_json()}; use "
+                "evolve_spec() to change the layout of future writes"
             )
         self.spec = spec
+        self._specs = (
+            [PartitionSpec.from_json(sj) for sj in specs_json]
+            if specs_json
+            else [spec]
+        )
+        self._default_spec_id = default_id if specs_json else 0
+
+    # -------------------------------------------------------------- evolution
+
+    def evolve_spec(self, new_spec: PartitionSpec) -> int:
+        """Change the partition layout of FUTURE writes — a metadata-only
+        commit, like Iceberg's ``ALTER TABLE … REPLACE PARTITION FIELD``.
+        Existing data files keep their spec id and still prune under the
+        spec they were written with; readers evaluate every file against its
+        own spec, so a query spanning both generations stays exact and
+        still skips whatever each generation's layout can prove out.
+        Returns the new default spec id (an identical spec just becomes
+        the default again without growing the spec list)."""
+        import json
+        import uuid as _u
+
+        from pyrle_spark.sources.icetable import commit_lock
+
+        with commit_lock(self.path):
+            meta = self.table._read_meta()
+            specs_json = meta.get("partition_specs")
+            if specs_json is None:
+                specs_json = (
+                    [meta["partition_spec"]]
+                    if meta.get("partition_spec") is not None
+                    else [self.spec.to_json()]
+                )
+            nj = new_spec.to_json()
+            if nj in specs_json:
+                new_id = specs_json.index(nj)
+            else:
+                specs_json.append(nj)
+                new_id = len(specs_json) - 1
+            meta["partition_specs"] = specs_json
+            meta["default_spec_id"] = new_id
+            meta["partition_spec"] = nj  # back-compat mirror of the default
+            tmp = self.table._meta_path + f".tmp-{_u.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, self.table._meta_path)
+        self.spec = new_spec
+        self._specs = [PartitionSpec.from_json(sj) for sj in specs_json]
+        self._default_spec_id = new_id
+        return new_id
+
+    def _spec_for_file(self, f: dict) -> PartitionSpec:
+        sid = f.get("spec_id", 0)
+        return self._specs[sid] if sid < len(self._specs) else self.spec
 
     @property
     def path(self) -> str:
@@ -304,12 +369,16 @@ class PartitionedIceTable:
                         "path": full,
                         "bytes": os.path.getsize(full),
                         "partition": _partition_of(full, data_dir, names),
+                        "spec_id": self._default_spec_id,
                     }
                 )
         with commit_lock(self.path):
             meta = self.table._read_meta()
             if meta.get("partition_spec") not in (None, self.spec.to_json()):
-                raise RuntimeError("partition spec changed concurrently")
+                raise RuntimeError(
+                    "partition spec changed concurrently (evolve_spec raced "
+                    "this write); re-open the table and retry"
+                )
             prev_files = []
             if mode == "append" and meta["current_snapshot_id"]:
                 prev_files = self.table._manifest(meta["current_snapshot_id"])[
@@ -323,6 +392,8 @@ class PartitionedIceTable:
                 "schema": df.schema.json(),
                 "properties": {},
                 "partition_spec": self.spec.to_json(),
+                "partition_specs": [s.to_json() for s in self._specs],
+                "default_spec_id": self._default_spec_id,
                 "files": prev_files + files,
                 "added_files": len(files),
                 "added_bytes": sum(f["bytes"] for f in files),
@@ -342,6 +413,8 @@ class PartitionedIceTable:
             meta["current_snapshot_id"] = snap_id
             meta["schema"] = df.schema.json()
             meta["partition_spec"] = self.spec.to_json()
+            meta["partition_specs"] = [s.to_json() for s in self._specs]
+            meta["default_spec_id"] = self._default_spec_id
             tmp = self.table._meta_path + f".tmp-{_u.uuid4().hex[:8]}"
             with open(tmp, "w") as f:
                 json.dump(meta, f)
@@ -364,10 +437,15 @@ class PartitionedIceTable:
         full read."""
         manifest = self._manifest(snapshot_id)
         files = manifest["files"]
+        # partition evolution: each file prunes under the spec it was
+        # written with — a predicate an old layout can't prove keeps the
+        # old files (superset contract) while still pruning the new ones
         kept = [
             f["path"]
             for f in files
-            if _file_matches(self.spec, f.get("partition", {}), predicates or [])
+            if _file_matches(
+                self._spec_for_file(f), f.get("partition", {}), predicates or []
+            )
         ]
         schema = _schema_of(manifest)
         if not kept:
@@ -385,7 +463,9 @@ class PartitionedIceTable:
         kept = [
             f
             for f in files
-            if _file_matches(self.spec, f.get("partition", {}), predicates)
+            if _file_matches(
+                self._spec_for_file(f), f.get("partition", {}), predicates
+            )
         ]
         return {
             "total_files": len(files),
@@ -411,6 +491,7 @@ class PartitionedIceTable:
             {
                 "file_path": f["path"],
                 "bytes": f["bytes"],
+                "spec_id": f.get("spec_id", 0),
                 **{
                     f"partition_{k}": v
                     for k, v in (f.get("partition") or {}).items()
@@ -418,8 +499,12 @@ class PartitionedIceTable:
             }
             for f in manifest["files"]
         ]
-        schema = "file_path string, bytes long, " + ", ".join(
-            f"partition_{n} string" for n in self.spec.names
+        # after partition evolution files carry different tuples: the
+        # relation is the union of every spec's fields, NULL where a file's
+        # spec lacks the field
+        all_names = sorted({n for s in self._specs for n in s.names})
+        schema = "file_path string, bytes long, spec_id int, " + ", ".join(
+            f"partition_{n} string" for n in all_names
         )
         return spark.createDataFrame(rows, schema=schema)
 
@@ -430,7 +515,9 @@ class PartitionedIceTable:
         bytes (row counts come from the files' parquet footers at read
         time; the manifest stays O(#files) driver metadata)."""
         fdf = self.files_df(spark, snapshot_id)
-        keys = [f"partition_{n}" for n in self.spec.names]
+        keys = ["spec_id"] + [
+            c for c in fdf.columns if c.startswith("partition_")
+        ]
         return fdf.groupBy(*keys).agg(
             F.count(F.lit(1)).alias("file_count"),
             F.sum("bytes").alias("bytes"),

@@ -184,3 +184,70 @@ def test_append_accumulates_and_time_travel(spark, web, tmp_path):
     assert en_old.count() == web.filter(
         (F.col("doc_seq") < 1000) & (F.col("lang") == "en")
     ).count()
+
+
+def test_partition_evolution(spark, web, tmp_path):
+    """evolve_spec changes the layout of future writes only: old files
+    keep their spec id and prune under the old spec, new files under the
+    new one; reads spanning both generations stay exact (superset
+    contract), and a predicate only the new layout serves keeps every
+    old-generation file."""
+    path = str(tmp_path / "pevo")
+    t = PartitionedIceTable(path, PartitionSpec(PartitionField("lang")))
+    gen1 = web.filter(F.col("doc_seq") < N // 2)
+    gen2 = web.filter(F.col("doc_seq") >= N // 2)
+    t.write_snapshot(gen1)
+    n_gen1 = len(t._manifest(None)["files"])
+
+    new_id = t.evolve_spec(
+        PartitionSpec(
+            PartitionField("lang"),
+            PartitionField("url", "bucket[4]", "url_bucket"),
+        )
+    )
+    assert new_id == 1
+    t.write_snapshot(gen2, mode="append")
+    files = t._manifest(None)["files"]
+    assert {f["spec_id"] for f in files} == {0, 1}
+    assert all(f["spec_id"] == 0 for f in files[:n_gen1])
+
+    # lang predicate prunes BOTH generations (both specs carry lang)
+    st = t.prune([("lang", "=", "en")])
+    assert st["kept_files"] < st["total_files"]
+    got = _rows(t.read(spark, [("lang", "=", "en")]))
+    exp = _rows(web.filter(F.col("lang") == "en"))
+    assert got == exp
+
+    # url predicate: only the NEW generation can prune; every old file
+    # must survive (conservative superset)
+    some_url = web.select("url").first()["url"]
+    st2 = t.prune([("url", "=", some_url)])
+    assert st2["kept_files"] >= n_gen1
+    assert st2["kept_files"] < st2["total_files"]  # new gen did prune
+    got2 = _rows(t.read(spark, [("url", "=", some_url)]))
+    exp2 = _rows(web.filter(F.col("url") == some_url))
+    assert got2 == exp2
+
+    # re-evolving to an existing spec reuses its id (no spec-list growth)
+    assert t.evolve_spec(PartitionSpec(PartitionField("lang"))) == 0
+    assert len(t._specs) == 2
+
+    # reopening the table picks up the current default spec
+    t2 = PartitionedIceTable(path)
+    assert t2.spec.to_json() == PartitionSpec(PartitionField("lang")).to_json()
+    assert len(t2._specs) == 2
+
+    # passing a stale spec at open time is refused with guidance
+    with pytest.raises(ValueError, match="evolve_spec"):
+        PartitionedIceTable(
+            path, PartitionSpec(PartitionField("url", "bucket[4]", "url_bucket"))
+        )
+
+    # metadata tables surface the mixed layout
+    fdf = t.files_df(spark)
+    assert "spec_id" in fdf.columns and "partition_url_bucket" in fdf.columns
+    assert fdf.filter(F.col("spec_id") == 1).count() > 0
+    assert (
+        fdf.filter((F.col("spec_id") == 0) & F.col("partition_url_bucket").isNotNull()).count()
+        == 0
+    )
