@@ -1306,6 +1306,60 @@ FROM documents GROUP BY lang
 """
 
 
+# lang → script dim: 'es' deliberately absent (inner join must drop those
+# fact rows), 'ru' deliberately factless (must contribute nothing)
+_SCRIPT_DIM = [
+    ("en", "latin"),
+    ("de", "latin"),
+    ("fr", "latin"),
+    ("zh", "han"),
+    ("ru", "cyrillic"),
+]
+
+
+def compressed_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema aggregate with the FACT side in the compressed domain
+    (``plans.compressed.agg_join_dim``): encode documents (lang,
+    n_chars); each block contributes per-value (count, sum) partials
+    from its dictionary codes — the join operand is the O(distinct)
+    histogram, not the rows — then a broadcast inner join to the
+    lang→script dim and a re-group by script.  "Aggregate below the
+    join" done at the storage layer; the row-level join+GROUP BY is the
+    oracle."""
+    import tempfile
+
+    from pyrle_spark.plans.compressed import agg_join_dim
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+
+    docs = load(spark, sf_dir, "documents")
+    ordered = docs.select(
+        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("_seq"),
+        "lang",
+        "n_chars",
+    )
+    out_dir = tempfile.mkdtemp(prefix="compressed_join_")
+    encode_table(
+        spark,
+        ordered,
+        out_dir,
+        EncodeConfig(columns=["lang", "n_chars"], order_col="_seq", block_rows=64),
+    )
+    dim = spark.createDataFrame(_SCRIPT_DIM, "lang string, script string")
+    return agg_join_dim(
+        spark, out_dir, "lang", dim, "lang", "script", measure_col="n_chars"
+    )
+
+
+_COMPRESSED_JOIN_DIM_SQL = """
+SELECT d.script, count(*) AS n_rows, CAST(sum(t.n_chars) AS DOUBLE) AS sum_value
+FROM documents t
+JOIN (VALUES ('en','latin'), ('de','latin'), ('fr','latin'),
+             ('zh','han'), ('ru','cyrillic')) AS d(lang, script)
+  ON t.lang = d.lang
+GROUP BY d.script
+"""
+
+
 # ----------------------------------------------- §2 oracle widening (round 2)
 # Each query below upgrades a SURVEY §2 cell from "pytest green" to
 # driver-oracle-verified: apply_values (§2.2), slice + point lookup
@@ -2487,6 +2541,7 @@ QUERIES = {
     "compressed_count_by_lang": compressed_count_by_lang,
     "compressed_stats_n_chars": compressed_stats_n_chars,
     "compressed_sum_by_lang": compressed_sum_by_lang,
+    "compressed_join_dim": compressed_join_dim,
     "numbers_only_events": numbers_only_events,
     "coverage_weighted": coverage_weighted,
     "lang_counts_salted": lang_counts_salted,
@@ -2532,6 +2587,7 @@ ORACLE_SQL = {
     "compressed_count_by_lang": _COMPRESSED_COUNT_SQL,
     "compressed_stats_n_chars": _COMPRESSED_STATS_SQL,
     "compressed_sum_by_lang": _COMPRESSED_SUM_SQL,
+    "compressed_join_dim": _COMPRESSED_JOIN_DIM_SQL,
     "numbers_only_events": _NUMBERS_ONLY_SQL,
     "coverage_weighted": _COVERAGE_WEIGHTED_SQL,
     "lang_counts_salted": _LANG_COUNTS_SALTED_SQL,

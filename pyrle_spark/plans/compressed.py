@@ -29,6 +29,7 @@ from pyrle_spark.plans.encode_job import dedup_blocks, prune_blocks_in
 from pyrle_spark.sources.icetable import IceTable
 
 __all__ = [
+    "agg_join_dim",
     "count_by_value",
     "count_where_in",
     "distinct_values",
@@ -537,3 +538,49 @@ def count_where_in(
     live = prune_blocks_in(enc, column, values)
     hist = count_by_value(spark, table_dir, column, snapshot_id, blocks=live)
     return hist.filter(F.col("value").isin([str(v) for v in values]))
+
+
+def agg_join_dim(
+    spark: SparkSession,
+    table_dir: str,
+    column: str,
+    dim: DataFrame,
+    key: str,
+    attr: str,
+    measure_col: str | None = None,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """Star-schema aggregation with the FACT side kept in the compressed
+    domain: ``SELECT d.attr, count(*) [, sum(measure)] FROM t JOIN dim d
+    ON t.column = d.key GROUP BY d.attr``.
+
+    The fact table contributes only its per-value histogram (dictionary
+    + code counts per block — no row ever decodes; with ``measure_col``,
+    the grouped code-stream sums of :func:`sum_by_value`).  That
+    histogram is O(distinct values), so the join operand shrinks from
+    10^12 rows to the dictionary domain BEFORE the join — the
+    compressed-domain form of "aggregate below the join", with the dim
+    side broadcast.  Inner-join semantics: fact values absent from the
+    dim drop, dim keys absent from the fact contribute nothing.
+
+    ``dim`` must be driver-small (it broadcasts); ``key`` is matched
+    against the histogram's string-typed values, so keep dim keys as
+    strings."""
+    if measure_col is None:
+        hist = count_by_value(spark, table_dir, column, snapshot_id)
+        joined = hist.join(
+            F.broadcast(dim.select(key, attr)),
+            hist["value"] == F.col(key),
+            "inner",
+        )
+        return joined.groupBy(attr).agg(F.sum("n_rows").alias("n_rows"))
+    hist = sum_by_value(spark, table_dir, column, measure_col, snapshot_id)
+    joined = hist.join(
+        F.broadcast(dim.select(key, attr)),
+        hist["value"] == F.col(key),
+        "inner",
+    )
+    return joined.groupBy(attr).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("sum_value").alias("sum_value"),
+    )

@@ -1580,3 +1580,63 @@ def test_rename_column_metadata_only(spark, tmp_path):
         rename_column(spark, out, "w", "u")
     with pytest.raises(KeyError):
         rename_column(spark, out, "nope", "y")
+
+
+def test_compressed_agg_join_dim(spark, tmp_path):
+    """agg_join_dim: star-schema aggregate with the fact side held in the
+    compressed domain — inner-join semantics (fact values missing from
+    the dim drop; factless dim keys contribute nothing), count-only and
+    count+sum variants, and MoR deletes reflected in the answer."""
+    from pyrle_spark.plans.compressed import agg_join_dim
+    from pyrle_spark.plans.encode_job import delete_rows
+
+    out = str(tmp_path / "cjoin")
+    df = spark.range(0, 4096, 1, 4).select(
+        F.col("id").alias("doc_seq"),
+        F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias("tag"),
+        (F.col("id") % 13).cast("long").alias("score"),
+    )
+    encode_table(
+        spark, df, out, EncodeConfig(columns=["tag", "score"], block_rows=512)
+    )
+    # dim misses t4 (those fact rows must drop) and carries a factless t9
+    dim = spark.createDataFrame(
+        [("t0", "even"), ("t2", "even"), ("t4x", "none"), ("t1", "odd"), ("t3", "odd"), ("t9", "ghost")],
+        "tag string, par string",
+    )
+
+    def expected(src):
+        return {
+            (r["par"]): (r["n"], float(r["s"]))
+            for r in src.join(dim, "tag")
+            .groupBy("par")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("score").alias("s"))
+            .collect()
+        }
+
+    got = {
+        r["par"]: (r["n_rows"], r["sum_value"])
+        for r in agg_join_dim(
+            spark, out, "tag", dim, "tag", "par", measure_col="score"
+        ).collect()
+    }
+    assert got == expected(df)
+    assert "ghost" not in got and "none" not in got
+
+    # count-only variant
+    gotc = {
+        r["par"]: r["n_rows"]
+        for r in agg_join_dim(spark, out, "tag", dim, "tag", "par").collect()
+    }
+    assert gotc == {k: v[0] for k, v in expected(df).items()}
+
+    # MoR delete: remove a slice; the compressed-domain answer follows
+    delete_rows(spark, out, range(0, 700))
+    survivors = df.filter(F.col("doc_seq") >= 700)
+    got2 = {
+        r["par"]: (r["n_rows"], r["sum_value"])
+        for r in agg_join_dim(
+            spark, out, "tag", dim, "tag", "par", measure_col="score"
+        ).collect()
+    }
+    assert got2 == expected(survivors)
