@@ -410,13 +410,98 @@ class IceTable:
         snap = self.resolve_ref(snapshot_id) if snapshot_id else self.current_snapshot_id()
         return self._manifest(snap)["properties"] if snap else {}
 
+    # ------------------------------------------------------- metadata tables
+
+    def snapshots_df(self, spark: SparkSession) -> DataFrame:
+        """The ``table$snapshots`` metadata relation: one row per
+        retained snapshot with its commit stats — queryable operational
+        introspection (Iceberg's ``SELECT * FROM t$snapshots``).  Built
+        from the manifests: driver-side O(#snapshots) metadata, no data
+        IO."""
+        meta = self._read_meta()
+        cur = meta["current_snapshot_id"]
+        rows = []
+        for s in meta["snapshots"]:
+            m = self._manifest(s["id"])
+            rows.append(
+                {
+                    "snapshot_id": s["id"],
+                    "parent_id": m.get("parent"),
+                    "timestamp_ms": m["timestamp_ms"],
+                    "operation": m.get("mode", "append"),
+                    "added_files": m.get("added_files", 0),
+                    "added_bytes": m.get("added_bytes", 0),
+                    "total_files": len(m["files"]),
+                    "total_bytes": sum(f["bytes"] for f in m["files"]),
+                    "is_current": s["id"] == cur,
+                }
+            )
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id string, parent_id string, timestamp_ms long, "
+            "operation string, added_files long, added_bytes long, "
+            "total_files long, total_bytes long, is_current boolean",
+        )
+
+    def history_df(self, spark: SparkSession) -> DataFrame:
+        """The ``table$history`` relation: the snapshot log in commit
+        order, flagging which entries are ancestors of the CURRENT
+        pointer (after a rollback, abandoned commits stay in the log
+        with ``is_current_ancestor = false`` — exactly Iceberg's
+        contract)."""
+        meta = self._read_meta()
+        ancestors = set()
+        cur = meta["current_snapshot_id"]
+        while cur is not None:
+            ancestors.add(cur)
+            try:
+                cur = self._manifest(cur).get("parent")
+            except FileNotFoundError:
+                break
+        rows = [
+            {
+                "made_current_at_ms": s["timestamp_ms"],
+                "snapshot_id": s["id"],
+                "is_current_ancestor": s["id"] in ancestors,
+            }
+            for s in meta["snapshots"]
+        ]
+        return spark.createDataFrame(
+            rows,
+            "made_current_at_ms long, snapshot_id string, "
+            "is_current_ancestor boolean",
+        )
+
+    def refs_df(self, spark: SparkSession) -> DataFrame:
+        """The ``table$refs`` relation: every named pointer (main + tags
+        + branches) and the snapshot it pins."""
+        meta = self._read_meta()
+        rows = [
+            {
+                "name": "main",
+                "kind": "branch",
+                "snapshot_id": meta["current_snapshot_id"],
+            }
+        ] + [
+            {"name": n, "kind": r["type"], "snapshot_id": r["snapshot_id"]}
+            for n, r in sorted(meta.get("refs", {}).items())
+        ]
+        return spark.createDataFrame(
+            rows, "name string, kind string, snapshot_id string"
+        )
+
     # ------------------------------------------------------------ maintenance
 
-    def expire_snapshots(self, keep_last: int = 1) -> dict:
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than_ms: int | None = None
+    ) -> dict:
         """Iceberg-style ``expire_snapshots`` + orphan-file cleanup: drop
         all but the last ``keep_last`` snapshots from the log, delete
         their manifests, and remove data files no retained snapshot
-        references.
+        references.  ``older_than_ms`` adds Iceberg's age guard
+        (``expireOlderThan``): a snapshot beyond ``keep_last`` is still
+        RETAINED if it committed at or after the cutoff, so a
+        time-travel window survives aggressive count-based retention.
 
         The current snapshot is always retained.  Metadata commits last
         and atomically (os.replace), so a crash mid-expire leaves at
@@ -427,9 +512,11 @@ class IceTable:
         Returns ``{"expired_snapshots": [...], "deleted_files": n,
         "reclaimed_bytes": n}``."""
         with commit_lock(self.path):
-            return self._expire_snapshots_locked(keep_last)
+            return self._expire_snapshots_locked(keep_last, older_than_ms)
 
-    def _expire_snapshots_locked(self, keep_last: int) -> dict:
+    def _expire_snapshots_locked(
+        self, keep_last: int, older_than_ms: int | None = None
+    ) -> dict:
         keep_last = max(1, keep_last)
         meta = self._read_meta()
         snaps = meta["snapshots"]
@@ -437,6 +524,11 @@ class IceTable:
             return {"expired_snapshots": [], "deleted_files": 0, "reclaimed_bytes": 0}
         retained = snaps[-keep_last:]
         expired = snaps[:-keep_last]
+        if older_than_ms is not None:
+            young = [s for s in expired if s["timestamp_ms"] >= older_than_ms]
+            if young:
+                retained = young + retained
+                expired = [s for s in expired if s["timestamp_ms"] < older_than_ms]
         # the current pointer and every ref head (tag or branch) are
         # pinned — expiry must never break a named pointer
         pinned = {meta["current_snapshot_id"]} - {None}

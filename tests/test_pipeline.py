@@ -1640,3 +1640,52 @@ def test_compressed_agg_join_dim(spark, tmp_path):
         ).collect()
     }
     assert got2 == expected(survivors)
+
+
+def test_metadata_tables_and_age_expiry(spark, tmp_path):
+    """$snapshots/$history/$refs metadata relations reflect the commit
+    log (rollback leaves non-ancestor entries flagged), and age-based
+    expire_snapshots retains young snapshots beyond keep_last."""
+    out = str(tmp_path / "metatbl")
+    cfg = EncodeConfig(columns=["v"], order_col="seq", block_rows=512)
+
+    def part(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("seq"), F.col("id").alias("v")
+        )
+
+    encode_table(spark, part(0, 1024), out, cfg)
+    table = IceTable(out)
+    s1 = table.current_snapshot_id()
+    table.create_tag("v1")
+    encode_table(spark, part(0, 2048), out, cfg)
+    s2 = table.current_snapshot_id()
+
+    snaps = {r["snapshot_id"]: r for r in table.snapshots_df(spark).collect()}
+    assert snaps[s1]["is_current"] is False and snaps[s2]["is_current"] is True
+    assert snaps[s2]["parent_id"] == s1
+    assert snaps[s2]["total_files"] >= snaps[s2]["added_files"] > 0
+
+    refs = {r["name"]: r for r in table.refs_df(spark).collect()}
+    assert refs["main"]["snapshot_id"] == s2
+    assert refs["v1"]["kind"] == "tag" and refs["v1"]["snapshot_id"] == s1
+
+    # rollback: s2 stays in the log but is no longer a current-ancestor
+    table.rollback_to(s1)
+    hist = {r["snapshot_id"]: r for r in table.history_df(spark).collect()}
+    assert hist[s1]["is_current_ancestor"] is True
+    assert hist[s2]["is_current_ancestor"] is False
+    table.rollback_to(s2)
+
+    # age-based retention: everything is "young" vs a cutoff in the past,
+    # so keep_last=1 alone would expire s1 but the age guard retains it
+    table.drop_ref("v1")  # unpin s1 so only the age guard can save it
+    res = table.expire_snapshots(keep_last=1, older_than_ms=0)
+    assert res["expired_snapshots"] == []
+    assert len(table.snapshots()) == 2
+    # cutoff in the future: the count rule applies again
+    res2 = table.expire_snapshots(
+        keep_last=1, older_than_ms=snaps[s2]["timestamp_ms"] + 10_000
+    )
+    assert res2["expired_snapshots"] == [s1]
+    assert [s["id"] for s in table.snapshots()] == [s2]
