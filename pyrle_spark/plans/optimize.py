@@ -1,0 +1,145 @@
+"""OPTIMIZE — stats-driven table maintenance advisor.
+
+Iceberg leaves "when should I compact / re-sort / Z-order?" to the
+operator; at 10^12 documents nobody eyeballs run counts.  This module
+closes the loop over machinery the engine already has:
+
+- :func:`pyrle_spark.plans.stats.analyze_table` supplies decode-free
+  per-column ``n_runs`` / exact NDV / byte sizes (manifest zones +
+  dictionary buffers);
+- the decision is the same content-based dispatch idea as the codec
+  selector (the reference picks its division kernel by inspecting the
+  divisor, rle.py:740-743 — here the "kernel" is a layout rewrite);
+- the actions are :func:`compact_table`, :func:`rewrite_sorted`, and
+  :func:`rewrite_zorder`.
+
+The advisor never decodes a row: a column whose current run count is far
+above its NDV would collapse to ~NDV runs if the table were sorted by it
+(perfect clustering), so ``n_runs / NDV`` IS the achievable RLE/dict win,
+readable straight from the manifest.  Cost model:
+
+- ``rewrite_sorted(c)``: column c's runs drop to ~NDV(c); weight the win
+  by c's share of encoded bytes.
+- ``rewrite_zorder(c1, c2)``: chosen when TWO columns independently show
+  a large ratio and neither dominates the byte weight — Morton
+  interleaving trades a bit of each column's clustering for pruning on
+  both.
+- ``compact_table``: chosen when the win is storage hygiene, not layout —
+  a large merge-on-read delete set or manifest bloat from many
+  incremental passes.
+
+All thresholds are explicit keyword arguments; ``apply=False`` (default)
+returns the recommendation without touching the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from pyrle_spark.plans.encode_job import (
+    _delete_positions,
+    compact_table,
+    rewrite_sorted,
+)
+from pyrle_spark.plans.stats import analyze_table
+from pyrle_spark.plans.zorder import rewrite_zorder
+from pyrle_spark.sources.icetable import IceTable
+
+__all__ = ["optimize_table"]
+
+
+def optimize_table(
+    spark: SparkSession,
+    table_dir: str,
+    out_dir: str | None = None,
+    apply: bool = False,
+    run_ratio_threshold: float = 2.0,
+    delete_ratio_threshold: float = 0.1,
+    ndv_cap_ratio: float = 0.1,
+    zorder_weight_ratio: float = 4.0,
+) -> dict:
+    """Recommend (and optionally apply) the highest-value maintenance
+    action for an encoded table.
+
+    Decision order:
+
+    1. ``rewrite_sorted`` on the best column — the column with the
+       largest ``n_runs / NDV`` ratio among clusterable columns
+       (``NDV / n_rows <= ndv_cap_ratio``; high-cardinality columns
+       don't cluster usefully), if that ratio ≥ ``run_ratio_threshold``.
+    2. ``rewrite_zorder`` instead, when the SECOND-best column also
+       clears the ratio threshold and its encoded-byte weight is within
+       ``zorder_weight_ratio``× of the best — neither column dominates,
+       so interleaving beats a single-column sort.
+    3. ``compact_table`` when no layout win exists but the deleted-row
+       fraction ≥ ``delete_ratio_threshold`` (rewrites also compact
+       deletes, so this only fires when sorting isn't worth it).
+    4. ``none`` otherwise.
+
+    ``apply=True`` executes the recommendation (``out_dir`` required for
+    the rewrite actions — they produce a new table directory, like
+    Iceberg's rewrite into new data files).  Note ``analyze_table`` runs
+    as part of the advisory and commits its stats to the table's
+    metadata (a metadata-only snapshot).
+
+    Returns ``{"action", "order_by", "delete_ratio", "columns":
+    {col: {"n_runs", "ndv", "ratio", "bytes_out"}}, "applied": ...}``."""
+    table = IceTable(table_dir)
+    stats = analyze_table(spark, table_dir)["columns"]
+    total_rows = max((s["n_rows"] for s in stats.values()), default=0)
+    n_deleted = len(_delete_positions(table_dir, None))
+    delete_ratio = n_deleted / total_rows if total_rows else 0.0
+
+    report: dict = {}
+    candidates = []
+    for c, s in stats.items():
+        ndv = s.get("ndv")
+        n_runs = s.get("n_runs")
+        if not ndv or not n_runs or not s["n_rows"]:
+            continue
+        ratio = n_runs / ndv
+        report[c] = {
+            "n_runs": n_runs,
+            "ndv": ndv,
+            "ratio": round(ratio, 2),
+            "bytes_out": s["bytes_out"],
+        }
+        if ndv / s["n_rows"] <= ndv_cap_ratio and ratio >= run_ratio_threshold:
+            candidates.append((c, ratio, s["bytes_out"]))
+
+    # rank by achievable saved runs weighted by the column's byte share:
+    # a huge ratio on a tiny column moves less than a 3x on the big one
+    candidates.sort(key=lambda t: (t[1] - 1.0) * max(t[2], 1), reverse=True)
+    action, order_by = "none", []
+    if candidates:
+        best = candidates[0]
+        if (
+            len(candidates) > 1
+            and candidates[1][2] * zorder_weight_ratio >= best[2]
+        ):
+            action, order_by = "rewrite_zorder", [best[0], candidates[1][0]]
+        else:
+            action, order_by = "rewrite_sorted", [best[0]]
+    elif delete_ratio >= delete_ratio_threshold:
+        action = "compact_table"
+
+    out = {
+        "action": action,
+        "order_by": order_by,
+        "delete_ratio": round(delete_ratio, 4),
+        "columns": report,
+        "applied": None,
+    }
+    if not apply or action == "none":
+        return out
+    if action == "compact_table":
+        out["applied"] = compact_table(spark, table_dir)
+    else:
+        if out_dir is None:
+            raise ValueError(f"{action} requires out_dir for the rewrite")
+        fn = rewrite_sorted if action == "rewrite_sorted" else rewrite_zorder
+        if action == "rewrite_sorted":
+            out["applied"] = fn(spark, table_dir, out_dir, order_by)
+        else:
+            out["applied"] = fn(spark, table_dir, out_dir, zorder_by=order_by)
+    return out

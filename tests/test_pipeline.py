@@ -1689,3 +1689,55 @@ def test_metadata_tables_and_age_expiry(spark, tmp_path):
     )
     assert res2["expired_snapshots"] == [s1]
     assert [s["id"] for s in table.snapshots()] == [s2]
+
+
+def test_optimize_table_advisor(spark, tmp_path):
+    """optimize_table reads the achievable layout win straight from the
+    manifest (n_runs / NDV) and picks sort, zorder, or compaction; apply
+    banks the predicted run-count drop."""
+    from pyrle_spark.plans.optimize import optimize_table
+
+    # scattered low-NDV column + high-card column → sort on the low-NDV one
+    t1 = str(tmp_path / "opt1")
+    df1 = spark.range(0, 4096, 1, 4).select(
+        F.col("id").alias("doc_seq"),
+        F.concat(F.lit("t"), (F.col("id") % 7).cast("string")).alias("tag"),
+        F.sha1(F.col("id").cast("string")).alias("h"),
+    )
+    encode_table(
+        spark, df1, t1, EncodeConfig(columns=["tag", "h"], block_rows=512)
+    )
+    rec = optimize_table(spark, t1)
+    assert rec["action"] == "rewrite_sorted" and rec["order_by"] == ["tag"]
+    assert rec["columns"]["tag"]["ratio"] > 100  # fully scattered
+    out1 = str(tmp_path / "opt1_sorted")
+    applied = optimize_table(spark, t1, out_dir=out1, apply=True)["applied"]
+    assert applied["n_runs_after"] < applied["n_runs_before"]
+    assert decode_table(spark, out1).count() == 4096
+
+    # two similar scattered low-NDV columns → zorder over both
+    t2 = str(tmp_path / "opt2")
+    df2 = spark.range(0, 4096, 1, 4).select(
+        F.col("id").alias("doc_seq"),
+        (F.col("id") % 5).alias("a"),
+        (F.col("id") % 11).alias("b"),
+    )
+    encode_table(spark, df2, t2, EncodeConfig(columns=["a", "b"], block_rows=512))
+    rec2 = optimize_table(spark, t2)
+    assert rec2["action"] == "rewrite_zorder"
+    assert set(rec2["order_by"]) == {"a", "b"}
+
+    # already-clustered column, heavy deletes → compact
+    t3 = str(tmp_path / "opt3")
+    df3 = spark.range(0, 4096, 1, 4).select(
+        F.col("id").alias("doc_seq"), (F.col("id") / 512).cast("long").alias("bucket")
+    )
+    encode_table(spark, df3, t3, EncodeConfig(columns=["bucket"], block_rows=512))
+    from pyrle_spark.plans.encode_job import delete_rows
+
+    delete_rows(spark, t3, range(0, 1024))
+    rec3 = optimize_table(spark, t3, apply=True)
+    assert rec3["action"] == "compact_table"
+    assert rec3["delete_ratio"] >= 0.2
+    assert rec3["applied"]["snapshot_id"]
+    assert decode_table(spark, t3).count() == 3072
