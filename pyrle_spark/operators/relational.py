@@ -2520,6 +2520,54 @@ FROM allc GROUP BY _change_type
 """
 
 
+def rle_neg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 unary negate (``-rle``, rle.py:524-549): values negated,
+    runs untouched (negation is injective, so no adjacent merge can
+    arise), composed with defragment's ``-0 → 0`` canonicalization
+    (rle.py:914) so zero-valued runs stay ``0.0`` rather than ``-0.0``
+    — ``+ 0.0`` forces that under IEEE in both engines."""
+    cov = coverage_events(spark, sf_dir)
+    return cov.select(
+        "event_type",
+        "start_pos",
+        "run_len",
+        (-F.col("cov_value") + F.lit(0.0)).alias("neg_value"),
+    )
+
+
+_RLE_NEG_STEP_SQL = f"""
+WITH cov AS ({_COVERAGE_EVENTS_SQL})
+SELECT event_type, start_pos, run_len,
+       -cov_value + 0.0 AS neg_value
+FROM cov
+"""
+
+
+def ufunc_sqrt_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 numpy-ufunc passthrough (``np.sqrt(rle)``,
+    ``__array_ufunc__`` rle.py:203-246): values mapped through the
+    ufunc, runs copied, NO defragment — sqrt is injective on the
+    non-negative coverage values, so the run structure provably cannot
+    change and the quirk is observationally faithful.  Rounded to 6
+    decimals on both engines (sqrt is correctly rounded IEEE, but the
+    round keeps the value-hash comparison robust)."""
+    cov = coverage_events(spark, sf_dir)
+    return cov.select(
+        "event_type",
+        "start_pos",
+        "run_len",
+        F.round(F.sqrt(F.col("cov_value")), 6).alias("sqrt_value"),
+    )
+
+
+_UFUNC_SQRT_STEP_SQL = f"""
+WITH cov AS ({_COVERAGE_EVENTS_SQL})
+SELECT event_type, start_pos, run_len,
+       round(sqrt(cov_value), 6) AS sqrt_value
+FROM cov
+"""
+
+
 QUERIES = {
     "rle_encode_lang": rle_encode_lang,
     "table_changes_agg": table_changes_agg,
@@ -2554,6 +2602,8 @@ QUERIES = {
     "mor_compressed_count": mor_compressed_count,
     "rle_eq_step": rle_eq_step,
     "rle_cmp_step": rle_cmp_step,
+    "rle_neg_step": rle_neg_step,
+    "ufunc_sqrt_step": ufunc_sqrt_step,
     "apply_values_runs": apply_values_runs,
     "rle_slice": rle_slice,
     "getlocs_points": getlocs_points,
@@ -2588,6 +2638,8 @@ ORACLE_SQL = {
     "compressed_stats_n_chars": _COMPRESSED_STATS_SQL,
     "compressed_sum_by_lang": _COMPRESSED_SUM_SQL,
     "compressed_join_dim": _COMPRESSED_JOIN_DIM_SQL,
+    "rle_neg_step": _RLE_NEG_STEP_SQL,
+    "ufunc_sqrt_step": _UFUNC_SQRT_STEP_SQL,
     "numbers_only_events": _NUMBERS_ONLY_SQL,
     "coverage_weighted": _COVERAGE_WEIGHTED_SQL,
     "lang_counts_salted": _LANG_COUNTS_SALTED_SQL,
