@@ -25,7 +25,11 @@ from pyspark.sql import functions as F
 
 from pyrle_spark.codecs import Encoded
 from pyrle_spark.codecs.rawcodec import ZstdCodec
-from pyrle_spark.plans.encode_job import dedup_blocks, prune_blocks_in
+from pyrle_spark.plans.encode_job import (
+    dedup_blocks,
+    physical_column,
+    prune_blocks_in,
+)
 from pyrle_spark.sources.icetable import IceTable
 
 __all__ = [
@@ -155,6 +159,7 @@ def count_by_value(
     deletes apply: affected blocks decode-and-mask, so the histogram
     equals the decode path's."""
     table = IceTable(table_dir)
+    column = physical_column(table, column, snapshot_id)
     block_rows = int(table.properties(snapshot_id)["block_rows"])
     dmap = _delete_map(table_dir, snapshot_id, block_rows)
     enc = table.read_table(spark, snapshot_id).filter(F.col("column") == column)
@@ -247,6 +252,7 @@ def numeric_stats(
     Note: ``sum`` accumulates in float64 per block then across blocks —
     exact for int payloads up to 2^53 per the usual float-sum caveat."""
     table = IceTable(table_dir)
+    column = physical_column(table, column, snapshot_id)
     block_rows = int(table.properties(snapshot_id)["block_rows"])
     dmap = _delete_map(table_dir, snapshot_id, block_rows)
     enc = table.read_table(spark, snapshot_id).filter(F.col("column") == column)
@@ -343,6 +349,7 @@ def distinct_values(
     from pyrle_spark.codecs.bitpack import DeltaCodec
 
     table = IceTable(table_dir)
+    column = physical_column(table, column, snapshot_id)
     block_rows = int(table.properties(snapshot_id)["block_rows"])
     dmap = _delete_map(table_dir, snapshot_id, block_rows)
     enc = dedup_blocks(
@@ -415,6 +422,8 @@ def sum_by_value(
     from pyrle_spark.codecs import decode_array
 
     table = IceTable(table_dir)
+    group_col = physical_column(table, group_col, snapshot_id)
+    measure_col = physical_column(table, measure_col, snapshot_id)
     block_rows = int(table.properties(snapshot_id)["block_rows"])
     dmap = _delete_map(table_dir, snapshot_id, block_rows)
     enc = table.read_table(spark, snapshot_id).filter(
@@ -535,7 +544,9 @@ def count_where_in(
     the compressed-domain count restricted to the survivors."""
     table = IceTable(table_dir)
     enc = table.read_table(spark, snapshot_id)
-    live = prune_blocks_in(enc, column, values)
+    live = prune_blocks_in(
+        enc, physical_column(table, column, snapshot_id), values
+    )
     hist = count_by_value(spark, table_dir, column, snapshot_id, blocks=live)
     return hist.filter(F.col("value").isin([str(v) for v in values]))
 

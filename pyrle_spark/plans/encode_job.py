@@ -61,6 +61,7 @@ __all__ = [
     "delete_where",
     "drop_column",
     "incremental_deletes",
+    "physical_column",
     "point_lookup",
     "rename_column",
     "rewrite_sorted",
@@ -644,6 +645,18 @@ def delete_rows(spark: SparkSession, table_dir: str, positions) -> dict:
     return entry
 
 
+def physical_column(
+    table: IceTable, column: str, snapshot_id: str | None = None
+) -> str:
+    """Resolve a logical column name to its storage (block) name through
+    the snapshot's rename aliases — every API that filters block rows by
+    name must go through this, or a pending ``rename_column`` would make
+    the filter silently match nothing."""
+    return table.properties(snapshot_id).get("column_aliases", {}).get(
+        column, column
+    )
+
+
 def delete_where(
     spark: SparkSession, table_dir: str, column: str, values: list
 ) -> dict:
@@ -656,8 +669,9 @@ def delete_where(
     that cannot contain any of the values, only survivors decode (that
     one column), and the matching ``_order`` positions become a regular
     position-delete commit.  Returns :func:`delete_rows`'s summary."""
-    enc = IceTable(table_dir).read_table(spark)
-    live = prune_blocks_in(enc, column, values)
+    table = IceTable(table_dir)
+    enc = table.read_table(spark)
+    live = prune_blocks_in(enc, physical_column(table, column), values)
     dec = decode_table(spark, table_dir, columns=[column], blocks=live)
     doomed = dec.filter(F.col(column).isin(values)).select("_order")
     return delete_rows(spark, table_dir, doomed)
@@ -865,7 +879,7 @@ def update_where(
     enc = dedup_blocks(table.read_table(spark))
     # resolve matches through the pruned scan (deletes applied: an
     # already-deleted row must not resurrect through an update)
-    live = prune_blocks_in(enc, column, values)
+    live = prune_blocks_in(enc, physical_column(table, column), values)
     dec = decode_table(spark, table_dir, blocks=live)
     hit = dec.filter(F.col(column).isin(values)).cache()
     n_hit = hit.count()
@@ -878,7 +892,7 @@ def update_where(
         }
     # next free position = end of the dense position domain
     base = int(
-        enc.filter(F.col("column") == cols[0])
+        enc.filter(F.col("column") == physical_column(table, cols[0]))
         .agg(F.max(F.col("block_id") * block_rows + F.col("n_rows")))
         .first()[0]
     )
@@ -990,7 +1004,7 @@ def merge_into(
     blocks = None
     if 0 < n_src <= source_key_limit:
         vals = [r[0] for r in src.select(on).collect()]
-        blocks = prune_blocks_in(enc, on, vals)
+        blocks = prune_blocks_in(enc, physical_column(table, on), vals)
     tgt_keys = decode_table(spark, table_dir, columns=[on], blocks=blocks).select(
         "_order", on
     )

@@ -82,8 +82,16 @@ def analyze_table(
         )
         .collect()
     )
+    # block rows carry PHYSICAL column names; report stats under the
+    # LOGICAL names the snapshot advertises (rename_column aliases)
+    logical_of = {
+        p: c for c, p in props.get("column_aliases", {}).items()
+    }
     stats: dict = {}
     for r in rows:
+        lc = logical_of.get(r["column"], r["column"])
+        if lc not in cols:
+            continue  # stale blocks of dropped/renamed-away columns
         numeric = r["arrow_type"].startswith(_NUMERIC_PREFIXES)
         if numeric and r["blocks_without_zone"] == 0:
             vmin, vmax = r["zmin_num"], r["zmax_num"]
@@ -93,7 +101,7 @@ def analyze_table(
             vmin, vmax = r["zmin_str"], r["zmax_str"]
         else:
             vmin = vmax = None  # a zoneless numeric block → bounds unknown
-        stats[r["column"]] = {
+        stats[lc] = {
             "arrow_type": r["arrow_type"],
             "n_blocks": r["n_blocks"],
             "n_rows": int(r["n_rows"]),

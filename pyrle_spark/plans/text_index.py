@@ -46,7 +46,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from pyrle_spark.codecs import Encoded, decode_array, encode_payload_auto
-from pyrle_spark.plans.encode_job import decode_table, dedup_blocks
+from pyrle_spark.plans.encode_job import (
+    decode_table,
+    dedup_blocks,
+    physical_column,
+)
 from pyrle_spark.sources.icetable import IceTable
 
 __all__ = ["build_text_index", "search_text", "prune_blocks_text"]
@@ -214,10 +218,12 @@ def prune_blocks_text(
     table = IceTable(table_dir)
     cur = table.current_snapshot_id()
     if cur != manifest["snapshot_id"]:
+        # block rows carry PHYSICAL names: resolve rename aliases per
+        # snapshot, or a renamed column would look like zero blocks
         now_blocks = {
             r["block_id"]
             for r in dedup_blocks(table.read_table(spark))
-            .filter(F.col("column") == column)
+            .filter(F.col("column") == physical_column(table, column))
             .select("block_id")
             .distinct()
             .collect()
@@ -227,7 +233,10 @@ def prune_blocks_text(
             for r in dedup_blocks(
                 table.read_table(spark, manifest["snapshot_id"])
             )
-            .filter(F.col("column") == column)
+            .filter(
+                F.col("column")
+                == physical_column(table, column, manifest["snapshot_id"])
+            )
             .select("block_id")
             .distinct()
             .collect()

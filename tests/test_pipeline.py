@@ -1741,3 +1741,60 @@ def test_optimize_table_advisor(spark, tmp_path):
     assert rec3["delete_ratio"] >= 0.2
     assert rec3["applied"]["snapshot_id"]
     assert decode_table(spark, t3).count() == 3072
+
+
+def test_rename_alias_reaches_block_level_apis(spark, tmp_path):
+    """After a metadata-only rename, every API that filters block rows by
+    column name must resolve the alias: delete_where, the
+    compressed-domain family, and ANALYZE (stats re-keyed to logical
+    names) — a missed translation silently matches zero blocks."""
+    from pyrle_spark.plans.compressed import (
+        count_by_value,
+        count_where_in,
+        numeric_stats,
+        sum_by_value,
+    )
+    from pyrle_spark.plans.encode_job import delete_where, rename_column
+    from pyrle_spark.plans.stats import analyze_table
+
+    out = str(tmp_path / "ren_apis")
+    df = spark.range(0, 2048, 1, 4).select(
+        F.col("id").alias("doc_seq"),
+        F.concat(F.lit("g"), (F.col("id") % 4).cast("string")).alias("tag"),
+        (F.col("id") % 9).alias("score"),
+    )
+    encode_table(
+        spark, df, out, EncodeConfig(columns=["tag", "score"], block_rows=256)
+    )
+    rename_column(spark, out, "tag", "category")
+    rename_column(spark, out, "score", "points")
+
+    hist = {
+        r["value"]: r["n_rows"]
+        for r in count_by_value(spark, out, "category").collect()
+    }
+    assert hist == {f"g{i}": 512 for i in range(4)}
+    st = numeric_stats(spark, out, "points").first()
+    assert st["n_rows"] == 2048 and st["max_value"] == 8.0
+    sums = {
+        r["value"]: r["sum_value"]
+        for r in sum_by_value(spark, out, "category", "points").collect()
+    }
+    assert len(sums) == 4 and sum(sums.values()) == float(
+        df.agg(F.sum("score")).first()[0]
+    )
+    got_in = {
+        r["value"]: r["n_rows"]
+        for r in count_where_in(spark, out, "category", ["g1"]).collect()
+    }
+    assert got_in == {"g1": 512}
+
+    stats = analyze_table(spark, out)["columns"]
+    assert set(stats) == {"category", "points"}
+    assert stats["category"]["ndv"] == 4
+
+    # equality delete through the renamed column
+    res = delete_where(spark, out, "category", ["g2"])
+    assert res["n_positions"] == 512
+    assert decode_table(spark, out).filter(F.col("category") == "g2").count() == 0
+    assert decode_table(spark, out).count() == 1536
