@@ -821,7 +821,10 @@ def scan_incremental(
             spark, table_dir, columns=columns, snapshot_id=to_snapshot
         ).limit(0)
     cols = sorted(columns or table.properties(to_snapshot)["columns"])
-    new_enc = spark.read.parquet(*new_paths).filter(F.col("column").isin(cols))
+    # block rows in the added files carry PHYSICAL names — resolve rename
+    # aliases so the completeness tally counts the right columns
+    phys = sorted(physical_column(table, c, to_snapshot) for c in cols)
+    new_enc = spark.read.parquet(*new_paths).filter(F.col("column").isin(phys))
     per_block = (
         new_enc.groupBy("block_id")
         .agg(F.countDistinct("column").alias("_nc"))
