@@ -576,22 +576,29 @@ def agg_join_dim(
 
     ``dim`` must be driver-small (it broadcasts); ``key`` is matched
     against the histogram's string-typed values, so keep dim keys as
-    strings."""
+    strings.  ``attr`` may not be named ``n_rows``/``sum_value`` (those
+    are the aggregate output columns)."""
+    if attr in ("n_rows", "sum_value"):
+        raise ValueError(
+            f"dim attr {attr!r} collides with an aggregate output column"
+        )
+    # internal aliases: a dim whose key/attr is named like the
+    # histogram's fixed columns (value/n_rows/sum_value) must not make
+    # the join condition or the grouping ambiguous
+    d = F.broadcast(
+        dim.select(
+            F.col(key).alias("_dim_key"), F.col(attr).alias("_dim_attr")
+        )
+    )
     if measure_col is None:
         hist = count_by_value(spark, table_dir, column, snapshot_id)
-        joined = hist.join(
-            F.broadcast(dim.select(key, attr)),
-            hist["value"] == F.col(key),
-            "inner",
-        )
-        return joined.groupBy(attr).agg(F.sum("n_rows").alias("n_rows"))
+        joined = hist.join(d, hist["value"] == d["_dim_key"], "inner")
+        return joined.groupBy(
+            F.col("_dim_attr").alias(attr)
+        ).agg(F.sum("n_rows").alias("n_rows"))
     hist = sum_by_value(spark, table_dir, column, measure_col, snapshot_id)
-    joined = hist.join(
-        F.broadcast(dim.select(key, attr)),
-        hist["value"] == F.col(key),
-        "inner",
-    )
-    return joined.groupBy(attr).agg(
+    joined = hist.join(d, hist["value"] == d["_dim_key"], "inner")
+    return joined.groupBy(F.col("_dim_attr").alias(attr)).agg(
         F.sum("n_rows").alias("n_rows"),
         F.sum("sum_value").alias("sum_value"),
     )

@@ -1031,7 +1031,7 @@ def merge_into(
             "snapshot_id": table.current_snapshot_id(),
         }
     base = int(
-        enc.filter(F.col("column") == cols[0])
+        enc.filter(F.col("column") == physical_column(table, cols[0]))
         .agg(F.max(F.col("block_id") * block_rows + F.col("n_rows")))
         .first()[0]
     )
@@ -1116,12 +1116,19 @@ def drop_column(spark: SparkSession, table_dir: str, column: str) -> dict:
     cols = list(props.get("columns", []))
     if column not in cols:
         raise KeyError(f"column {column!r} not in table columns {cols}")
+    # the tombstone must name the PHYSICAL blocks: dropping a renamed
+    # column records its storage name (and retires the alias), so
+    # compaction's filter actually reclaims the data instead of the
+    # alias materialization resurrecting it under the freed name
+    aliases = dict(props.get("column_aliases", {}))
+    physical = aliases.pop(column, column)
     new_props = {
         **props,
         "columns": [c for c in cols if c != column],
         "dropped_columns": sorted(
-            set(props.get("dropped_columns", [])) | {column}
+            set(props.get("dropped_columns", [])) | {physical}
         ),
+        "column_aliases": aliases,
     }
     snap = table.commit_metadata(new_props)
     return {"snapshot_id": snap, "columns": new_props["columns"]}

@@ -34,6 +34,7 @@ returns the recommendation without touching the table.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
 from pyrle_spark.plans.encode_job import (
@@ -85,7 +86,31 @@ def optimize_table(
     Returns ``{"action", "order_by", "delete_ratio", "columns":
     {col: {"n_runs", "ndv", "ratio", "bytes_out"}}, "applied": ...}``."""
     table = IceTable(table_dir)
-    stats = analyze_table(spark, table_dir)["columns"]
+    # Manifest-only ANALYZE first (ndv_columns=[]: zero data IO), then
+    # NDV only where it stays decode-free: exact from dictionary buffers
+    # when EVERY block of the column is dict-coded, estimated from the
+    # zone range for integer columns (NDV <= max-min+1).  Columns with
+    # neither (high-entropy strings, floats) are not clustering
+    # candidates anyway — exact-counting them would decode every block,
+    # breaking the advisor's no-decode contract.
+    stats = analyze_table(spark, table_dir, ndv_columns=[])["columns"]
+    from pyrle_spark.plans.compressed import distinct_values
+
+    for c, s in stats.items():
+        if s["codecs"] and all(k.startswith("dict") for k in s["codecs"]):
+            vals = distinct_values(spark, table_dir, c)
+            agg = vals.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(F.col("value").isNull(), 1).otherwise(0)
+                ).alias("nulls"),
+            ).first()
+            s["ndv"] = int(agg["n"]) - int(agg["nulls"])
+        elif (
+            s["arrow_type"].startswith(("int", "uint"))
+            and s["min"] is not None
+        ):
+            s["ndv"] = min(int(s["max"]) - int(s["min"]) + 1, s["n_rows"])
     total_rows = max((s["n_rows"] for s in stats.values()), default=0)
     n_deleted = len(_delete_positions(table_dir, None))
     delete_ratio = n_deleted / total_rows if total_rows else 0.0

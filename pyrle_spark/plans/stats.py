@@ -28,7 +28,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from pyrle_spark.plans.compressed import distinct_values
-from pyrle_spark.plans.encode_job import dedup_blocks
+from pyrle_spark.plans.encode_job import _widest_type, dedup_blocks
 from pyrle_spark.sources.icetable import IceTable
 
 __all__ = ["analyze_table", "table_stats_df"]
@@ -57,10 +57,15 @@ def analyze_table(
     if unknown:
         raise KeyError(f"ndv columns {unknown} not in table columns {cols}")
     enc = dedup_blocks(table.read_table(spark))
-    # one manifest aggregation for every per-block quantity
+    # one manifest aggregation for every per-block quantity.  Group by
+    # column ONLY: a type-widened column legally carries mixed-width
+    # blocks (int32 before the widening, int64 after) and must fold to
+    # one stats row — the reported type is the widest of the family,
+    # exactly what decode_table serves.
     rows = (
-        enc.groupBy("column", "arrow_type")
+        enc.groupBy("column")
         .agg(
+            F.sort_array(F.collect_set("arrow_type")).alias("arrow_types"),
             F.count(F.lit(1)).alias("n_blocks"),
             F.sum("n_rows").alias("n_rows"),
             F.sum("bytes_in").alias("bytes_in"),
@@ -92,17 +97,18 @@ def analyze_table(
         lc = logical_of.get(r["column"], r["column"])
         if lc not in cols:
             continue  # stale blocks of dropped/renamed-away columns
-        numeric = r["arrow_type"].startswith(_NUMERIC_PREFIXES)
+        at = _widest_type(lc, set(r["arrow_types"]))
+        numeric = at.startswith(_NUMERIC_PREFIXES)
         if numeric and r["blocks_without_zone"] == 0:
             vmin, vmax = r["zmin_num"], r["zmax_num"]
-            if r["arrow_type"].startswith(("int", "uint")) and vmin is not None:
+            if at.startswith(("int", "uint")) and vmin is not None:
                 vmin, vmax = int(vmin), int(vmax)
         elif not numeric:
             vmin, vmax = r["zmin_str"], r["zmax_str"]
         else:
             vmin = vmax = None  # a zoneless numeric block → bounds unknown
         stats[lc] = {
-            "arrow_type": r["arrow_type"],
+            "arrow_type": at,
             "n_blocks": r["n_blocks"],
             "n_rows": int(r["n_rows"]),
             "bytes_in": int(r["bytes_in"]),

@@ -1798,3 +1798,48 @@ def test_rename_alias_reaches_block_level_apis(spark, tmp_path):
     assert res["n_positions"] == 512
     assert decode_table(spark, out).filter(F.col("category") == "g2").count() == 0
     assert decode_table(spark, out).count() == 1536
+
+
+def test_drop_after_rename_reclaims_physical_blocks(spark, tmp_path):
+    """Dropping a renamed column records the PHYSICAL tombstone, so
+    compaction reclaims the storage instead of the alias materialization
+    resurrecting the dropped data under the freed name."""
+    from pyrle_spark.plans.encode_job import (
+        compact_table,
+        drop_column,
+        rename_column,
+    )
+
+    out = str(tmp_path / "drop_ren")
+    cfg = EncodeConfig(columns=["v", "u"], order_col="seq", block_rows=512)
+    df = spark.range(0, 2048).select(
+        F.col("id").alias("seq"),
+        F.col("id").alias("v"),
+        (F.col("id") % 3).alias("u"),
+    )
+    encode_table(spark, df, out, cfg)
+    rename_column(spark, out, "v", "w")
+    res = drop_column(spark, out, "w")
+    assert res["columns"] == ["u"]
+    table = IceTable(out)
+    props = table.properties()
+    assert props["dropped_columns"] == ["v"]  # physical tombstone
+    assert props["column_aliases"] == {}  # alias retired with the drop
+
+    gc = compact_table(spark, out)
+    assert gc["reclaimed_bytes"] >= 0
+    phys = {
+        r["column"]
+        for r in table.read_table(spark).select("column").distinct().collect()
+    }
+    assert phys == {"u"}  # the dropped column's blocks are gone
+
+    # the freed name encodes fresh data — no resurrection of old values
+    df2 = spark.range(0, 2048).select(
+        F.col("id").alias("seq"), (F.col("id") * 10).alias("w")
+    )
+    encode_table(
+        spark, df2, out, EncodeConfig(columns=["w"], order_col="seq", block_rows=512)
+    )
+    got = [r["w"] for r in decode_table(spark, out, columns=["w"]).orderBy("_order").collect()]
+    assert got == [i * 10 for i in range(2048)]
