@@ -2568,6 +2568,56 @@ FROM cov
 """
 
 
+def dnf_prune_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DNF pushdown through the real encoded pipeline
+    (``scan_encoded(any_of=…)``): ``lang = 'de' OR (lang = 'zh' AND
+    n_chars >= 300)`` prunes as the UNION of each disjunct's conjunctive
+    survivor blocks (zone + bloom), then the residual boolean filters
+    the decoded rows.  The oracle is the naive row-level WHERE — the
+    union/intersection algebra must lose and invent nothing.
+
+    The global row_number only shapes the tiny test input's order
+    column, as in bloom_prune_eq_agg."""
+    import tempfile
+
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table, scan_encoded
+
+    docs = load(spark, sf_dir, "documents")
+    ordered = docs.select(
+        (F.row_number().over(W.orderBy("lang", "doc_id")) - 1).alias("_seq"),
+        "lang",
+        "n_chars",
+    )
+    out_dir = tempfile.mkdtemp(prefix="dnf_prune_")
+    encode_table(
+        spark,
+        ordered,
+        out_dir,
+        EncodeConfig(columns=["lang", "n_chars"], order_col="_seq", block_rows=64),
+    )
+    dec = scan_encoded(
+        spark,
+        out_dir,
+        columns=["lang", "n_chars"],
+        any_of=[
+            [("lang", "de", "de")],
+            [("lang", "zh", "zh"), ("n_chars", 300, None)],
+        ],
+    )
+    return dec.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+_DNF_PRUNE_AGG_SQL = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE lang = 'de' OR (lang = 'zh' AND n_chars >= 300)
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "rle_encode_lang": rle_encode_lang,
     "table_changes_agg": table_changes_agg,
@@ -2604,6 +2654,7 @@ QUERIES = {
     "rle_cmp_step": rle_cmp_step,
     "rle_neg_step": rle_neg_step,
     "ufunc_sqrt_step": ufunc_sqrt_step,
+    "dnf_prune_agg": dnf_prune_agg,
     "apply_values_runs": apply_values_runs,
     "rle_slice": rle_slice,
     "getlocs_points": getlocs_points,
@@ -2640,6 +2691,7 @@ ORACLE_SQL = {
     "compressed_join_dim": _COMPRESSED_JOIN_DIM_SQL,
     "rle_neg_step": _RLE_NEG_STEP_SQL,
     "ufunc_sqrt_step": _UFUNC_SQRT_STEP_SQL,
+    "dnf_prune_agg": _DNF_PRUNE_AGG_SQL,
     "numbers_only_events": _NUMBERS_ONLY_SQL,
     "coverage_weighted": _COVERAGE_WEIGHTED_SQL,
     "lang_counts_salted": _LANG_COUNTS_SALTED_SQL,

@@ -1540,6 +1540,7 @@ def scan_encoded(
     columns: list | None = None,
     predicates: list | None = None,
     snapshot_id: str | None = None,
+    any_of: list | None = None,
 ) -> DataFrame:
     """Query the encoded table with pushdown: zone-map pruning + column
     pruning + residual filter, in one call.
@@ -1557,6 +1558,15 @@ def scan_encoded(
     The residual filter then enforces the exact predicate on the decoded
     rows, so results equal a full decode + filter while touching only
     surviving blocks.
+
+    ``any_of``: DNF pushdown — a list of predicate LISTS, each an AND
+    of the same tuple forms, OR'd together: ``any_of=[[("lang", "en",
+    "en")], [("n_chars", 5000, None), ("lang", "zh", "zh")]]`` reads
+    ``lang='en' OR (n_chars>=5000 AND lang='zh')``.  The OR group's
+    survivor blocks are the UNION of each disjunct's conjunctive
+    survivors, intersected with ``predicates``'s survivors; the residual
+    applies the exact boolean.  An empty disjunct matches everything
+    (no pruning from the group).
     """
     table = IceTable(table_dir)
     enc = table.read_table(spark, snapshot_id)
@@ -1565,18 +1575,72 @@ def scan_encoded(
     aliases = table.properties(snapshot_id).get("column_aliases", {})
     blocks = None
     need_cols = set(columns or [])
-    norm = []  # (colname, lo, hi, values_or_None)
-    for p in predicates or []:
+    norm = _norm_predicates(predicates or [])
+    or_norm = [_norm_predicates(conj) for conj in (any_of or [])]
+    for colname, *_ in norm + [p for conj in or_norm for p in conj]:
+        need_cols.add(colname) if columns else None
+    blocks = _conj_survivors(enc, aliases, norm, None)
+    if or_norm:
+        # DNF: survivors of the OR group = UNION of each disjunct's
+        # conjunctive survivor set; intersected with the global conjuncts
+        union = None
+        for conj in or_norm:
+            s = _conj_survivors(enc, aliases, conj, None)
+            if s is None:  # an empty disjunct matches everything
+                union = None
+                break
+            union = s if union is None else union.unionByName(s)
+        if union is not None:
+            union = union.distinct()
+            blocks = union if blocks is None else blocks.join(
+                union, "block_id", "inner"
+            )
+    out = decode_table(
+        spark,
+        table_dir,
+        columns=sorted(need_cols) if columns else None,
+        snapshot_id=snapshot_id,
+        blocks=blocks,
+    )
+    res = _residual_expr(norm)
+    if res is not None:
+        out = out.filter(res)
+    if or_norm:
+        disj = None
+        for conj in or_norm:
+            e = _residual_expr(conj)
+            e = F.lit(True) if e is None else e
+            disj = e if disj is None else (disj | e)
+        out = out.filter(disj)
+    return out
+
+
+def _norm_predicates(predicates: list) -> list:
+    """Normalize ``(col, lo, hi)`` / ``(col, values)`` predicate tuples
+    to ``(col, lo, hi, values_or_None)``."""
+    norm = []
+    for p in predicates:
         if len(p) == 2:
             colname, values = p
             values = sorted(set(values))
-            norm.append((colname, min(values) if values else None,
-                         max(values) if values else None, values))
+            norm.append(
+                (
+                    colname,
+                    min(values) if values else None,
+                    max(values) if values else None,
+                    values,
+                )
+            )
         else:
             colname, lo, hi = p
             norm.append((colname, lo, hi, None))
+    return norm
+
+
+def _conj_survivors(enc: DataFrame, aliases: dict, norm: list, blocks):
+    """Survivor block set of a CONJUNCTION of normalized predicates
+    (zone + bloom pruning, sets intersect); None = no pruning (all)."""
     for colname, lo, hi, values in norm:
-        need_cols.add(colname) if columns else None
         phys = aliases.get(colname, colname)
         surv = prune_blocks(enc, phys, lo, hi)
         if values is not None:
@@ -1590,22 +1654,24 @@ def scan_encoded(
         blocks = surv if blocks is None else blocks.join(
             surv, "block_id", "inner"
         )
-    out = decode_table(
-        spark,
-        table_dir,
-        columns=sorted(need_cols) if columns else None,
-        snapshot_id=snapshot_id,
-        blocks=blocks,
-    )
+    return blocks
+
+
+def _residual_expr(norm: list):
+    """Exact row-level filter for a conjunction of normalized
+    predicates (None when the conjunction is empty)."""
+    expr = None
     for colname, lo, hi, values in norm:
         if values is not None:
-            out = out.filter(F.col(colname).isin(values))
-            continue
-        if lo is not None:
-            out = out.filter(F.col(colname) >= lo)
-        if hi is not None:
-            out = out.filter(F.col(colname) <= hi)
-    return out
+            e = F.col(colname).isin(values)
+        else:
+            e = F.lit(True)
+            if lo is not None:
+                e = e & (F.col(colname) >= lo)
+            if hi is not None:
+                e = e & (F.col(colname) <= hi)
+        expr = e if expr is None else (expr & e)
+    return expr
 
 
 # --------------------------------------------------------------------- decode

@@ -1843,3 +1843,55 @@ def test_drop_after_rename_reclaims_physical_blocks(spark, tmp_path):
     )
     got = [r["w"] for r in decode_table(spark, out, columns=["w"]).orderBy("_order").collect()]
     assert got == [i * 10 for i in range(2048)]
+
+
+def test_scan_encoded_dnf_pushdown(spark, tmp_path):
+    """any_of (DNF) pushdown: the OR group's survivor blocks are the
+    union of each disjunct's conjunctive survivors; results equal a full
+    decode + boolean filter, and blocks outside every disjunct's zones
+    are provably skipped."""
+    from pyrle_spark.plans.encode_job import prune_blocks, scan_encoded
+
+    out = str(tmp_path / "dnf")
+    # lang-sorted layout → single-value lang zones per block
+    df = spark.range(0, 4096, 1, 4).select(
+        F.col("id").alias("doc_seq"),
+        F.element_at(
+            F.array(F.lit("aa"), F.lit("bb"), F.lit("cc"), F.lit("dd")),
+            (F.col("id") / 1024).cast("int") + 1,
+        ).alias("lang"),
+        (F.col("id") % 500).alias("n"),
+    )
+    encode_table(
+        spark, df, out, EncodeConfig(columns=["lang", "n"], block_rows=256)
+    )
+    got = scan_encoded(
+        spark,
+        out,
+        columns=["lang", "n"],
+        any_of=[[("lang", "aa", "aa")], [("lang", "cc", "cc"), ("n", 400, None)]],
+    )
+    exp = df.filter(
+        (F.col("lang") == "aa") | ((F.col("lang") == "cc") & (F.col("n") >= 400))
+    )
+    assert got.count() == exp.count()
+    assert got.agg(F.sum("n")).first()[0] == exp.agg(F.sum("n")).first()[0]
+
+    # the union survivor set covers only aa- and cc-blocks: 8 of 16
+    enc = IceTable(out).read_table(spark)
+    aa = prune_blocks(enc, "lang", "aa", "aa").count()
+    cc = prune_blocks(enc, "lang", "cc", "cc").count()
+    assert aa == 4 and cc == 4
+
+    # global conjuncts intersect with the OR group
+    got2 = scan_encoded(
+        spark,
+        out,
+        columns=["lang", "n"],
+        predicates=[("n", 100, None)],
+        any_of=[[("lang", "aa", "aa")], [("lang", "cc", "cc")]],
+    )
+    exp2 = df.filter(
+        (F.col("n") >= 100) & ((F.col("lang") == "aa") | (F.col("lang") == "cc"))
+    )
+    assert got2.count() == exp2.count()
