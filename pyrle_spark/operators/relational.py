@@ -2618,6 +2618,56 @@ GROUP BY lang
 """
 
 
+def zip_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional zip join of two encoded tables
+    (``plans.zipjoin.zip_tables``): documents.lang and
+    documents.(source, n_chars) encoded into SEPARATE tables over the
+    same order domain, joined on position with the shuffle carrying
+    compressed block buffers instead of decoded rows, then aggregated.
+    The oracle is the row-level join collapsed to a plain GROUP BY —
+    equality proves position alignment is exact.  Generalizes the
+    reference's run-aligned zip merge (src/rle.pyx:41-72) to whole
+    tables; the global row_number only shapes the tiny test input."""
+    import tempfile
+
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+    from pyrle_spark.plans.zipjoin import zip_tables
+
+    docs = load(spark, sf_dir, "documents")
+    ordered = docs.select(
+        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("_seq"),
+        "lang",
+        "source",
+        "n_chars",
+    ).cache()
+    a_dir = tempfile.mkdtemp(prefix="zip_a_")
+    b_dir = tempfile.mkdtemp(prefix="zip_b_")
+    encode_table(
+        spark,
+        ordered.select("_seq", "lang"),
+        a_dir,
+        EncodeConfig(columns=["lang"], order_col="_seq", block_rows=64),
+    )
+    encode_table(
+        spark,
+        ordered.select("_seq", "source", "n_chars"),
+        b_dir,
+        EncodeConfig(columns=["source", "n_chars"], order_col="_seq", block_rows=64),
+    )
+    z = zip_tables(spark, a_dir, b_dir)
+    return z.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+_ZIP_JOIN_AGG_SQL = """
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang, source
+"""
+
+
 QUERIES = {
     "rle_encode_lang": rle_encode_lang,
     "table_changes_agg": table_changes_agg,
@@ -2655,6 +2705,7 @@ QUERIES = {
     "rle_neg_step": rle_neg_step,
     "ufunc_sqrt_step": ufunc_sqrt_step,
     "dnf_prune_agg": dnf_prune_agg,
+    "zip_join_agg": zip_join_agg,
     "apply_values_runs": apply_values_runs,
     "rle_slice": rle_slice,
     "getlocs_points": getlocs_points,
@@ -2692,6 +2743,7 @@ ORACLE_SQL = {
     "rle_neg_step": _RLE_NEG_STEP_SQL,
     "ufunc_sqrt_step": _UFUNC_SQRT_STEP_SQL,
     "dnf_prune_agg": _DNF_PRUNE_AGG_SQL,
+    "zip_join_agg": _ZIP_JOIN_AGG_SQL,
     "numbers_only_events": _NUMBERS_ONLY_SQL,
     "coverage_weighted": _COVERAGE_WEIGHTED_SQL,
     "lang_counts_salted": _LANG_COUNTS_SALTED_SQL,

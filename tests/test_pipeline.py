@@ -1895,3 +1895,69 @@ def test_scan_encoded_dnf_pushdown(spark, tmp_path):
         (F.col("n") >= 100) & ((F.col("lang") == "aa") | (F.col("lang") == "cc"))
     )
     assert got2.count() == exp2.count()
+
+
+def test_zip_tables_positional_join(spark, tmp_path):
+    """zip_tables: positional inner join of two encoded tables sharing
+    the order domain — equals the row-level join on _order, drops blocks
+    missing from one side, truncates a shorter tail, respects renames
+    and MoR deletes of either side."""
+    from pyrle_spark.plans.encode_job import delete_rows, rename_column
+    from pyrle_spark.plans.zipjoin import zip_tables
+
+    a_dir = str(tmp_path / "zip_a")
+    b_dir = str(tmp_path / "zip_b")
+    # side A: 4096 rows; side B: 3900 rows (shorter tail + missing blocks)
+    dfa = spark.range(0, 4096, 1, 4).select(
+        F.col("id").alias("doc_seq"),
+        F.concat(F.lit("t"), (F.col("id") % 7).cast("string")).alias("tag"),
+        (F.col("id") * 2).alias("v"),
+    )
+    dfb = spark.range(0, 3900, 1, 4).select(
+        F.col("id").alias("doc_seq"),
+        (F.col("id") % 13).alias("score"),
+        (F.col("id") + 5).alias("v"),  # name collision with side A
+    )
+    encode_table(
+        spark, dfa, a_dir, EncodeConfig(columns=["tag", "v"], block_rows=512)
+    )
+    encode_table(
+        spark, dfb, b_dir, EncodeConfig(columns=["score", "v"], block_rows=512)
+    )
+
+    z = zip_tables(spark, a_dir, b_dir)
+    exp = dfa.join(
+        dfb.select(
+            F.col("doc_seq"), "score", F.col("v").alias("v_b")
+        ),
+        "doc_seq",
+    )
+    assert sorted(z.columns) == ["_order", "score", "tag", "v", "v_b"]
+    assert z.count() == exp.count() == 3900
+    assert (
+        z.agg(F.sum(F.col("v") + F.col("v_b") + F.col("score"))).first()[0]
+        == exp.agg(F.sum(F.col("v") + F.col("v_b") + F.col("score"))).first()[0]
+    )
+    # spot-check row alignment
+    r = z.filter(F.col("_order") == 1234).first()
+    assert r["tag"] == f"t{1234 % 7}" and r["v"] == 2468 and r["v_b"] == 1239
+    assert r["score"] == 1234 % 13
+
+    # rename on one side resolves through the alias
+    rename_column(spark, b_dir, "score", "points")
+    z2 = zip_tables(spark, a_dir, b_dir, columns_b=["points"])
+    assert z2.filter(F.col("_order") == 77).first()["points"] == 77 % 13
+
+    # MoR delete on side A excludes the position from the join
+    delete_rows(spark, a_dir, [10, 11, 12])
+    z3 = zip_tables(spark, a_dir, b_dir, columns_b=["points"])
+    assert z3.count() == 3897
+    assert z3.filter(F.col("_order").isin(10, 11, 12)).count() == 0
+
+    # mismatched block spans are refused
+    c_dir = str(tmp_path / "zip_c")
+    encode_table(
+        spark, dfb, c_dir, EncodeConfig(columns=["score"], block_rows=256)
+    )
+    with pytest.raises(ValueError, match="block_rows"):
+        zip_tables(spark, a_dir, c_dir)
