@@ -9,12 +9,18 @@ bucket, both sides are already laid out by it, and a positional
 (pre-compressed) block buffers move, once, to meet their partner block.
 
 Contrast with ``decode_table(a).join(decode_table(b), "_order")``: that
-plan decodes BOTH tables to full-width rows and hash-shuffles every row
-on ``_order``.  Here the shuffle key is ``block_id`` (one row per
-block×column, carrying the compressed buffers), each task decodes one
-block of each side and zips the arrays by position — at 10^12 rows the
-shuffle volume is the compressed size, not the decoded rows, and the
-join itself is an O(n) array concat per block.
+plan decodes BOTH tables to full-width rows, exchanges them on
+``_order``, and sorts both sides for the merge join (or leans on AQE to
+broadcast a narrow side).  Here the shuffle key is ``block_id`` (one
+row per block×column, carrying the compressed buffers), each task
+decodes one block of each side and zips the arrays by position — no
+row-level exchange, no sort, no join-strategy gamble.  The shuffle is
+bounded by the CODEC-compressed size; measured honestly (see
+``BENCH/BASELINE.md``), the byte win over decode+join is modest on this
+synthetic corpus because shuffle-level LZ4 also compresses the decoded
+rows — the structural win is skipping the decode-before-shuffle and the
+O(n log n) sort, and keeping parallelism = #blocks regardless of
+cluster join heuristics.
 
 Inner-join semantics on position: blocks present in only one table are
 skipped, a shorter tail block truncates its partner, and merge-on-read
