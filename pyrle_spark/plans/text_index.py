@@ -219,29 +219,28 @@ def prune_blocks_text(
     cur = table.current_snapshot_id()
     if cur != manifest["snapshot_id"]:
         # block rows carry PHYSICAL names: resolve rename aliases per
-        # snapshot, or a renamed column would look like zero blocks
-        now_blocks = {
-            r["block_id"]
-            for r in dedup_blocks(table.read_table(spark))
-            .filter(F.col("column") == physical_column(table, column))
-            .select("block_id")
-            .distinct()
-            .collect()
+        # snapshot, or a renamed column would look like zero blocks.
+        # Staleness must compare block CONTENT, not just ids: an append
+        # into a partial tail block re-encodes it under the SAME
+        # block_id (with more rows / a new crc), and rows added that way
+        # would otherwise be invisible to search.
+        def _block_sigs(snap_id, phys):
+            return {
+                r["block_id"]: (r["n_rows"], r["crc32"])
+                for r in dedup_blocks(table.read_table(spark, snap_id))
+                .filter(F.col("column") == phys)
+                .select("block_id", "n_rows", "crc32")
+                .collect()
+            }
+
+        now_sigs = _block_sigs(None, physical_column(table, column))
+        then_sigs = _block_sigs(
+            manifest["snapshot_id"],
+            physical_column(table, column, manifest["snapshot_id"]),
+        )
+        cand |= {
+            b for b, sig in now_sigs.items() if then_sigs.get(b) != sig
         }
-        then_blocks = {
-            r["block_id"]
-            for r in dedup_blocks(
-                table.read_table(spark, manifest["snapshot_id"])
-            )
-            .filter(
-                F.col("column")
-                == physical_column(table, column, manifest["snapshot_id"])
-            )
-            .select("block_id")
-            .distinct()
-            .collect()
-        }
-        cand |= now_blocks - then_blocks
     return cand, {"words": sorted(set(words)), "manifest": manifest}
 
 

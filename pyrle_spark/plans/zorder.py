@@ -18,8 +18,10 @@ Everything is Catalyst expressions:
   collecting a huge driver list);
 - the Morton key is a sum of shift/mask terms (``bits × n_cols`` ≤ 63),
   whole-stage-codegen friendly, no Python anywhere;
-- the sort is :func:`assign_row_order`'s bounded two-pass rank — no
-  global window — and the re-encode is the standard block pass, so the
+- the sort is a range-partitioned rank (driver holds one count per
+  PARTITION — Morton keys are near-unique, so the per-key-group counts
+  of ``assign_row_order`` would be O(n) driver rows) — no global
+  window — and the re-encode is the standard block pass, so the
   rewrite output is byte-identical at any parallelism, like every other
   encode in this engine.
 """
@@ -28,11 +30,11 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
 
 from pyrle_spark.plans.encode_job import (
     EncodeConfig,
     IceTable,
-    assign_row_order,
     decode_table,
     dedup_blocks,
     encode_table,
@@ -41,13 +43,22 @@ from pyrle_spark.plans.encode_job import (
 __all__ = ["zorder_key", "rewrite_zorder"]
 
 
-def _numeric_code(df: DataFrame, col: str, bits: int) -> Column:
-    lo, hi = df.agg(F.min(col), F.max(col)).first()
+def _numeric_expr(col: str, dtype: str) -> Column:
+    """The column as a double: temporal types go through epoch seconds
+    (date/timestamp are natural clustering keys and must not crash the
+    driver-side float() on their min/max)."""
+    c = F.col(col)
+    if dtype.startswith(("timestamp", "date")):
+        c = c.cast("timestamp").cast("double")
+    return c.cast("double")
+
+
+def _numeric_code(col: str, dtype: str, lo, hi, bits: int) -> Column:
     if lo is None or hi == lo:
         return F.lit(0).cast("long")
     span = float(hi) - float(lo)
     scale = ((1 << bits) - 1) / span
-    code = F.floor((F.col(col).cast("double") - F.lit(float(lo))) * F.lit(scale))
+    code = F.floor((_numeric_expr(col, dtype) - F.lit(float(lo))) * F.lit(scale))
     # clamp: float rounding at the max must not overflow the bit budget
     code = F.least(F.greatest(code, F.lit(0)), F.lit((1 << bits) - 1))
     return F.coalesce(code, F.lit(0)).cast("long")
@@ -99,14 +110,32 @@ def zorder_key(
     if bits * len(columns) > 63:
         raise ValueError(f"{bits} bits × {len(columns)} columns overflows int64")
     dtypes = dict(df.dtypes)
-    codes = []
     for c in columns:
         if c not in dtypes:
             raise KeyError(f"zorder column {c!r} not in {sorted(dtypes)}")
+    # ONE combined agg collects every numeric column's (min, max) — not
+    # one full scan per column
+    nums = [c for c in columns if dtypes[c] != "string"]
+    bounds = {}
+    if nums:
+        row = df.agg(
+            *[
+                a
+                for c in nums
+                for a in (
+                    F.min(_numeric_expr(c, dtypes[c])).alias(f"_lo_{c}"),
+                    F.max(_numeric_expr(c, dtypes[c])).alias(f"_hi_{c}"),
+                )
+            ]
+        ).first()
+        bounds = {c: (row[f"_lo_{c}"], row[f"_hi_{c}"]) for c in nums}
+    codes = []
+    for c in columns:
         if dtypes[c] == "string":
             codes.append(_string_code(df, c, bits, max_string_card))
         else:
-            codes.append(_numeric_code(df, c, bits))
+            lo, hi = bounds[c]
+            codes.append(_numeric_code(c, dtypes[c], lo, hi, bits))
     n = len(codes)
     z = F.lit(0).cast("long")
     for b in range(bits):
@@ -115,6 +144,51 @@ def zorder_key(
                 F.shiftright(code, b).bitwiseAND(F.lit(1)), b * n + i
             )
     return z
+
+
+def _assign_order_range(
+    spark: SparkSession,
+    df: DataFrame,
+    key: str,
+    tiebreak: str,
+    out_col: str,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Dense global rank by ``(key, tiebreak)`` for HIGH-CARDINALITY
+    keys: ``repartitionByRange`` splits the total order into ranges,
+    each partition ranks locally (window partitioned by the Spark
+    partition id — bounded at ~n/partitions rows), and the driver only
+    ever holds one row count per partition.  Complements
+    ``assign_row_order``, whose per-key-group counts are driver-bounded
+    only when the key is low-cardinality."""
+    n_parts = n_parts or max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        spark.sparkContext.defaultParallelism,
+    )
+    rp = (
+        df.repartitionByRange(n_parts, F.col(key), F.col(tiebreak))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    sizes = {
+        r["_pid"]: r["n"]
+        for r in rp.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off = F.create_map(
+        *[x for pid, o in offsets.items() for x in (F.lit(pid), F.lit(o))]
+    )
+    w = W.partitionBy("_pid").orderBy(key, tiebreak)
+    return (
+        rp.withColumn(
+            out_col,
+            (F.row_number().over(w) - 1 + off[F.col("_pid")]).cast("long"),
+        )
+        .drop("_pid")
+    )
 
 
 def rewrite_zorder(
@@ -143,10 +217,17 @@ def rewrite_zorder(
         .agg(F.sum("bytes_out").alias("b"), F.sum("n_runs").alias("r"))
         .first()
     )
-    dec = decode_table(spark, table_dir)
+    # cache: the key build aggregates over dec (numeric bounds + string
+    # dictionaries) and the rank + encode scan it again
+    dec = decode_table(spark, table_dir).persist()
     z = zorder_key(dec, zorder_by, bits=bits)
-    ranked = assign_row_order(
-        dec.withColumn("_z", z), ["_z"], "_order", sub_rows, "_seq"
+    # Morton keys are near-UNIQUE for continuous dimensions, so the
+    # group-counts rank (assign_row_order) would collect O(n) rows on
+    # the driver.  Range-partition by (_z, _order) instead: the driver
+    # holds one count per PARTITION, each partition ranks locally, and
+    # broadcast offsets stitch the global sequence — bounded everywhere.
+    ranked = _assign_order_range(
+        spark, dec.withColumn("_z", z), "_z", "_order", "_seq"
     )
     summary = encode_table(
         spark,
@@ -160,6 +241,7 @@ def rewrite_zorder(
             properties={"rewrite_zorder_by": ",".join(zorder_by)},
         ),
     )
+    dec.unpersist()
     after = (
         dedup_blocks(IceTable(out_dir).read_table(spark))
         .agg(

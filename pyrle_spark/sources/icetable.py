@@ -28,7 +28,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["IceTable", "commit_lock"]
+__all__ = ["IceTable", "commit_lock", "touch_lock"]
 
 
 @contextlib.contextmanager
@@ -45,7 +45,15 @@ def commit_lock(table_dir: str, timeout_s: float = 90.0, stale_s: float = 60.0):
     killed process and is broken — the kill-resume workflow must not
     deadlock on its own corpse (``stale_s < timeout_s`` by default, so
     a waiter always outlives and breaks a stale lock rather than
-    timing out first; a LIVE commit holds the lock for milliseconds)."""
+    timing out first; a LIVE commit holds the lock for milliseconds).
+
+    Long-held LIVE locks (expire/vacuum deleting thousands of files)
+    must heartbeat via :func:`touch_lock` so their mtime stays inside
+    the stale window.  Breaking is rename-then-remove: ``os.rename`` of
+    the stale lock to a unique name is atomic, so of N waiters racing
+    to break the same corpse exactly ONE wins — the losers' renames
+    raise and they go back to spinning, never deleting a lock a winner
+    just re-acquired (the TOCTOU that plain ``os.remove`` allows)."""
     lock_dir = os.path.join(table_dir, "metadata")
     os.makedirs(lock_dir, exist_ok=True)
     lock = os.path.join(lock_dir, ".commit.lock")
@@ -57,7 +65,9 @@ def commit_lock(table_dir: str, timeout_s: float = 90.0, stale_s: float = 60.0):
         except FileExistsError:
             try:
                 if time.time() - os.path.getmtime(lock) > stale_s:
-                    os.remove(lock)
+                    # atomic steal: only one waiter's rename succeeds;
+                    # the renamed corpse is swept after acquisition
+                    os.rename(lock, f"{lock}.stale-{uuid.uuid4().hex[:8]}")
                     continue
             except FileNotFoundError:
                 continue
@@ -70,10 +80,25 @@ def commit_lock(table_dir: str, timeout_s: float = 90.0, stale_s: float = 60.0):
     try:
         os.write(fd, str(os.getpid()).encode())
         os.close(fd)
+        # clean any renamed corpses left by stale breaks (harmless residue)
+        for f in os.listdir(lock_dir):
+            if f.startswith(".commit.lock.stale-"):
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(os.path.join(lock_dir, f))
         yield
     finally:
         with contextlib.suppress(FileNotFoundError):
             os.remove(lock)
+
+
+def touch_lock(table_dir: str) -> None:
+    """Heartbeat the commit lock's mtime.  Long critical sections
+    (expire/vacuum file deletion loops) call this periodically so a
+    concurrent waiter never mistakes the LIVE lock for a stale corpse
+    and breaks it mid-operation."""
+    lock = os.path.join(table_dir, "metadata", ".commit.lock")
+    with contextlib.suppress(FileNotFoundError):
+        os.utime(lock)
 
 
 @dataclass
@@ -302,7 +327,13 @@ class IceTable:
         while cur is not None:
             if cur == ancestor:
                 return True
-            cur = self._manifest(cur).get("parent")
+            try:
+                cur = self._manifest(cur).get("parent")
+            except FileNotFoundError:
+                # parent expired by snapshot GC: the chain is severed
+                # here — treat as "not an ancestor" instead of crashing
+                # (fast_forward then refuses with its clear error)
+                return False
         return False
 
     def fast_forward(self, branch: str) -> str:
@@ -403,7 +434,13 @@ class IceTable:
         manifest = self._manifest(snap)
         paths = [f["path"] for f in manifest["files"]]
         if not paths:
-            return spark.createDataFrame([], schema=manifest["schema"])
+            # manifest["schema"] is df.schema.json() — a JSON document,
+            # not a DDL string; parse it back to a StructType
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], schema=StructType.fromJson(json.loads(manifest["schema"]))
+            )
         return spark.read.parquet(*paths)
 
     def properties(self, snapshot_id: str | None = None) -> dict:
@@ -549,6 +586,10 @@ class IceTable:
                     reclaimed += os.path.getsize(f["path"])
                     os.remove(f["path"])
                     deleted += 1
+                    if deleted % 100 == 0:
+                        # long deletion loops must not look stale to
+                        # concurrent waiters (they would break the lock)
+                        touch_lock(self.path)
         # metadata commit: snapshot log shrinks first (atomic), manifests
         # of expired snapshots removed after — a leftover manifest file is
         # harmless (unreferenced), a missing log entry never dangles

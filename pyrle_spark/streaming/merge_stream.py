@@ -7,9 +7,11 @@ takedowns (deletes) — and must fold them into the table continuously.
 shape for this (stream-to-table upsert, e.g. Delta/Iceberg CDC apply):
 
 - **per-batch collapse**: a micro-batch may carry several changes for
-  one key; the row with the highest ``version_col`` wins (bounded
+  one key; the row with the highest ``version_col`` wins, ties (and the
+  no-version case) resolved by a deterministic content order (bounded
   per-key window — no global window), so each batch presents MERGE with
-  unique keys, as its cardinality contract requires;
+  unique keys, as its cardinality contract requires, and a crash-replay
+  collapses to the SAME image;
 - **delete markers**: rows with ``delete_col = true`` become
   ``when_matched="delete"`` merges; the rest upsert;
 - **replay convergence**: if a batch crashes after the merge but before
@@ -59,13 +61,25 @@ def merge_stream(
         if batch_df.isEmpty():
             return
         changes = batch_df
-        if version_col is not None:
-            w = W.partitionBy(on).orderBy(F.desc(version_col))
-            changes = (
-                changes.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
+        # Per-batch collapse ALWAYS runs: a micro-batch can carry several
+        # changes for one key even without a version column (availableNow
+        # coalesces many files into one batch), and merge_into's
+        # cardinality check would fail the stream.  Without version_col
+        # the winner is deterministic-by-content (ordered over every
+        # column), so a crash-replay re-collapses to the SAME image —
+        # the replay-convergence contract needs determinism, not any
+        # particular winner.  Ties on version_col fall back to the same
+        # content order for the same reason.
+        order = [F.desc(version_col)] if version_col is not None else []
+        order += [
+            F.desc(c) for c in changes.columns if c not in (on, version_col)
+        ]
+        w = W.partitionBy(on).orderBy(*order)
+        changes = (
+            changes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         if delete_col is not None:
             dels = changes.filter(F.col(delete_col)).select(on)
             ups = changes.filter(

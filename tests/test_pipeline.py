@@ -1961,3 +1961,40 @@ def test_zip_tables_positional_join(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="block_rows"):
         zip_tables(spark, a_dir, c_dir)
+
+
+def test_expiry_severs_ancestry_without_crash(spark, tmp_path):
+    """Snapshot expiry can delete a branch head's parent-chain manifests;
+    is_ancestor then reports False (chain severed) and fast_forward
+    refuses with its clear error instead of FileNotFoundError."""
+    out = str(tmp_path / "sever")
+    cfg = EncodeConfig(columns=["v"], order_col="seq", block_rows=512)
+
+    def part(hi):
+        return spark.range(0, hi).select(
+            F.col("id").alias("seq"), F.col("id").alias("v")
+        )
+
+    encode_table(spark, part(512), out, cfg)
+    table = IceTable(out)
+    s1 = table.current_snapshot_id()
+    table.create_branch("dev")
+    encode_table(spark, part(1024), out, cfg)  # s2 (expired below)
+    encode_table(spark, part(1536), out, cfg)  # s3 (current)
+    table.expire_snapshots(keep_last=1)
+    # s1 is pinned by the branch; s2 (the middle ancestor) is gone
+    assert table.is_ancestor(s1, table.current_snapshot_id()) is False
+    with pytest.raises(RuntimeError, match="not an ancestor"):
+        table.fast_forward("dev")  # dev head (s1) is not a descendant
+
+
+def test_empty_snapshot_read(spark, tmp_path):
+    """A zero-file snapshot reads back as an empty DataFrame with the
+    recorded schema (the schema JSON must parse, not be fed as DDL)."""
+    out = str(tmp_path / "emptysnap")
+    table = IceTable(out)
+    empty = spark.createDataFrame([], "block_id long, column string")
+    table.write_snapshot(empty, mode="overwrite")
+    got = table.read_table(spark)
+    assert got.count() == 0
+    assert got.schema.simpleString() == "struct<block_id:bigint,column:string>"

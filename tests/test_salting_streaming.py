@@ -539,3 +539,43 @@ def test_streaming_merge_cdc_apply(spark, webtext, tmp_path):
     q3.awaitTermination(120)
     assert len(IceTable(table).snapshots()) == n_snaps
     assert decode_table(spark, table).count() == 1025
+
+
+def test_streaming_merge_versionless_duplicates(spark, tmp_path):
+    """Without a version column, a micro-batch carrying several changes
+    for one key (availableNow coalesces files) must still collapse
+    deterministically instead of failing MERGE's cardinality check."""
+    import time as _time
+
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        decode_table,
+        encode_table,
+    )
+    from pyrle_spark.streaming.merge_stream import merge_stream
+
+    tbl = str(tmp_path / "vless_tbl")
+    src = str(tmp_path / "vless_src")
+    ckpt = str(tmp_path / "vless_ckpt")
+    base = spark.createDataFrame(
+        [(i, f"k{i}", i * 10) for i in range(8)], "doc_seq long, k string, v long"
+    )
+    encode_table(
+        spark, base, tbl, EncodeConfig(columns=["k", "v"], block_rows=4)
+    )
+    # two change FILES, both touching k3 — one batch under availableNow
+    spark.createDataFrame([("k3", 111), ("k9", 900)], "k string, v long").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    spark.createDataFrame([("k3", 222)], "k string, v long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = merge_stream(spark, src, tbl, on="k", checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+    rows = {
+        r["k"]: r["v"]
+        for r in decode_table(spark, tbl).select("k", "v").collect()
+    }
+    assert rows["k9"] == 900  # insert applied
+    assert rows["k3"] == 222  # deterministic winner: max over content order
+    assert len(rows) == 9

@@ -137,3 +137,28 @@ def test_deletes_apply_at_search(spark, table):
     delete_rows(spark, table, [hits[0]])
     after = sorted(r["_order"] for r in search_text(spark, table, [rare]).collect())
     assert after == hits[1:]
+
+
+def test_stale_index_sees_reencoded_tail_block(spark, tmp_path):
+    """Rows appended INTO a partial tail block (same block_id, new crc)
+    after the index build must still be searchable: staleness compares
+    block content signatures, not just block ids."""
+    out = str(tmp_path / "tailidx")
+    cfg = EncodeConfig(columns=["text"], order_col="seq", block_rows=256)
+    base = spark.createDataFrame(
+        [(i, f"common filler row {i}") for i in range(300)],
+        "seq long, text string",
+    )
+    encode_table(spark, base, out, cfg)  # block 1 is partial (44 rows)
+    build_text_index(spark, out, "text")
+    # append rows that LAND IN block 1 (re-encoded under the same id),
+    # carrying a word the old postings never saw
+    more = base.unionByName(
+        spark.createDataFrame(
+            [(300 + i, f"zzyzx sentinel {i}") for i in range(20)],
+            "seq long, text string",
+        )
+    )
+    encode_table(spark, more, out, cfg)
+    hits = search_text(spark, out, ["zzyzx"]).collect()
+    assert len(hits) == 20

@@ -94,3 +94,27 @@ def test_zorder_errors(spark, tmp_path):
         zorder_key(df, ["url"], max_string_card=3)
     with pytest.raises(ValueError, match="overflows"):
         zorder_key(df, ["lang", "doc_seq"], bits=40)
+
+
+def test_zorder_temporal_and_unique_keys(spark, tmp_path):
+    """Z-ordering by a timestamp column must not crash on the driver
+    (temporal min/max go through epoch seconds), and the range-ranked
+    sequence is a dense permutation even when Morton keys are unique."""
+    from pyrle_spark.plans.encode_job import EncodeConfig, decode_table, encode_table
+    from pyrle_spark.plans.zorder import rewrite_zorder
+
+    src = str(tmp_path / "zt_src")
+    out = str(tmp_path / "zt_out")
+    df = spark.range(0, 4096, 1, 8).select(
+        F.col("id").alias("doc_seq"),
+        F.timestamp_seconds(F.lit(1700000000) + (F.col("id") * 37) % 100000).alias("ts"),
+        ((F.col("id") * 2654435761) % 100003).alias("v"),  # near-unique
+    )
+    encode_table(spark, df, src, EncodeConfig(columns=["ts", "v"], block_rows=512))
+    res = rewrite_zorder(spark, src, out, ["ts", "v"])
+    assert res["rows"] == 4096
+    dec = decode_table(spark, out)
+    orders = [r["_order"] for r in dec.select("_order").collect()]
+    assert sorted(orders) == list(range(4096))  # dense permutation
+    # content preserved
+    assert dec.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
