@@ -87,13 +87,21 @@ def with_salted_key(
             F.lit(1), F.ceil(F.col("n") / F.lit(rows_per_task))
         ).alias("_n_salts"),
     )
+    # null-safe match: a NULL key is often THE hot key (missing lang on
+    # 40% of a crawl); plain == never matches NULL and would leave all
+    # those rows unsalted on one reducer
     joined = df.join(
-        F.broadcast(census), df[key_col] == F.col("_hot_key"), "left"
+        F.broadcast(census), df[key_col].eqNullSafe(F.col("_hot_key")), "left"
     )
     salt = F.when(
         F.col("_n_salts").isNotNull(),
         F.pmod(F.xxhash64(F.col(order_col)), F.col("_n_salts")),
     ).otherwise(F.lit(0))
+    # coalesce the key into the salted string: concat_ws silently drops
+    # NULLs, which would collide "NULL with salt 3" with a real key "3"
     return joined.withColumn(
-        "_salted_key", F.concat_ws("#", F.col(key_col), salt.cast("string"))
+        "_salted_key",
+        F.concat_ws(
+            "#", F.coalesce(F.col(key_col), F.lit("\x00null")), salt.cast("string")
+        ),
     ).drop("_hot_key", "_n_salts")

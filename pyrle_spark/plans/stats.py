@@ -28,7 +28,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from pyrle_spark.plans.compressed import distinct_values
-from pyrle_spark.plans.encode_job import _widest_type, dedup_blocks
+from pyrle_spark.plans.encode_job import (
+    _delete_positions,
+    _widest_type,
+    dedup_blocks,
+)
 from pyrle_spark.sources.icetable import IceTable
 
 __all__ = ["analyze_table", "table_stats_df"]
@@ -78,9 +82,16 @@ def analyze_table(
             F.max(F.when(F.col("zmax").isNotNull(), F.col("zmax"))).alias(
                 "zmax_str"
             ),
-            # numeric zones must fold numerically ("99" > "100" as strings)
+            # numeric zones must fold numerically ("99" > "100" as strings);
+            # int zones fold as LONG (doubles round above 2^53), temporal
+            # zones as timestamps (their isoformat strings neither cast to
+            # double nor compare lexicographically at mixed precision)
             F.min(F.expr("try_cast(zmin AS double)")).alias("zmin_num"),
             F.max(F.expr("try_cast(zmax AS double)")).alias("zmax_num"),
+            F.min(F.expr("try_cast(zmin AS long)")).alias("zmin_long"),
+            F.max(F.expr("try_cast(zmax AS long)")).alias("zmax_long"),
+            F.min(F.expr("try_cast(zmin AS timestamp_ntz)")).alias("zmin_ts"),
+            F.max(F.expr("try_cast(zmax AS timestamp_ntz)")).alias("zmax_ts"),
             F.sum(F.when(F.col("zmin").isNull(), 1).otherwise(0)).alias(
                 "blocks_without_zone"
             ),
@@ -98,15 +109,20 @@ def analyze_table(
         if lc not in cols:
             continue  # stale blocks of dropped/renamed-away columns
         at = _widest_type(lc, set(r["arrow_types"]))
-        numeric = at.startswith(_NUMERIC_PREFIXES)
-        if numeric and r["blocks_without_zone"] == 0:
+        # fold in the widest type's own domain: long for ints, timestamp
+        # for temporal, double for floats, raw string otherwise.  An
+        # all-null block has no zone; its rows contribute no values, so
+        # the folded bounds over the zoned blocks are still exact —
+        # bounds_complete=False only flags pre-zone-era blocks honestly.
+        if at.startswith(("int", "uint")):
+            vmin, vmax = r["zmin_long"], r["zmax_long"]
+        elif at.startswith(("timestamp", "date")):
+            vmin = str(r["zmin_ts"]) if r["zmin_ts"] is not None else None
+            vmax = str(r["zmax_ts"]) if r["zmax_ts"] is not None else None
+        elif at.startswith(_NUMERIC_PREFIXES):
             vmin, vmax = r["zmin_num"], r["zmax_num"]
-            if at.startswith(("int", "uint")) and vmin is not None:
-                vmin, vmax = int(vmin), int(vmax)
-        elif not numeric:
-            vmin, vmax = r["zmin_str"], r["zmax_str"]
         else:
-            vmin = vmax = None  # a zoneless numeric block → bounds unknown
+            vmin, vmax = r["zmin_str"], r["zmax_str"]
         stats[lc] = {
             "arrow_type": at,
             "n_blocks": r["n_blocks"],
@@ -117,8 +133,11 @@ def analyze_table(
             "codecs": list(r["codecs"]),
             "min": vmin,
             "max": vmax,
+            "bounds_complete": int(r["blocks_without_zone"]) == 0,
         }
     for c in ndv_columns:
+        if c not in stats:
+            continue  # no blocks at all (empty table / pending widen)
         vals = distinct_values(spark, table_dir, c)
         agg = vals.agg(
             F.count(F.lit(1)).alias("n"),
@@ -129,6 +148,9 @@ def analyze_table(
     payload = {
         "analyzed_snapshot": snap,
         "analyzed_at_ms": int(time.time() * 1000),
+        # n_rows above are MANIFEST rows (pre-delete); ndv IS delete-aware.
+        # deleted_rows lets a reader reconcile the two.
+        "deleted_rows": len(_delete_positions(table_dir, None)),
         "columns": stats,
     }
     table.commit_metadata({**table.properties(), "stats": payload})

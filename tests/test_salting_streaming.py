@@ -579,3 +579,66 @@ def test_streaming_merge_versionless_duplicates(spark, tmp_path):
     assert rows["k9"] == 900  # insert applied
     assert rows["k3"] == 222  # deterministic winner: max over content order
     assert len(rows) == 9
+
+
+def test_decode_stream_resolves_renames_and_widening(spark, tmp_path):
+    """The streaming decoder reads touched blocks from the committed
+    table, so renamed columns resolve through their alias and mixed-width
+    blocks deliver at the widest promoted type."""
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        encode_table,
+        rename_column,
+    )
+    from pyrle_spark.streaming.decode_stream import decode_stream
+
+    tbl = str(tmp_path / "dsr_tbl")
+    ckpt = str(tmp_path / "dsr_ckpt")
+    cfg = EncodeConfig(columns=["v"], order_col="seq", block_rows=256)
+    df32 = spark.range(0, 512).select(
+        F.col("id").alias("seq"),
+        F.col("id").cast("int").alias("v"),
+    )
+    encode_table(spark, df32, tbl, cfg)
+    full = spark.range(0, 1024).select(
+        F.col("id").alias("seq"), F.col("id").cast("long").alias("v")
+    )
+    encode_table(spark, full, tbl, cfg)  # widens v to int64
+    rename_column(spark, tbl, "v", "w")
+
+    got = []
+
+    def sink(df, epoch):
+        got.extend(df.collect())
+
+    q = decode_stream(spark, tbl, ckpt, sink)
+    q.awaitTermination(120)
+    assert got, "stream delivered nothing"
+    assert "w" in got[0].asDict()  # logical name, through the alias
+    vals = sorted(r["w"] for r in got)
+    assert vals == list(range(1024))  # both generations, widened
+
+
+def test_salting_null_hot_key(spark):
+    """A NULL key above the hot threshold gets salted like any other hot
+    key, and its salted keys cannot collide with real keys."""
+    from pyrle_spark.plans.salting import with_salted_key
+
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("seq"),
+        F.when(F.col("id") % 2 == 0, None).otherwise(
+            (F.col("id") % 3).cast("string")
+        ).alias("k"),
+    )
+    salted = with_salted_key(df, "k", "seq", rows_per_task=1000)
+    null_keys = (
+        salted.filter(F.col("k").isNull()).select("_salted_key").distinct().count()
+    )
+    assert null_keys >= 5  # 5000 null rows / 1000 per task
+    overlap = (
+        salted.filter(F.col("k").isNull())
+        .select("_salted_key")
+        .intersect(salted.filter(F.col("k").isNotNull()).select("_salted_key"))
+        .count()
+    )
+    assert overlap == 0
