@@ -211,6 +211,12 @@ def _block_numeric_stats(enc: Encoded, kill: np.ndarray | None = None):
 
     meta = enc.meta
     codec = enc.codec
+    buffers = enc.buffers
+    if codec.endswith("+zstd"):
+        # unwrap like _block_value_counts does — else rle+zstd blocks
+        # silently miss the run-fold fast path and fully decode
+        codec = codec[: -len("+zstd")]
+        meta, buffers = ZstdCodec.unwrap(meta, buffers)
     if (
         codec == "rle"
         and meta.get("kind") == "fixed"
@@ -218,7 +224,6 @@ def _block_numeric_stats(enc: Encoded, kill: np.ndarray | None = None):
     ):
         from pyrle_spark.codecs.bitpack import ForCodec
 
-        buffers = enc.buffers
         runs = ForCodec.decode(meta["runs_meta"], {"packed": buffers["runs"]})
         if meta["vals_mode"] == "for":
             vals = ForCodec.decode(meta["vals_meta"], {"packed": buffers["values"]})

@@ -65,10 +65,14 @@ def dedup_docs_stream(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(source_dir)
     )
+    # NULL text folds to the empty document: md5(NULL) would make a NULL
+    # hash group whose NULL n_chars turns into NaN in pandas and crashes
+    # int() inside the state function
+    text = F.coalesce(F.col("text"), F.lit(""))
     hashed = stream.select(
-        F.md5(F.encode("text", "utf-8")).alias("text_hash"),
+        F.md5(F.encode(text, "utf-8")).alias("text_hash"),
         "doc_id",
-        F.length("text").cast("long").alias("n_chars"),
+        F.length(text).cast("long").alias("n_chars"),
     )
     deduped = hashed.groupBy("text_hash").applyInPandasWithState(
         _update_hash,

@@ -22,11 +22,12 @@ index doubles as a queryable artifact).  The exact-dedup stream
 (dedup_stream.py) keys state by the full content hash, where one group
 IS the decision — there ``applyInPandasWithState`` is the right tool.
 
-Restart safety: the checkpoint replays the last uncommitted batch;
-re-appending its band rows to the index is harmless (the anti-join
-drops survivors' re-runs before re-emitting — dedup of the index itself
-is not required for correctness, only for size; ``compact_index``
-rewrites it when it grows).
+Restart safety: the checkpoint replays the last uncommitted batch; the
+sink commits BEFORE the index, so a crash between the two re-emits the
+same kept docs on replay (the sink dedups by doc_id on read) instead of
+anti-joining the batch's own buckets and losing them.  Dedup of the
+index itself is not required for correctness, only for size;
+``compact_index`` rewrites it when it grows.
 
 Same hash family as the batch operator (md5-prefix int64, (a·x+b) mod p
 mixing, 4 bands × 2 rows — functions/dedup.py:20-22), so a document the
@@ -35,10 +36,9 @@ batch pipeline would pair is exactly one the stream drops.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from pyrle_spark.functions.dedup import BANDS, MINHASH_FNS, MOD, _hash32
 
@@ -50,13 +50,19 @@ def band_rows(df: DataFrame) -> DataFrame:
     the streaming twin of the batch signature pipeline (shingle → 8
     minhashes → 4 bands × 2), one explode, no per-band subtree copies."""
     words = F.split(F.trim(F.col("text")), r"\s+")
+    # a doc with < 5 words has NO shingles: sequence(1, size-4) would
+    # count DOWN to [1, 0] (Spark defaults step to -1 when start > stop)
+    # and slice(ws, 0, 5) throws — emit an empty index array instead
+    idxs = F.when(
+        F.size("ws") >= 5, F.sequence(F.lit(1), F.size("ws") - 4)
+    ).otherwise(F.array().cast("array<int>"))
     sh = (
         df.select("doc_id", words.alias("ws"))
         .select(
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.size("ws") - 4, F.lit(0))),
+                    idxs,
                     lambda i: F.array_join(F.slice(F.col("ws"), i, 5), " "),
                 )
             ).alias("shingle"),
@@ -105,10 +111,10 @@ def _process_batch(index_dir: str, sink_dir: str):
             .distinct()
         )
         survivors = bands.join(in_batch_dropped, "doc_id", "left_anti")
-        # cross-batch: any bucket already in the index kills the doc
-        if os.path.exists(os.path.join(index_dir, "_SUCCESS")) or any(
-            f.endswith(".parquet") for f in _ls(index_dir)
-        ):
+        # cross-batch: any bucket already in the index kills the doc.
+        # Probe by READING, not os.path (the index may live on object
+        # storage the driver's local fs cannot see).
+        try:
             idx = spark.read.parquet(index_dir)
             hit = (
                 survivors.join(idx, ["band", "ba", "bb"], "left_semi")
@@ -116,26 +122,30 @@ def _process_batch(index_dir: str, sink_dir: str):
                 .distinct()
             )
             survivors = survivors.join(hit, "doc_id", "left_anti")
-        kept_ids = survivors.select("doc_id").distinct()
+        except AnalysisException:
+            pass  # first batch: no index yet
+        # docs too short to shingle have no band rows: they collide with
+        # nothing, so they are KEPT (the batch pipeline's dedup_keep_list
+        # keeps them through the exact-hash fallback; exact re-crawl
+        # dedup of such docs is dedup_stream's job)
+        bandless = batch_df.select("doc_id").join(
+            bands.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+        kept_ids = survivors.select("doc_id").unionByName(bandless).distinct()
         kept_docs = batch_df.join(kept_ids, "doc_id", "left_semi").select(
             "doc_id", F.length("text").cast("long").alias("n_chars")
         )
-        # commit order: index first, kept list second — a replayed batch
-        # re-running after an index append but before the sink append
-        # would anti-join its own buckets and emit nothing, losing docs;
-        # re-running after BOTH appends just re-finds its docs already
-        # emitted, and the sink dedups by doc_id on read
-        survivors.write.mode("append").parquet(index_dir)
+        # commit order: kept list FIRST, index second.  Crash between the
+        # two → replay re-computes the same survivors (their buckets are
+        # not yet indexed) and re-appends — the sink dedups by doc_id on
+        # read.  The reverse order loses documents: a replay after an
+        # index append but before the sink append anti-joins the batch's
+        # own just-appended buckets and emits nothing.
         kept_docs.write.mode("append").parquet(sink_dir)
+        survivors.write.mode("append").parquet(index_dir)
+        bands.unpersist()
 
     return inner
-
-
-def _ls(d: str) -> list:
-    try:
-        return os.listdir(d)
-    except FileNotFoundError:
-        return []
 
 
 def neardup_docs_stream(

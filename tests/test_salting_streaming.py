@@ -642,3 +642,73 @@ def test_salting_null_hot_key(spark):
         .count()
     )
     assert overlap == 0
+
+
+def test_neardup_stream_short_docs_kept(spark, tmp_path):
+    """Docs with fewer than 5 words produce no shingles: they must
+    neither crash the band builder (sequence(1,0) counts DOWN in Spark)
+    nor vanish from the sink — they collide with nothing and are kept."""
+    from pyrle_spark.streaming.neardup_stream import neardup_docs_stream
+
+    src = str(tmp_path / "nd_src")
+    ckpt = str(tmp_path / "nd_ckpt")
+    idx = str(tmp_path / "nd_idx")
+    sink = str(tmp_path / "nd_sink")
+    long_text = " ".join(f"w{i}" for i in range(40))
+    spark.createDataFrame(
+        [(1, long_text), (2, "tiny doc"), (3, ""), (4, long_text + " extra" * 0)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src)
+    q = neardup_docs_stream(spark, src, ckpt, idx, sink, max_files_per_trigger=10)
+    q.awaitTermination(120)
+    kept = {r["doc_id"] for r in spark.read.parquet(sink).distinct().collect()}
+    # 4 duplicates 1 (same shingles) and is dropped; short docs kept
+    assert kept == {1, 2, 3}
+
+
+def test_encode_stream_misaligned_batches(spark, tmp_path):
+    """Micro-batch boundaries need not align to blocks: a batch whose
+    rows extend a block the table holds only partially re-encodes the
+    WHOLE block (prior fragment unioned in), so decode returns every row
+    at the right position."""
+    from pyrle_spark.plans.encode_job import EncodeConfig, decode_table
+    from pyrle_spark.streaming.encode_stream import encode_stream
+
+    src = str(tmp_path / "es_src")
+    tbl = str(tmp_path / "es_tbl")
+    ckpt = str(tmp_path / "es_ckpt")
+    # file 1: rows 0-299 (block 0 partial); file 2: rows 300-799
+    spark.range(0, 300).select(
+        F.col("id").alias("doc_seq"), (F.col("id") * 3).alias("v")
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.range(300, 800).select(
+        F.col("id").alias("doc_seq"), (F.col("id") * 3).alias("v")
+    ).coalesce(1).write.mode("append").parquet(src)
+    cfg = EncodeConfig(columns=["v"], block_rows=500)
+    # one file per trigger: the second batch EXTENDS block 0's fragment
+    q = encode_stream(spark, src, tbl, cfg, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(180)
+    got = [r["v"] for r in decode_table(spark, tbl).orderBy("_order").collect()]
+    assert got == [i * 3 for i in range(800)]
+
+
+def test_dedup_stream_null_text(spark, tmp_path):
+    """NULL text folds to the empty document instead of crashing the
+    stateful group function with int(NaN)."""
+    from pyrle_spark.streaming.dedup_stream import dedup_docs_stream
+
+    src = str(tmp_path / "dn_src")
+    ckpt = str(tmp_path / "dn_ckpt")
+    spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, ""), (4, None)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src)
+    q = dedup_docs_stream(
+        spark, src, ckpt, query_name="dn_q", max_files_per_trigger=10
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dn_q").collect()
+    kept = {r["doc_id"] for r in rows}
+    assert 1 in kept
+    # null and "" are the same (empty) document: exactly one keeper
+    assert len(kept & {2, 3, 4}) == 1 and min(kept & {2, 3, 4}) == 2
