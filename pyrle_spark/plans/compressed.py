@@ -71,7 +71,6 @@ def _block_value_counts(enc: Encoded, kill: np.ndarray | None = None):
     an affected block takes the exact decode-and-mask path (affected
     blocks are O(deleted)/block_rows of the table)."""
     from pyrle_spark.codecs import decode_array
-    from pyrle_spark.codecs.dictionary import _decode_codes
 
     if kill is not None and len(kill):
         arr = decode_array(enc)
@@ -83,45 +82,33 @@ def _block_value_counts(enc: Encoded, kill: np.ndarray | None = None):
             arr.null_count,
         )
 
-    meta, buffers = enc.meta, enc.buffers
-    codec = enc.codec
-    if codec.endswith("+zstd"):
-        codec = codec[: -len("+zstd")]
-        meta, buffers = ZstdCodec.unwrap(meta, buffers)
-    valid = None
-    n_nulls = 0
-    if meta.get("has_validity"):
-        valid = np.unpackbits(
-            np.frombuffer(buffers["validity"], dtype=np.uint8), count=enc.n_rows
-        ).astype(bool)
-        n_nulls = int((~valid).sum())
-    kind = meta["kind"]
-    if codec == "dict" and kind == "var":
-        cbuf = {
-            k[len("codes_") :]: v for k, v in buffers.items() if k.startswith("codes_")
-        }
-        codes = _decode_codes(meta["codes_mode"], meta["codes_meta"], cbuf)
+    # dict blocks: counts straight off the code stream — ONE shared
+    # buffer-unpacking path (_dict_codes_and_values) for all of
+    # count_by_value / sum_by_value / distinct_values
+    packed = _dict_codes_and_values(enc)
+    if packed is not None:
+        codes, values, valid = packed
+        n_nulls = int((~valid).sum()) if valid is not None else 0
         if valid is not None:
             codes = codes[valid]
-        counts = np.bincount(codes, minlength=meta["n_dict"])
-        from pyrle_spark.codecs.bitpack import DeltaCodec
-
-        dict_offsets = DeltaCodec.decode(
-            meta["dict_offsets_meta"], {"packed": buffers["dict_offsets"]}
-        )
-        dict_data = buffers["dict_data"]
-        values = [
-            bytes(dict_data[dict_offsets[i] : dict_offsets[i + 1]]).decode(
-                "utf-8", "surrogateescape"
-            )
-            for i in range(meta["n_dict"])
-        ]
+        counts = np.bincount(codes, minlength=len(values))
         keep = counts > 0
         return (
             [v for v, k in zip(values, keep) if k],
             counts[keep],
             n_nulls,
         )
+    meta, buffers = enc.meta, enc.buffers
+    codec = enc.codec
+    if codec.endswith("+zstd"):
+        codec = codec[: -len("+zstd")]
+        meta, buffers = ZstdCodec.unwrap(meta, buffers)
+    valid = None
+    if meta.get("has_validity"):
+        valid = np.unpackbits(
+            np.frombuffer(buffers["validity"], dtype=np.uint8), count=enc.n_rows
+        ).astype(bool)
+    kind = meta["kind"]
     if codec == "rle" and kind == "fixed" and valid is None:
         from pyrle_spark.codecs.rle_codec import RleCodec
         from pyrle_spark.codecs.bitpack import ForCodec
@@ -302,7 +289,6 @@ def numeric_stats(
 def _dict_codes_and_values(enc: Encoded):
     """(codes int array, values list, valid bool array | None) of a
     var-width dict block — the group column never materializes rows."""
-    from pyrle_spark.codecs.bitpack import DeltaCodec
     from pyrle_spark.codecs.dictionary import _decode_codes
 
     meta, buffers = enc.meta, enc.buffers
@@ -316,22 +302,30 @@ def _dict_codes_and_values(enc: Encoded):
         k[len("codes_") :]: v for k, v in buffers.items() if k.startswith("codes_")
     }
     codes = _decode_codes(meta["codes_mode"], meta["codes_meta"], cbuf)
-    dict_offsets = DeltaCodec.decode(
-        meta["dict_offsets_meta"], {"packed": buffers["dict_offsets"]}
-    )
-    dict_data = buffers["dict_data"]
-    values = [
-        bytes(dict_data[dict_offsets[i] : dict_offsets[i + 1]]).decode(
-            "utf-8", "surrogateescape"
-        )
-        for i in range(meta["n_dict"])
-    ]
+    values = _dict_values(meta, buffers)
     valid = None
     if meta.get("has_validity"):
         valid = np.unpackbits(
             np.frombuffer(buffers["validity"], dtype=np.uint8), count=enc.n_rows
         ).astype(bool)
     return codes, values, valid
+
+
+def _dict_values(meta: dict, buffers: dict) -> list:
+    """The dictionary's value list from an (unwrapped) var-width dict
+    block's buffers — the ONE place the offsets/data layout is parsed."""
+    from pyrle_spark.codecs.bitpack import DeltaCodec
+
+    dict_offsets = DeltaCodec.decode(
+        meta["dict_offsets_meta"], {"packed": buffers["dict_offsets"]}
+    )
+    dict_data = buffers["dict_data"]
+    return [
+        bytes(dict_data[dict_offsets[i] : dict_offsets[i + 1]]).decode(
+            "utf-8", "surrogateescape"
+        )
+        for i in range(meta["n_dict"])
+    ]
 
 
 def distinct_values(
@@ -351,7 +345,6 @@ def distinct_values(
     value's last occurrence).  Returns one ``value`` column; a NULL row
     appears iff the column has nulls."""
     from pyrle_spark.codecs import decode_array
-    from pyrle_spark.codecs.bitpack import DeltaCodec
 
     table = IceTable(table_dir)
     column = physical_column(table, column, snapshot_id)
@@ -378,17 +371,7 @@ def distinct_values(
                     and not meta.get("has_validity")
                     and (kill is None or not len(kill))
                 ):
-                    dict_offsets = DeltaCodec.decode(
-                        meta["dict_offsets_meta"],
-                        {"packed": buffers["dict_offsets"]},
-                    )
-                    dict_data = buffers["dict_data"]
-                    out.extend(
-                        bytes(
-                            dict_data[dict_offsets[i] : dict_offsets[i + 1]]
-                        ).decode("utf-8", "surrogateescape")
-                        for i in range(meta["n_dict"])
-                    )
+                    out.extend(_dict_values(meta, buffers))
                 else:
                     arr = decode_array(e)
                     if kill is not None and len(kill):
