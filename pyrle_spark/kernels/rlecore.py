@@ -252,13 +252,13 @@ def binary_op(op: str, r1, v1, r2, v2) -> tuple[np.ndarray, np.ndarray]:
 
     ``op`` in {"add","sub","mul","div"}.  Division picks the zero-aware
     kernel when the (equalized) divisor contains zeros (``pyrle/rle.py:740-743``).
+    Comparisons are NOT handled here — they go through :func:`compare_op`.
     """
-    ext = np.nan if op in ("eq", "ne") else 0.0
-    r1, v1, r2, v2 = equalize(r1, v1, r2, v2, value=ext)
+    r1, v1, r2, v2 = equalize(r1, v1, r2, v2, value=0.0)
     if op == "div":
         kernel = "div_zeroes" if (v2 == 0).any() or np.sum(r2) < np.sum(r1) else "div_nonzeroes"
     else:
-        kernel = {"add": "add", "sub": "sub", "mul": "mul", "eq": "sub", "ne": "sub"}[op]
+        kernel = {"add": "add", "sub": "sub", "mul": "mul"}[op]
     runs, values = merge_binary(kernel, r1, v1, r2, v2)
     return normalize(runs, values)
 
@@ -281,6 +281,12 @@ def compare_op(op: str, r1, v1, r2, v2) -> tuple[np.ndarray, np.ndarray]:
     extend = np.nan if op in ("eq", "ne") else 0.0
     r1, v1, r2, v2 = equalize(r1, v1, r2, v2, value=extend)
     runs, diff = merge_binary("sub", r1, v1, r2, v2)
+    # the reference thresholds the CONSTRUCTED difference Rle
+    # (rle.py:248-276: `self - other` passes through Rle() normalization
+    # before np.where), so near-zero diffs adjacent to exact-zero diffs
+    # merge under the constructor's isclose rule FIRST — skipping this
+    # step yields different 0/1 run splits than the reference
+    runs, diff = normalize(runs, diff)
     with np.errstate(invalid="ignore"):
         vals = np.where(_CMP_FNS[op](diff, 0.0), 1.0, 0.0)
     return defragment(runs, vals)

@@ -40,6 +40,7 @@ Blocked-mode semantics notes:
 
 from __future__ import annotations
 
+import numbers
 from collections.abc import Iterator
 
 import numpy as np
@@ -282,6 +283,11 @@ class RleFrame:
         ``block_positions`` the writer used for a blocked frame (the
         schema's ``block_id`` column is checked for consistency)."""
         df = spark.read.parquet(path)
+        # key cols are hive partition directories; Spark's partition-type
+        # inference turns numeric-looking keys (chromosomes '1'..'22')
+        # into ints, breaking every Arrow stage's declared string schema
+        for c in key_cols:
+            df = df.withColumn(c, F.col(c).cast("string"))
         has_block = "block_id" in df.columns
         if has_block != (block_positions is not None):
             raise ValueError(
@@ -372,7 +378,12 @@ class RleFrame:
                 return
             pdf = tbl.to_pandas().sort_values("block_id")
             keys = tuple(pdf.iloc[0][c] for c in key_cols)
-            cur_r, cur_v = _empty_rle()
+            # accumulate SEGMENTS and concatenate once — growing one
+            # array per block re-copies the accumulation every block,
+            # O(blocks^2) per key
+            segs_r: list = []
+            segs_v: list = []
+            last_val = None
             for r_raw, v_raw in zip(pdf["runs"], pdf["values"]):
                 r = np.asarray(r_raw, dtype=np.int64)
                 v = np.asarray(v_raw, dtype=np.float64)
@@ -380,11 +391,20 @@ class RleFrame:
                 r, v = r[nz], v[nz]
                 if not len(r):
                     continue
-                if len(cur_r) and edge_merges(float(cur_v[-1]), float(v[0])):
-                    cur_r[-1] += r[0]
+                if segs_r and edge_merges(last_val, float(v[0])):
+                    seg = segs_r[-1].copy()  # never mutate Arrow-backed memory
+                    seg[-1] += r[0]
+                    segs_r[-1] = seg
                     r, v = r[1:], v[1:]
-                cur_r = np.concatenate([cur_r, r])
-                cur_v = np.concatenate([cur_v, v])
+                if len(r):
+                    segs_r.append(r)
+                    segs_v.append(v)
+                    last_val = float(v[-1])
+            cur_r, cur_v = (
+                (np.concatenate(segs_r), np.concatenate(segs_v))
+                if segs_r
+                else _empty_rle()
+            )
             out = {c: [v] for c, v in zip(key_cols, keys)}
             out["runs"] = [cur_r]
             out["values"] = [cur_v]
@@ -437,12 +457,16 @@ class RleFrame:
             )
         key_cols = self.key_cols
         is_cmp = op.startswith("cmp_")
+        # only EQUALITY comparisons extend with NaN (rle.py:272); order
+        # comparisons go through __sub__'s zero-extension (rle.py:438,
+        # 17-31) — blocked and unblocked layouts must agree on this
+        is_nan_ext = op in ("cmp_eq", "cmp_ne")
 
         def fill_missing(present_runs, is_tail_extension):
             total = int(np.sum(present_runs))
             if not total:
                 return _empty_rle()
-            fill = float("nan") if (is_cmp and is_tail_extension) else 0.0
+            fill = float("nan") if (is_nan_ext and is_tail_extension) else 0.0
             return np.array([total], dtype=np.int64), np.array([fill])
 
         def merge(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -497,8 +521,30 @@ class RleFrame:
     def __truediv__(self, other):
         return self._apply_or_binary(other, "div")
 
+    def __radd__(self, other):
+        return self._apply_or_binary(other, "add")
+
+    def __rmul__(self, other):
+        return self._apply_or_binary(other, "mul")
+
+    def __rsub__(self, other):
+        # other - self, scalar form (rle.py:588-602)
+        if isinstance(other, numbers.Number):
+            return self.apply_values(lambda v: other - v)
+        return NotImplemented
+
+    def __rtruediv__(self, other):
+        # other / self, scalar form (rle.py:604-618)
+        if isinstance(other, numbers.Number):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return self.apply_values(lambda v: other / v)
+        return NotImplemented
+
     def _apply_or_binary(self, other, op):
-        if isinstance(other, (int, float)):
+        # numbers.Number, not (int, float): np.int64 is NOT an int
+        # subclass and would fall into the frame branch and crash
+        if isinstance(other, numbers.Number):
+            other = float(other)
             fn = {
                 "add": lambda v: v + other,
                 "sub": lambda v: v - other,
@@ -645,6 +691,13 @@ class RleFrame:
     def __eq__(self, other):  # noqa: D105
         if isinstance(other, RleFrame):
             return self.compare(other, "eq")
+        return NotImplemented
+
+    def __ne__(self, other):  # noqa: D105
+        # without this, Python derives `not (a == b)` = `not <RleFrame>`
+        # = False — a silently-wrong constant instead of a 'ne' frame
+        if isinstance(other, RleFrame):
+            return self.compare(other, "ne")
         return NotImplemented
 
     __hash__ = None

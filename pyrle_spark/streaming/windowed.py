@@ -17,11 +17,6 @@ from pyspark.sql import functions as F
 
 __all__ = ["windowed_event_counts"]
 
-OUTPUT_SCHEMA = (
-    "window_start timestamp, window_end timestamp, event_type string, "
-    "n_events long, sum_value double"
-)
-
 
 def windowed_event_counts(
     spark,

@@ -325,3 +325,23 @@ def test_rledict_interval_dataframe_subset():
     )
     assert rds[qs]["Strand"].iloc[0] == "+"
     assert rd[pd.DataFrame(columns=["Chromosome", "Start", "End"])].empty
+
+
+def test_compare_thresholds_normalized_difference():
+    """The reference's __eq__ thresholds the CONSTRUCTED difference Rle
+    (rle.py:248-276): Rle(diff) normalization merges near-zero runs into
+    their exact-zero neighbors (the isclose/1e-5 rule) BEFORE np.where.
+    compare_op must do the same, or adjacent -1e-9 / 0.0 diffs split
+    into different 0/1 runs than the reference."""
+    import numpy as np
+
+    from pyrle_spark.kernels import rlecore as k
+
+    r1, v1 = np.array([1, 1]), np.array([5.0, 1000.0])
+    r2, v2 = np.array([1, 1]), np.array([5.000000001, 1000.0])
+    runs, vals = k.compare_op("eq", r1, v1, r2, v2)
+    # diff = [-1e-9, 0.0] merges under the constructor rule into one run
+    # valued -1e-9 (first value wins, coverage.pyx:127-129), so the
+    # whole range thresholds as NOT-equal — without the normalize the
+    # second position would incorrectly report equal ([1,1]/[0,1])
+    assert list(runs) == [2] and list(vals) == [0.0]

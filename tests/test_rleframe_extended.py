@@ -67,3 +67,50 @@ def test_make_strands_same_length(spark):
     rf = RleFrame.from_rledict(spark, rd)
     out = rf.make_strands_same_length().to_rledict()
     assert out == rd.make_strands_same_length()
+
+
+def test_blocked_order_comparison_zero_extension(spark):
+    """Order comparisons extend the shorter side with 0 (through
+    __sub__'s equalize, rle.py:438/17-31) in BOTH layouts; only eq/ne
+    use NaN.  A blocked tail block must not flip the answer."""
+    rd_long = RleDict({"chr1": Rle([20], [-5.0])})
+    rd_short = RleDict({"chr1": Rle([10], [-5.0])})
+    expect = (rd_long["chr1"] < rd_short["chr1"])  # tail: -5 < 0 → 1.0
+    fa = RleFrame.from_rledict(spark, rd_long)
+    fb = RleFrame.from_rledict(spark, rd_short)
+    assert fa.compare(fb, "lt").to_rledict()["chr1"] == expect
+    fa_b = fa.rechunk(8)
+    fb_b = fb.rechunk(8)
+    got_b = fa_b.compare(fb_b, "lt").unchunk().to_rledict()["chr1"]
+    assert got_b == expect
+    # eq still NaN-extends in both layouts
+    exp_eq = rd_long["chr1"] == rd_short["chr1"]
+    assert (fa_b == fb_b).unchunk().to_rledict()["chr1"] == exp_eq
+
+
+def test_ne_numpy_scalars_and_reflected_ops(spark, rf_pair):
+    rd1, rd2, rf1, rf2 = rf_pair
+    # __ne__ must be a comparison frame, not Python's derived bool
+    got = (rf1 != rf2).to_rledict()
+    assert isinstance(got, RleDict)
+    assert got["chr1"] == (rd1["chr1"] != rd2["chr1"])
+    # numpy scalars route to the scalar fast path
+    assert (rf1 * np.int64(3)).to_rledict() == rd1 * 3
+    # reflected scalar operands
+    assert (2 + rf1).to_rledict() == rd1 + 2
+    assert (3 * rf1).to_rledict() == rd1 * 3
+    r = (10.0 - rf1).to_rledict()["chr1"]
+    assert r == Rle([3, 2, 4], [9.0, 5.0, 8.0])
+
+
+def test_read_parquet_numeric_key_stays_string(spark, tmp_path):
+    """Hive partition-type inference must not turn chromosome '1' into
+    an int: every Arrow stage declares the key as string."""
+    rd = RleDict({"1": Rle([4], [2.0]), "22": Rle([3], [7.0])})
+    rf = RleFrame.from_rledict(spark, rd)
+    p = str(tmp_path / "numkeys")
+    rf.write_parquet(p)
+    back = RleFrame.read_parquet(spark, p)
+    assert back.to_rledict() == rd
+    # a binary op against a fresh string-keyed frame must align keys
+    assert (back + rf).to_rledict() == rd + rd
