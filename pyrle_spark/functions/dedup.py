@@ -1,8 +1,9 @@
 """Deduplication operators over the documents table.
 
 - exact:          hash-groupBy on full text (md5)
-- n-gram Jaccard: word-5-gram shingles, candidate pairs restricted to the
-                  same lang, exact |∩|/|∪| via a shared-shingle join
+- n-gram Jaccard: word-5-gram shingles, exact |∩|/|∪| over MinHash-LSH
+                  candidate pairs (language-agnostic: near-dups across
+                  langs are found, not excluded)
 - MinHash + LSH:  8 hash functions over shingle codes, 4 bands of 2 →
                   band-bucket join produces candidate pairs
 - SimHash:        16-bit fingerprint from shingle-hash bit votes
@@ -61,17 +62,29 @@ FROM documents GROUP BY md5(text)
 # ------------------------------------------------------------------ shingles
 
 
+def _gram_idx(ws, n: int):
+    """1-based start indexes of the n-grams of word array ``ws`` — EMPTY
+    for docs shorter than n words.  Spark's ``sequence(1, 0)`` counts
+    DOWN to ``[1, 0]`` (step defaults to -1 when start > stop), so the
+    naive ``sequence(1, greatest(size-n+1, 0))`` guard still emits index
+    0 and ``slice(ws, 0, n)`` throws at runtime; DuckDB's
+    ``generate_series(1, 0)`` is empty, which is the intended
+    semantics."""
+    return F.when(
+        F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+
+
 def _shingles(spark, sf_dir) -> DataFrame:
-    """Distinct word-5-gram shingles per doc: (doc_id, lang, shingle)."""
+    """Distinct word-5-gram shingles per doc: (doc_id, shingle)."""
     docs = _docs(spark, sf_dir)
     words = F.split(F.trim(F.col("text")), r"\s+")
-    d = docs.select("doc_id", "lang", words.alias("ws"))
+    d = docs.select("doc_id", words.alias("ws"))
     d = d.select(
         "doc_id",
-        "lang",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("ws") - 4, F.lit(0))),
+                _gram_idx(F.col("ws"), 5),
                 lambda i: F.array_join(F.slice(F.col("ws"), i, 5), " "),
             )
         ).alias("shingle"),
@@ -80,9 +93,9 @@ def _shingles(spark, sf_dir) -> DataFrame:
 
 
 _SHINGLES_SQL = r"""
-  SELECT DISTINCT doc_id, lang,
+  SELECT DISTINCT doc_id,
          array_to_string(ws[i:i+4], ' ') AS shingle
-  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ws
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
         FROM documents),
        unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS t(i)
 """
@@ -585,7 +598,7 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(ws) - 3, F.lit(0))),
+                _gram_idx(ws, 4),
                 lambda i: F.array_join(F.slice(ws, i, 4), " "),
             )
         ).alias("span"),

@@ -36,18 +36,9 @@ HASH_SPACE = float(1 << 32)  # md5-prefix hashes are uniform in [0, 2^32)
 __all__ = ["distinct_kmv", "sample_hash_priority", "QUERIES", "ORACLE_SQL"]
 
 
-def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
-
-
-def _hash32(col):
-    return F.conv(F.substring(F.md5(F.encode(col, "utf-8")), 1, 8), 16, 10).cast(
-        "long"
-    )
-
-
-def _hash32_sql(expr: str) -> str:
-    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+# the cross-engine hash primitive is SHARED with the dedup/LSH pipeline
+# (one definition — a prefix-width or encoding fix cannot drift)
+from pyrle_spark.functions.dedup import _docs, _hash32, _hash32_sql  # noqa: E402
 
 
 def distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -183,7 +183,10 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     mod 2^31.  Weights are small (≤2^20) and texts short enough that the
     int64 accumulator is exact in both engines."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    pos = docs.select(
+    # guard empty text: Spark's sequence(1, 0) descends to [1, 0] and
+    # would emit a fingerprint-0 row the oracle (empty generate_series)
+    # never produces — both engines must simply omit empty docs
+    pos = docs.filter(F.length("text") >= 1).select(
         "doc_id",
         F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
         F.col("text"),
@@ -217,11 +220,13 @@ def _word_spans(spark, sf_dir, n: int) -> DataFrame:
     counts need every instance)."""
     docs = _docs(spark, sf_dir)
     ws = _words(F.col("text"))
+    from pyrle_spark.functions.dedup import _gram_idx
+
     return docs.select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0))),
+                _gram_idx(ws, n),
                 lambda i: F.array_join(F.slice(ws, i, n), " "),
             )
         ).alias("span"),
@@ -375,11 +380,13 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("count").alias("top_word_n"))
     )
+    from pyrle_spark.functions.dedup import _gram_idx
+
     bigrams = base.select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("ws") - 1, F.lit(0))),
+                _gram_idx(F.col("ws"), 2),
                 lambda i: F.array_join(F.slice("ws", i, 2), " "),
             )
         ).alias("g"),

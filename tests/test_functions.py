@@ -261,3 +261,43 @@ def test_pii_redaction_scrubs_everything(spark):
     assert with_email.filter(~F.col("redacted").contains("<EMAIL>")).count() == 0
     assert out.filter(F.col("redacted").rlike("@mail[.]example[.]com")).count() == 0
     out.unpersist()
+
+
+def test_ngram_ops_survive_short_docs(spark, tmp_path):
+    """Docs with fewer words than the n-gram width produce NO grams
+    instead of crashing: Spark's sequence(1, 0) counts DOWN to [1, 0]
+    (step defaults to -1) so the old greatest(size-n, 0) guard still fed
+    index 0 into slice(), which throws.  Every shingle/span/bigram
+    operator must match the DuckDB oracle's empty generate_series."""
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path / "shortdocs")
+    spark.createDataFrame(
+        [
+            (0, "one two", "en", "web", 7),
+            (1, "", "en", "web", 0),
+            (2, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 wa", "de", "web", 30),
+            (3, "single", "fr", "web", 6),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    from pyrle_spark.functions.dedup import (
+        _shingles,
+        contamination_overlap,
+        ngram_jaccard_pairs,
+    )
+    from pyrle_spark.functions.text import (
+        boilerplate_spans,
+        doc_fingerprint,
+        repetition_filter,
+    )
+
+    sh = _shingles(spark, d)
+    assert {r["doc_id"] for r in sh.select("doc_id").distinct().collect()} == {2}
+    # empty doc is OMITTED from the fingerprint (oracle's empty series)
+    fp = {r["doc_id"] for r in doc_fingerprint(spark, d).collect()}
+    assert fp == {0, 2, 3}
+    assert boilerplate_spans(spark, d).count() == 0
+    assert repetition_filter(spark, d).count() >= 1
+    assert ngram_jaccard_pairs(spark, d).count() == 0
+    assert contamination_overlap(spark, d).count() == 0
