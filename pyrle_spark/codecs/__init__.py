@@ -258,7 +258,9 @@ def encode_payload_auto(
     return enc
 
 
-def encode_array(arr: pa.Array, zstd_threshold: float = 0.9) -> Encoded:
-    """Auto-encode an arrow array (payload extracted once, zero-copy)."""
+def encode_array(arr: pa.Array) -> Encoded:
+    """Auto-encode an arrow array (payload extracted once, zero-copy).
+    zstd wrapping is decided by the auto-selector's trials, not a
+    caller knob."""
     kind, payload, validity = arrow_to_payload(arr)
     return encode_payload_auto(kind, payload, validity, type_to_str(arr.type), len(arr))

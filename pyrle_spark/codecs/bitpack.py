@@ -78,16 +78,28 @@ class ForCodec:
     def encode(payload: np.ndarray):
         n = len(payload)
         mn = int(payload.min()) if n else 0
-        deltas = (payload.astype(np.int64) - mn).astype(np.uint64)
+        # mod-2^64 arithmetic: a uint64 column whose min exceeds int64
+        # max would overflow the old int64 path and corrupt silently;
+        # wrap-exact uint64 subtraction gives the true delta for every
+        # signed AND unsigned dtype (0 <= max-min < 2^64 always)
+        mn_u = np.uint64(mn & ((1 << 64) - 1))
+        if payload.dtype.kind == "u":
+            p64 = payload.astype(np.uint64)
+        else:
+            p64 = payload.astype(np.int64).view(np.uint64)
+        deltas = p64 - mn_u
         width = _width_of(int(deltas.max())) if n else 0
         meta = {"n": n, "width": width, "min": mn, "dtype": payload.dtype.str}
         return meta, {"packed": pack_ints(deltas, width)}
 
     @staticmethod
     def decode(meta: dict, buffers: dict) -> np.ndarray:
+        target = np.dtype(meta["dtype"])
         deltas = unpack_ints(buffers["packed"], meta["n"], meta["width"])
-        out = deltas.astype(np.int64) + meta["min"]
-        return out.astype(np.dtype(meta["dtype"]))
+        out = deltas.astype(np.uint64) + np.uint64(meta["min"] & ((1 << 64) - 1))
+        if target.kind == "i":
+            out = out.view(np.int64)  # reinterpret mod-2^64 back to signed
+        return out.astype(target)
 
 
 def _zigzag(x: np.ndarray) -> np.ndarray:

@@ -133,7 +133,14 @@ def choose_fixed(stats: dict, dtype_kind: str) -> str:
 
 
 def choose_var(stats: dict) -> str:
-    """Rule table for string/binary columns."""
+    """Closed-form rule table for string/binary columns.
+
+    NOTE: the production var-width path in ``encode_payload_auto``
+    supersedes this with TRIAL selection (dict when the distinct ratio
+    is low, else the smallest of fsst / raw+zstd measured on a sample) —
+    this function remains only as the documented closed-form fallback
+    for callers that cannot afford the trial, and is intentionally NOT
+    consulted by the auto encoder."""
     n = stats["n"]
     if n == 0:
         return "raw"

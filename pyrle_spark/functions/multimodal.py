@@ -8,9 +8,11 @@ and tested: binary column in, schema-stable feature rows out, vectorized
 batch processing, no per-row Python objects beyond the batch boundary.
 
 ``byte_histogram`` is the oracle-checked operator: the Pandas-UDF path
-(text → utf-8 bytes → numpy bincount) must agree with a pure-relational
-duckdb twin (explode positions + ascii()%16) — proving the binary batch
-plumbing computes the same thing the SQL algebra does.
+(payload → decoded codepoints → numpy bincount) must agree with a
+pure-relational duckdb twin (explode positions + ascii()%16) — proving
+the binary batch plumbing computes the same thing the SQL algebra does.
+(Codepoints, not raw utf-8 bytes: a multibyte char contributes ONE
+histogram entry in the SQL form, so the UDF must count the same units.)
 """
 
 from __future__ import annotations
@@ -41,6 +43,15 @@ def fake_image_features(payload: bytes, n_bins: int = N_BINS) -> np.ndarray:
     return np.bincount(arr % n_bins, minlength=n_bins).astype(np.int64)
 
 
+def _codepoint_hist(payload: bytes, n_bins: int = N_BINS) -> np.ndarray:
+    """Histogram of (codepoint % n_bins) over the utf-8 payload —
+    vectorized via a utf-32 reinterpretation, no per-char Python."""
+    cps = np.frombuffer(
+        payload.decode("utf-8").encode("utf-32-le"), dtype=np.uint32
+    )
+    return np.bincount(cps % n_bins, minlength=n_bins).astype(np.int64)
+
+
 def byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 16-bin histogram of (codepoint % 16) over the text
     payload treated as an opaque binary column — computed in a Pandas UDF
@@ -55,7 +66,7 @@ def byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             bins = []
             counts = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                hist = fake_image_features(bytes(payload))
+                hist = _codepoint_hist(bytes(payload))
                 nz = np.nonzero(hist)[0]
                 ids.extend([doc_id] * len(nz))
                 bins.extend(nz.tolist())
@@ -98,8 +109,12 @@ def resize_images(
     plumbing — Arrow batches, schema, vectorized loop per batch — is the
     production shape."""
     other = [c for c in df.columns if c != payload_col]
+    # preserve each passthrough column's REAL type (url strings, binary
+    # sidecars) — hardcoding long breaks Arrow conversion at runtime
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     out_schema = ", ".join(
-        [f"{c} long" for c in other] + ["resized binary, height int, width int"]
+        [f"{c} {types[c]}" for c in other]
+        + ["resized binary, height int, width int"]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -128,8 +143,9 @@ def frame_sample(
     The container parse is the deterministic stand-in; a real demuxer
     slots into the same loop."""
     other = [c for c in df.columns if c != payload_col]
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     out_schema = ", ".join(
-        [f"{c} long" for c in other] + ["frame_idx int, frame binary"]
+        [f"{c} {types[c]}" for c in other] + ["frame_idx int, frame binary"]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -161,7 +177,11 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.octet_length("payload").alias("n_bytes"),
-        F.ascii(F.decode(F.substring("payload", 1, 1), "utf-8")).alias("magic_byte"),
+        # decode FIRST, then take the first character: substring on the
+        # raw bytes would split a multibyte lead byte into U+FFFD
+        F.ascii(F.substring(F.decode("payload", "utf-8"), 1, 1)).alias(
+            "magic_byte"
+        ),
     )
 
 

@@ -219,7 +219,10 @@ class Rle:
             return float(k.getlocs(self.runs, self.values, np.array([val]))[0])
         if isinstance(val, slice):
             start = val.start or 0
-            stop = val.stop if val.stop is not None else self.length
+            # reference quirk kept verbatim (rle.py:283-284: `end =
+            # val.stop or length`): stop=0 is FALSY, so r[0:0] returns
+            # the FULL vector, not an empty Rle
+            stop = val.stop or self.length
             runs, values = k.getitem_slice(self.runs, self.values, start, stop)
             return Rle(runs, values)
         if isinstance(val, pd.DataFrame):

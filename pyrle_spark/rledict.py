@@ -30,13 +30,16 @@ _NAT_SPLIT = re.compile(r"(\d+)")
 
 def natsort_key(key):
     """Natural-sort key (reference uses `natsorted` throughout,
-    e.g. rledict.py:153,336): 'chr2' < 'chr10'."""
+    e.g. rledict.py:153,336): 'chr2' < 'chr10'.  Tokens are tagged
+    (0, int) / (1, str) so mixed numeric/alphabetic key sets — Ensembl
+    '1', '2', 'X', 'MT' — compare like natsorted's (numbers first)
+    instead of raising int-vs-str TypeError."""
     parts = key if isinstance(key, tuple) else (key,)
     out = []
     for p in parts:
         out.append(
             tuple(
-                int(tok) if tok.isdigit() else tok
+                (0, int(tok), "") if tok.isdigit() else (1, 0, tok)
                 for tok in _NAT_SPLIT.split(str(p))
                 if tok != ""
             )

@@ -249,3 +249,25 @@ def test_nullable_zstd_roundtrip_regression():
     e = encode_with("raw", a, zstd=True)
     assert e.codec == "raw+zstd" and e.meta.get("has_validity")
     assert decode_array(e).equals(a)
+
+
+def test_for_codec_uint64_full_range():
+    """Frame-of-reference must be wrap-exact: a uint64 column whose min
+    exceeds int64 max corrupted silently under int64 delta arithmetic."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyrle_spark.codecs import decode_array, encode_with
+    from pyrle_spark.codecs.bitpack import ForCodec
+
+    vals = (2**63 + np.arange(100, dtype=np.uint64)) * np.uint64(1)
+    m, b = ForCodec.encode(vals)
+    assert (ForCodec.decode(m, b) == vals).all()
+    for dt in (np.int64, np.uint64, np.int32, np.uint32):
+        info = np.iinfo(dt)
+        a = np.array([info.min, info.max, info.min, info.max], dtype=dt)
+        m2, b2 = ForCodec.encode(a)
+        back = ForCodec.decode(m2, b2)
+        assert (back == a).all() and back.dtype == a.dtype
+    arr = pa.array(vals.tolist(), type=pa.uint64())
+    assert decode_array(encode_with("for", arr)).equals(arr)

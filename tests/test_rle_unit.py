@@ -345,3 +345,26 @@ def test_compare_thresholds_normalized_difference():
     # whole range thresholds as NOT-equal — without the normalize the
     # second position would incorrectly report equal ([1,1]/[0,1])
     assert list(runs) == [2] and list(vals) == [0.0]
+
+
+def test_natsort_mixed_numeric_alpha_keys():
+    """Ensembl-style key sets mix bare numbers and letters ('1','X','MT'):
+    natsort must order them like natsorted (numbers first) instead of
+    raising int-vs-str TypeError."""
+    from pyrle_spark.rledict import RleDict, natsort_key
+
+    assert sorted(["1", "X", "2", "MT", "10"], key=natsort_key) == [
+        "1", "2", "10", "MT", "X",
+    ]
+    rd = RleDict({"X": Rle([2], [1.0]), "1": Rle([2], [2.0])})
+    rd2 = RleDict({"2": Rle([2], [3.0])})
+    out = rd + rd2  # crashes without the tagged-token key
+    assert set(out.keys()) == {"1", "2", "X"}
+
+
+def test_slice_stop_zero_reference_quirk():
+    """Reference rle.py:283-284: `end = val.stop or length` — stop=0 is
+    falsy, so r[0:0] returns the FULL vector, not an empty Rle."""
+    r = Rle([2, 3], [1.0, 2.0])
+    assert r[0:0] == r
+    assert r[1:0] == r[1:]
