@@ -75,11 +75,18 @@ for rep in range(3):
 s = summaries[0]
 print("REP_WALLS %d %s" % (cpus, walls), flush=True)
 wall = min(walls)
-blocks = (IceTable(out).read_table(spark)
-          .select("block_id","column","crc32","bytes_out","n_rows")
-          .orderBy("block_id","column").collect())
-sig = [tuple(r) for r in blocks]
+# signature EVERY rep's output, not just rep 0 — "identical blocks"
+# must hold for the runs whose wall times are actually reported
 import hashlib
+def _sig_of(d):
+    blocks = (IceTable(d).read_table(spark)
+              .select("block_id","column","crc32","bytes_out","n_rows")
+              .orderBy("block_id","column").collect())
+    return [tuple(r) for r in blocks]
+sigs = [_sig_of(out if rep == 0 else out + "_r%d" % (rep + 1))
+        for rep in range(len(walls))]
+assert all(x == sigs[0] for x in sigs[1:]), "reps produced DIFFERENT blocks"
+sig = sigs[0]
 sig_hash = hashlib.md5(json.dumps(sig, default=str).encode()).hexdigest()
 print("WORKER_RESULT " + json.dumps({
     "cpus": cpus, "wall_s": round(wall,3),
@@ -114,6 +121,7 @@ def main() -> None:
     # observed to read 0.6-0.9 efficiency for the same code purely on
     # host CPU-steal weather
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    os.makedirs(SCRATCH, exist_ok=True)  # before the gen subprocess writes
     # materialize the shared input once (deterministic generator)
     gen = subprocess.run(
         [
@@ -137,7 +145,6 @@ generate_webtext(spark, {n_rows}, block_rows=32768).write.mode("overwrite").parq
     src = os.path.join(SCRATCH, "scaling_src")
 
     import shutil
-    os.makedirs(SCRATCH, exist_ok=True)
 
     results = {}
     # The sandbox host shows multi-minute CPU-steal bursts that can slow a

@@ -25,12 +25,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
-    try:  # training-data pipeline ops (functions/) register here as they land
-        from pyrle_spark.functions import registry as fn_registry
+    # unconditional: a broken import inside functions/ must FAIL the
+    # contract loudly, not silently shrink the query registry to the
+    # relational subset (bench.py imports it unconditionally too)
+    from pyrle_spark.functions import registry as fn_registry
 
-        out.update(fn_registry.QUERIES)
-    except ImportError:
-        pass
+    out.update(fn_registry.QUERIES)
     return out
 
 
@@ -38,10 +38,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per queries() key (omitted keys → rows-only check)."""
     out: dict[str, str] = {}
     out.update(relational.ORACLE_SQL)
-    try:
-        from pyrle_spark.functions import registry as fn_registry
+    from pyrle_spark.functions import registry as fn_registry
 
-        out.update(fn_registry.ORACLE_SQL)
-    except ImportError:
-        pass
+    out.update(fn_registry.ORACLE_SQL)
     return out

@@ -97,14 +97,16 @@ def main() -> None:
     # this session is reused by the first loop iteration → same config
     # (shuffle partitions pinned to slots) as the sessions the loop builds
     spark = get_spark("bench_encode", cpus=enc_slots, shuffle_partitions=enc_slots)
-    # The timed encode runs the SAME configuration as BASELINE.md's
-    # measured ceiling (4M rows ≈ 3.4 GB) regardless of sf, so
-    # encode_gb_per_s in BENCH_r*.json is directly comparable to the
-    # baseline number: at sf-sized inputs (600k rows at sf0.1) per-job
-    # fixed costs (job scheduling, Arrow worker round trips) dominate
-    # and the figure under-reports the machine by >2×.  Relational
-    # queries still run at the sf directory.  Override for quick local
-    # iteration with SPARK_GRAFT_ENCODE_ROWS.
+    # The timed encode runs AT LEAST BASELINE.md's measured-ceiling
+    # configuration (4M rows ≈ 3.4 GB) for any sf ≥ 0.1 — 6M·sf rows
+    # when that is larger — so encode_gb_per_s in BENCH_r*.json is
+    # comparable to the baseline number: at sf-sized inputs (600k rows
+    # at sf0.1) per-job fixed costs (job scheduling, Arrow worker round
+    # trips) dominate and the figure under-reports the machine by >2×.
+    # Relational queries still run at the sf directory.  Override for
+    # quick local iteration with SPARK_GRAFT_ENCODE_ROWS.  The scan
+    # split confs set below deliberately stay for the verify pass in the
+    # same (short-lived, stopped right after) session.
     n_rows = int(os.environ.get("SPARK_GRAFT_ENCODE_ROWS", "0")) or max(
         int(6_000_000 * sf), 20_000, 4_000_000 if sf >= 0.1 else 0
     )

@@ -35,6 +35,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("int64")
         elif str(df[c].dtype).startswith("bool"):
             df[c] = df[c].astype(bool)
+        elif str(df[c].dtype).startswith("datetime64"):
+            # Spark toPandas gives ns, duckdb gives us — same instants
+            # must not fail the dtype-strict equals
+            df[c] = df[c].astype("datetime64[ns]")
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -53,7 +57,9 @@ def compare(got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
                 gv.astype(float), ev.astype(float), rtol=1e-9, atol=1e-12, equal_nan=True
             )
             exact = np.array_equal(
-                gv.astype(float).to_numpy(), ev.astype(float).to_numpy()
+                gv.astype(float).to_numpy(),
+                ev.astype(float).to_numpy(),
+                equal_nan=True,  # NaN == NaN here, or every NaN column warns
             )
             if not ok:
                 problems.append(f"column {c}: values differ beyond tolerance")
@@ -80,6 +86,12 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        # a typo'd name must not silently skip everything and exit 0
+        print(f"unknown query name(s): {sorted(unknown)}")
+        print(f"valid names: {sorted(queries)}")
+        return 2
     failures = 0
     for name, fn in queries.items():
         if only and name not in only:
