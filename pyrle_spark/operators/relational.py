@@ -1037,6 +1037,21 @@ FROM documents WHERE n_chars >= 440 GROUP BY lang
 """
 
 
+def _fixture_ordered(docs: DataFrame, cols: list, key_cols: tuple = ()) -> DataFrame:
+    """Encode-fixture input with a dense ``_seq`` order column, built
+    WITHOUT a partitionless window: ``assign_row_order`` ranks by
+    ``(key_cols…, doc_id)`` through bounded per-(key, sub-range) windows
+    with driver-cumulated group counts — the same primitive the
+    production rewrite path uses (``plans/encode_job.assign_row_order``)
+    — so the correctness gate itself stays scale-shaped at any sf (the
+    r02 audit flagged the previous global ``row_number()`` fixtures as
+    the one place the gate would serialize at a bigger factor)."""
+    from pyrle_spark.plans.encode_job import assign_row_order
+
+    ranked = assign_row_order(docs, list(key_cols), tiebreak="doc_id", out_col="_seq")
+    return ranked.select("_seq", *cols)
+
+
 def bloom_prune_eq_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-digest equality pruning end-to-end through the REAL encoded
     pipeline: encode documents (lang-sorted order → single-lang blocks),
@@ -1052,10 +1067,9 @@ def bloom_prune_eq_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zone maps can't prune this predicate (every value sits inside the
     block's [zmin, zmax] string range); the bloom digest can.
 
-    The global row_number here only shapes the tiny test input into a
-    lang-sorted order column; a real pipeline already has one (the
-    webtext generator's ``doc_seq``), so no global window exists in the
-    production encode path."""
+    The fixture's order column comes from ``_fixture_ordered`` (bounded
+    two-pass rank, no partitionless window); a real pipeline already has
+    one (the webtext generator's ``doc_seq``)."""
     import tempfile
 
     from pyrle_spark.plans.encode_job import (
@@ -1067,12 +1081,7 @@ def bloom_prune_eq_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyrle_spark.sources.icetable import IceTable
 
     docs = load(spark, sf_dir, "documents")
-    ordered = docs.select(
-        (F.row_number().over(W.orderBy("lang", "doc_id")) - 1).alias("_seq"),
-        "lang",
-        "source",
-        "n_chars",
-    )
+    ordered = _fixture_ordered(docs, ["lang", "source", "n_chars"], key_cols=("lang",))
     out_dir = tempfile.mkdtemp(prefix="bloom_prune_eq_")
     encode_table(
         spark,
@@ -1125,12 +1134,7 @@ def mor_delete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    ordered = docs.select(
-        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("_seq"),
-        "doc_id",
-        "lang",
-        "n_chars",
-    )
+    ordered = _fixture_ordered(docs, ["doc_id", "lang", "n_chars"])
     out_dir = tempfile.mkdtemp(prefix="mor_delete_")
     encode_table(
         spark,
@@ -1172,11 +1176,7 @@ def mor_compressed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyrle_spark.plans.encode_job import EncodeConfig, delete_rows, encode_table
 
     docs = load(spark, sf_dir, "documents")
-    ordered = docs.select(
-        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("_seq"),
-        "doc_id",
-        "lang",
-    )
+    ordered = _fixture_ordered(docs, ["doc_id", "lang"])
     out_dir = tempfile.mkdtemp(prefix="mor_ccount_")
     encode_table(
         spark,
@@ -1209,17 +1209,15 @@ def compressed_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the distributed generalization of the reference's run-level
     statistics (pyrle computes sum/mean over (runs, values) without
-    expanding positions, rle.py:931-959).  The global row_number only
-    shapes the tiny test input's order column, as in bloom_prune_eq_agg."""
+    expanding positions, rle.py:931-959).  The fixture order column
+    comes from ``_fixture_ordered`` (bounded rank, no global window)."""
     import tempfile
 
     from pyrle_spark.plans.compressed import count_by_value
     from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
 
     docs = load(spark, sf_dir, "documents")
-    ordered = docs.select(
-        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("_seq"), "lang"
-    )
+    ordered = _fixture_ordered(docs, ["lang"])
     out_dir = tempfile.mkdtemp(prefix="compressed_count_")
     encode_table(
         spark,
@@ -1249,9 +1247,7 @@ def compressed_stats_n_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
 
     docs = load(spark, sf_dir, "documents")
-    ordered = docs.select(
-        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("_seq"), "n_chars"
-    )
+    ordered = _fixture_ordered(docs, ["n_chars"])
     out_dir = tempfile.mkdtemp(prefix="compressed_stats_")
     encode_table(
         spark,
@@ -1283,11 +1279,7 @@ def compressed_sum_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
 
     docs = load(spark, sf_dir, "documents")
-    ordered = docs.select(
-        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("_seq"),
-        "lang",
-        "n_chars",
-    )
+    ordered = _fixture_ordered(docs, ["lang", "n_chars"])
     out_dir = tempfile.mkdtemp(prefix="compressed_sum_")
     encode_table(
         spark,
@@ -1332,11 +1324,7 @@ def compressed_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
 
     docs = load(spark, sf_dir, "documents")
-    ordered = docs.select(
-        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("_seq"),
-        "lang",
-        "n_chars",
-    )
+    ordered = _fixture_ordered(docs, ["lang", "n_chars"])
     out_dir = tempfile.mkdtemp(prefix="compressed_join_")
     encode_table(
         spark,
@@ -1723,8 +1711,8 @@ def layout_rewrite_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: rank via bounded per-(key, sub-range) windows with
     driver-cumulated group counts (no global window in the rewrite
     path); encode/decode are the streaming mapInArrow passes.  The one
-    global row_number below only shapes the tiny test input's order
-    column, as in bloom_prune_eq_agg."""
+    fixture order column comes from ``_fixture_ordered`` (bounded rank,
+    no global window)."""
     import tempfile
 
     from pyrle_spark.plans.encode_job import (
@@ -1736,12 +1724,7 @@ def layout_rewrite_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyrle_spark.sources.icetable import IceTable
 
     docs = load(spark, sf_dir, "documents")
-    ordered = docs.select(
-        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("_seq"),
-        "lang",
-        "source",
-        "n_chars",
-    )
+    ordered = _fixture_ordered(docs, ["lang", "source", "n_chars"])
     src_dir = tempfile.mkdtemp(prefix="layout_src_")
     out_dir = tempfile.mkdtemp(prefix="layout_sorted_")
     encode_table(
@@ -1797,8 +1780,8 @@ def incremental_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the incremental planner diffs two manifests (metadata,
     driver-side, O(#files)) and scans only the added paths; the decode
-    cost is O(new data).  The global row_number only shapes the tiny
-    test input's order column, as in bloom_prune_eq_agg."""
+    cost is O(new data).  The fixture order column comes from
+    ``_fixture_ordered`` (bounded rank, no global window)."""
     import tempfile
 
     from pyrle_spark.plans.encode_job import (
@@ -1808,11 +1791,7 @@ def incremental_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    ordered = docs.select(
-        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("_seq"),
-        "lang",
-        "n_chars",
-    ).cache()
+    ordered = _fixture_ordered(docs, ["lang", "n_chars"]).cache()
     n = ordered.count()
     half = (n // 100) * 50 or n
     out_dir = tempfile.mkdtemp(prefix="inc_scan_")
@@ -1855,8 +1834,8 @@ def time_travel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: time travel is manifest selection (driver metadata);
     the delete applies as a broadcast anti-join of the tiny position
-    set.  The global row_number only shapes the tiny test input's order
-    column, as in bloom_prune_eq_agg."""
+    set.  The fixture order column comes from ``_fixture_ordered``
+    (bounded rank, no global window)."""
     import tempfile
 
     from pyrle_spark.plans.encode_job import (
@@ -1867,11 +1846,7 @@ def time_travel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    ordered = docs.select(
-        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("_seq"),
-        "lang",
-        "n_chars",
-    ).cache()
+    ordered = _fixture_ordered(docs, ["lang", "n_chars"]).cache()
     n = ordered.count()
     half = (n // 100) * 50 or n
     out_dir = tempfile.mkdtemp(prefix="time_travel_")
@@ -1923,9 +1898,8 @@ def compressed_distinct_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-level oracle.
 
     Scale shape: per-block output is O(block-distinct) strings — the
-    shuffle moves dictionaries, not rows.  The global row_number only
-    shapes the tiny test input's order column, as in
-    bloom_prune_eq_agg."""
+    shuffle moves dictionaries, not rows.  The fixture order column
+    comes from ``_fixture_ordered`` (bounded rank, no global window)."""
     import tempfile
 
     from pyrle_spark.plans.compressed import distinct_values
@@ -1936,9 +1910,7 @@ def compressed_distinct_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    ordered = docs.select(
-        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("_seq"), "source"
-    )
+    ordered = _fixture_ordered(docs, ["source"])
     out_dir = tempfile.mkdtemp(prefix="compressed_distinct_")
     encode_table(
         spark,
@@ -1966,8 +1938,8 @@ def update_where_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the SET expressions evaluated over the original row images.
 
     Scale shape: cost is O(matched rows) — pruned resolve, one tail
-    append, one delete commit.  The global row_number only shapes the
-    tiny test input's order column, as in bloom_prune_eq_agg."""
+    append, one delete commit.  The fixture order column comes from
+    ``_fixture_ordered`` (bounded rank, no global window)."""
     import tempfile
 
     from pyrle_spark.plans.encode_job import (
@@ -1978,11 +1950,7 @@ def update_where_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    ordered = docs.select(
-        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("_seq"),
-        "lang",
-        "n_chars",
-    )
+    ordered = _fixture_ordered(docs, ["lang", "n_chars"])
     out_dir = tempfile.mkdtemp(prefix="update_where_")
     encode_table(
         spark,
@@ -2027,8 +1995,8 @@ def layout_prune_synergy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: at 100 TB this is the difference between decoding
     ~share-of-fr of the table and decoding all of it; pruning itself is
-    a manifest-only filter.  The global row_number only shapes the tiny
-    test input's order column, as in bloom_prune_eq_agg."""
+    a manifest-only filter.  The fixture order column comes from
+    ``_fixture_ordered`` (bounded rank, no global window)."""
     import tempfile
 
     from pyrle_spark.plans.encode_job import (
@@ -2041,11 +2009,7 @@ def layout_prune_synergy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyrle_spark.sources.icetable import IceTable
 
     docs = load(spark, sf_dir, "documents")
-    ordered = docs.select(
-        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("_seq"),
-        "lang",
-        "n_chars",
-    )
+    ordered = _fixture_ordered(docs, ["lang", "n_chars"])
     src_dir = tempfile.mkdtemp(prefix="synergy_src_")
     out_dir = tempfile.mkdtemp(prefix="synergy_sorted_")
     encode_table(
@@ -2086,8 +2050,8 @@ def point_lookup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: a k-point probe decodes ≤ k blocks whatever the table
     size; the delete applies as the usual broadcast anti-join.  The
-    global row_number only shapes the tiny test input's order column,
-    as in bloom_prune_eq_agg."""
+    fixture order column comes from ``_fixture_ordered`` (bounded rank,
+    no global window)."""
     import tempfile
 
     from pyrle_spark.plans.encode_job import (
@@ -2098,11 +2062,7 @@ def point_lookup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    ordered = docs.select(
-        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("_seq"),
-        "lang",
-        "n_chars",
-    ).cache()
+    ordered = _fixture_ordered(docs, ["lang", "n_chars"]).cache()
     n = ordered.count()
     out_dir = tempfile.mkdtemp(prefix="point_lookup_")
     encode_table(
@@ -2576,18 +2536,14 @@ def dnf_prune_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decoded rows.  The oracle is the naive row-level WHERE — the
     union/intersection algebra must lose and invent nothing.
 
-    The global row_number only shapes the tiny test input's order
-    column, as in bloom_prune_eq_agg."""
+    The fixture order column comes from ``_fixture_ordered`` (bounded
+    rank, no global window)."""
     import tempfile
 
     from pyrle_spark.plans.encode_job import EncodeConfig, encode_table, scan_encoded
 
     docs = load(spark, sf_dir, "documents")
-    ordered = docs.select(
-        (F.row_number().over(W.orderBy("lang", "doc_id")) - 1).alias("_seq"),
-        "lang",
-        "n_chars",
-    )
+    ordered = _fixture_ordered(docs, ["lang", "n_chars"], key_cols=("lang",))
     out_dir = tempfile.mkdtemp(prefix="dnf_prune_")
     encode_table(
         spark,
@@ -2627,19 +2583,15 @@ def zip_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the row-level join collapsed to a plain GROUP BY —
     equality proves position alignment is exact.  Generalizes the
     reference's run-aligned zip merge (src/rle.pyx:41-72) to whole
-    tables; the global row_number only shapes the tiny test input."""
+    tables; the fixture order column comes from ``_fixture_ordered``
+    (bounded rank, no global window)."""
     import tempfile
 
     from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
     from pyrle_spark.plans.zipjoin import zip_tables
 
     docs = load(spark, sf_dir, "documents")
-    ordered = docs.select(
-        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("_seq"),
-        "lang",
-        "source",
-        "n_chars",
-    ).cache()
+    ordered = _fixture_ordered(docs, ["lang", "source", "n_chars"]).cache()
     a_dir = tempfile.mkdtemp(prefix="zip_a_")
     b_dir = tempfile.mkdtemp(prefix="zip_b_")
     encode_table(

@@ -389,11 +389,13 @@ def _encode_pass_inner(
     prior_cols: set = set()
     prior_dropped: set = set()
     prior_aliases: dict = {}
+    prior_src_schema: dict = {}
     if table.exists():
         prior_props = table.properties()
         prior_cols = set(prior_props.get("columns", []))
         prior_dropped = set(prior_props.get("dropped_columns", []))
         prior_aliases = dict(prior_props.get("column_aliases", {}))
+        prior_src_schema = dict(prior_props.get("source_schema", {}))
         alias_clash = set(cols) & (
             set(prior_aliases) | set(prior_aliases.values())
         )
@@ -476,6 +478,13 @@ def _encode_pass_inner(
             "columns": sorted(set(cols) | set(prior_cols)),
             "dropped_columns": sorted(prior_dropped),
             "column_aliases": prior_aliases,
+            # logical Spark type per column, merged across widen passes:
+            # lets decode_table type an EMPTY table (zero live blocks),
+            # where no block row exists to carry an arrow_type
+            "source_schema": {
+                **prior_src_schema,
+                **{c: base.schema[c].dataType.jsonValue() for c in cols},
+            },
             **config.properties,
         },
     )
@@ -632,10 +641,17 @@ def delete_rows(spark: SparkSession, table_dir: str, positions) -> dict:
         if os.path.exists(manifest_path):
             with open(manifest_path) as f:
                 entries = json.load(f)
+        cur = table.current_snapshot_id()
         entry = {
             "file": fname,
             "n_positions": len(pos_list),
-            "as_of_snapshot": table.current_snapshot_id(),
+            "as_of_snapshot": cur,
+            # commit-time anchor: keeps visibility decidable even after
+            # the tagging snapshot itself is expired from the log
+            "as_of_ts": next(
+                (s["timestamp_ms"] for s in table.snapshots() if s["id"] == cur),
+                None,
+            ),
         }
         entries.append(entry)
         tmp = manifest_path + f".tmp-{_uuid.uuid4().hex[:8]}"
@@ -691,20 +707,34 @@ def _delete_positions(table_dir: str, snapshot_id: str | None) -> list:
     with open(manifest_path) as f:
         entries = json.load(f)
     table = IceTable(table_dir)
-    order = [s["id"] for s in table.snapshots()]
+    snaps = table.snapshots()
+    order = [s["id"] for s in snaps]
     limit = (
         order.index(snapshot_id) if snapshot_id in order else len(order) - 1
     )
-    # A tag no longer in the log was expired (e.g. by compact_table) —
-    # expiry only removes snapshots OLDER than every retained one, so
-    # such a delete predates all readable snapshots and always applies;
-    # dropping it would resurrect the deleted rows.
-    visible = [
-        e
-        for e in entries
-        if e["as_of_snapshot"] not in order
-        or order.index(e["as_of_snapshot"]) <= limit
-    ]
+    read_ts = snaps[limit]["timestamp_ms"] if snaps else None
+
+    def _visible(e: dict) -> bool:
+        a = e.get("as_of_snapshot")
+        if a is None:
+            return True  # delete against an empty table predates everything
+        if a in order:
+            return order.index(a) <= limit
+        # The tagging snapshot was expired.  Pinned refs let expiry remove
+        # a MID-log snapshot (one newer than a retained one), so "absent ⇒
+        # predates everything ⇒ always apply" would wrongly apply such a
+        # delete to older pinned reads.  Fall back to commit-time order:
+        # entries record as_of_ts, and snapshot ids embed their commit ms
+        # as a hex prefix for legacy entries.
+        ts = e.get("as_of_ts")
+        if ts is None:
+            try:
+                ts = int(str(a).split("-", 1)[0], 16)
+            except ValueError:
+                return True  # unparseable legacy tag: err toward applying
+        return read_ts is None or ts <= read_ts
+
+    visible = [e for e in entries if _visible(e)]
     out: set = set()
     for e in visible:
         out.update(pq.read_table(e["file"], columns=["_order"])["_order"].to_pylist())
@@ -894,10 +924,14 @@ def update_where(
             "snapshot_id": table.current_snapshot_id(),
         }
     # next free position = end of the dense position domain
+    # `or 0`: on a table with zero blocks (created-then-never-populated,
+    # or insert-only MERGE after all blocks compacted away) the max is
+    # NULL and int(None) would raise before any insert is written
     base = int(
         enc.filter(F.col("column") == physical_column(table, cols[0]))
         .agg(F.max(F.col("block_id") * block_rows + F.col("n_rows")))
         .first()[0]
+        or 0
     )
     ranked = assign_row_order(hit, [], tiebreak="_order", out_col="_new")
     updated = ranked.withColumn("_seq", F.col("_new") + F.lit(base))
@@ -1030,10 +1064,14 @@ def merge_into(
             "first_new_pos": None,
             "snapshot_id": table.current_snapshot_id(),
         }
+    # `or 0`: on a table with zero blocks (created-then-never-populated,
+    # or insert-only MERGE after all blocks compacted away) the max is
+    # NULL and int(None) would raise before any insert is written
     base = int(
         enc.filter(F.col("column") == physical_column(table, cols[0]))
         .agg(F.max(F.col("block_id") * block_rows + F.col("n_rows")))
         .first()[0]
+        or 0
     )
     parts = []
     if n_upd:
@@ -1832,6 +1870,41 @@ def decode_table(
     types = {c: _widest_type(c, ts) for c, ts in by_col.items()}
     missing = [c for c in cols if c not in types]
     if missing:
+        src_schema = props.get("source_schema") or {}
+        if (
+            not type_rows
+            and all(phys_of[c] in src_schema for c in cols)
+            and enc_raw.isEmpty()
+        ):
+            # zero live blocks (table created then never populated, or
+            # everything compacted/deleted away): no block row carries an
+            # arrow_type, but the recorded logical schema types the empty
+            # result — so e.g. an insert-only MERGE can read the table
+            from pyspark.sql.types import StructType
+
+            empty_schema = StructType.fromJson(
+                {
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "name": "_order",
+                            "type": "long",
+                            "nullable": False,
+                            "metadata": {},
+                        }
+                    ]
+                    + [
+                        {
+                            "name": c,
+                            "type": src_schema[phys_of[c]],
+                            "nullable": True,
+                            "metadata": {},
+                        }
+                        for c in cols
+                    ],
+                }
+            )
+            return spark.createDataFrame([], empty_schema)
         raise KeyError(
             f"columns {missing} not present in snapshot "
             f"{snapshot_id or '(latest)'}; available: {sorted(types)}"

@@ -153,14 +153,19 @@ def _assign_order_range(
     tiebreak: str,
     out_col: str,
     n_parts: int | None = None,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Dense global rank by ``(key, tiebreak)`` for HIGH-CARDINALITY
     keys: ``repartitionByRange`` splits the total order into ranges,
     each partition ranks locally (window partitioned by the Spark
     partition id — bounded at ~n/partitions rows), and the driver only
     ever holds one row count per partition.  Complements
     ``assign_row_order``, whose per-key-group counts are driver-bounded
-    only when the key is low-cardinality."""
+    only when the key is low-cardinality.
+
+    Returns ``(ranked, cached)`` — ``cached`` is the persisted
+    range-partitioned scan the result is built on; the CALLER must
+    ``cached.unpersist()`` once the result has been materialized, or a
+    full copy of the table stays in executor memory for the session."""
     n_parts = n_parts or max(
         int(spark.conf.get("spark.sql.shuffle.partitions")),
         spark.sparkContext.defaultParallelism,
@@ -182,13 +187,11 @@ def _assign_order_range(
         *[x for pid, o in offsets.items() for x in (F.lit(pid), F.lit(o))]
     )
     w = W.partitionBy("_pid").orderBy(key, tiebreak)
-    return (
-        rp.withColumn(
-            out_col,
-            (F.row_number().over(w) - 1 + off[F.col("_pid")]).cast("long"),
-        )
-        .drop("_pid")
-    )
+    ranked = rp.withColumn(
+        out_col,
+        (F.row_number().over(w) - 1 + off[F.col("_pid")]).cast("long"),
+    ).drop("_pid")
+    return ranked, rp
 
 
 def rewrite_zorder(
@@ -226,7 +229,7 @@ def rewrite_zorder(
     # the driver.  Range-partition by (_z, _order) instead: the driver
     # holds one count per PARTITION, each partition ranks locally, and
     # broadcast offsets stitch the global sequence — bounded everywhere.
-    ranked = _assign_order_range(
+    ranked, rp_cache = _assign_order_range(
         spark, dec.withColumn("_z", z), "_z", "_order", "_seq"
     )
     summary = encode_table(
@@ -241,6 +244,7 @@ def rewrite_zorder(
             properties={"rewrite_zorder_by": ",".join(zorder_by)},
         ),
     )
+    rp_cache.unpersist()
     dec.unpersist()
     after = (
         dedup_blocks(IceTable(out_dir).read_table(spark))

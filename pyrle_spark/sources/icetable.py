@@ -559,21 +559,20 @@ class IceTable:
         snaps = meta["snapshots"]
         if len(snaps) <= keep_last:
             return {"expired_snapshots": [], "deleted_files": 0, "reclaimed_bytes": 0}
-        retained = snaps[-keep_last:]
-        expired = snaps[:-keep_last]
+        keep_ids = {s["id"] for s in snaps[-keep_last:]}
         if older_than_ms is not None:
-            young = [s for s in expired if s["timestamp_ms"] >= older_than_ms]
-            if young:
-                retained = young + retained
-                expired = [s for s in expired if s["timestamp_ms"] < older_than_ms]
+            keep_ids |= {s["id"] for s in snaps if s["timestamp_ms"] >= older_than_ms}
         # the current pointer and every ref head (tag or branch) are
         # pinned — expiry must never break a named pointer
-        pinned = {meta["current_snapshot_id"]} - {None}
-        pinned |= {r["snapshot_id"] for r in meta.get("refs", {}).values()}
-        must_keep = pinned - {s["id"] for s in retained}
-        if must_keep:
-            retained = [s for s in snaps if s["id"] in must_keep] + retained
-            expired = [s for s in expired if s["id"] not in must_keep]
+        keep_ids |= {meta["current_snapshot_id"]} - {None}
+        keep_ids |= {r["snapshot_id"] for r in meta.get("refs", {}).values()}
+        # one ordered filter over the log: _delete_positions scopes
+        # delete-vector visibility by log INDEX, so retention must never
+        # reorder entries relative to commit order (a pinned ref snapshot
+        # interleaved with age-retained ones used to be hoisted to the
+        # front, mis-applying deletes on post-expiry time-travel reads)
+        retained = [s for s in snaps if s["id"] in keep_ids]
+        expired = [s for s in snaps if s["id"] not in keep_ids]
         live_files = set()
         for s in retained:
             for f in self._manifest(s["id"])["files"]:
@@ -615,7 +614,7 @@ class IceTable:
             "reclaimed_bytes": reclaimed,
         }
 
-    def vacuum(self, older_than_s: float = 0.0) -> dict:
+    def vacuum(self, older_than_s: float = 10_800.0, force: bool = False) -> dict:
         """Iceberg-style ``remove_orphan_files``: delete files under
         ``data/`` that NO retained snapshot manifest and no delete-vector
         manifest references — the residue of a writer killed between its
@@ -624,12 +623,30 @@ class IceTable:
         into a fresh snapshot dir, stranding the partial one forever).
 
         ``older_than_s``: only files modified at least this many seconds
-        ago are considered (Iceberg's safety margin against deleting a
-        CONCURRENT writer's in-flight output — at scale, run with hours).
-        Marker files (``_SUCCESS``, ``.crc``) are orphans by definition
-        and are removed on the same terms; emptied dirs are pruned.
+        ago are considered — the safety margin against deleting a
+        CONCURRENT writer's finished-but-not-yet-committed output (the
+        window ``write_snapshot`` deliberately leaves lock-free).  The
+        default is 3 hours in the spirit of Iceberg's 3-day
+        remove_orphan_files default; margins under 10 minutes require
+        ``force=True`` (tests / known-quiescent tables only).  Marker
+        files (``_SUCCESS``, ``.crc``) are orphans by definition and are
+        removed on the same terms; emptied dirs are pruned.
+
+        Holds the commit lock so the live-file set cannot shift under
+        the walk (a commit racing the scan could otherwise publish a
+        manifest referencing a file vacuum already judged orphaned).
 
         Returns ``{"deleted_files": n, "reclaimed_bytes": n}``."""
+        if older_than_s < 600.0 and not force:
+            raise ValueError(
+                f"vacuum(older_than_s={older_than_s}) below the 600s safety "
+                "floor deletes concurrent writers' in-flight output; pass "
+                "force=True only on a known-quiescent table"
+            )
+        with commit_lock(self.path):
+            return self._vacuum_locked(older_than_s)
+
+    def _vacuum_locked(self, older_than_s: float) -> dict:
         meta = self._read_meta()
         live = set()
         for s in meta["snapshots"]:

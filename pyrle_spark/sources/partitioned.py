@@ -558,7 +558,14 @@ def _schema_of(manifest: dict):
 
 def _coerce(lit, part_value: str | None):
     """Manifest partition values are strings (directory names); coerce
-    them to the predicate literal's type for comparison."""
+    them to the predicate literal's type for comparison.  Any literal
+    type not explicitly handled returns _UNKNOWN (file kept): comparing
+    the raw directory string against e.g. a datetime.date would either
+    silently drop matching files ('=') or raise (range ops), breaking
+    the always-a-superset contract."""
+    import datetime as _dt
+    import decimal as _dec
+
     if part_value is None:
         return None
     if isinstance(lit, bool):
@@ -573,7 +580,28 @@ def _coerce(lit, part_value: str | None):
             return float(part_value)
         except ValueError:
             return _UNKNOWN
-    return part_value
+    # datetime before date: datetime is a date subclass
+    if isinstance(lit, _dt.datetime):
+        if lit.tzinfo is not None:
+            return _UNKNOWN  # naive dir value vs aware literal: unorderable
+        try:
+            # Spark spells timestamp partition dirs 'YYYY-MM-DD HH:MM:SS[.f]'
+            return _dt.datetime.fromisoformat(part_value.replace(" ", "T", 1))
+        except ValueError:
+            return _UNKNOWN
+    if isinstance(lit, _dt.date):
+        try:
+            return _dt.date.fromisoformat(part_value)
+        except ValueError:
+            return _UNKNOWN
+    if isinstance(lit, _dec.Decimal):
+        try:
+            return _dec.Decimal(part_value)
+        except _dec.InvalidOperation:
+            return _UNKNOWN
+    if isinstance(lit, str):
+        return part_value
+    return _UNKNOWN
 
 
 def _file_matches(

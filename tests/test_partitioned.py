@@ -251,3 +251,59 @@ def test_partition_evolution(spark, web, tmp_path):
         fdf.filter((F.col("spec_id") == 0) & F.col("partition_url_bucket").isNotNull()).count()
         == 0
     )
+
+
+def test_date_and_datetime_literal_prune_exact(spark, web, tmp_path):
+    """ADVICE r02: _coerce used to return the raw directory string for
+    date/datetime/Decimal literals, so identity-partitioned '=' predicates
+    with a date literal silently dropped matching files (str != date) and
+    range predicates raised TypeError.  Both must now be exact supersets."""
+    from datetime import date, datetime
+    from decimal import Decimal
+
+    src = web.select(
+        "doc_seq", "warc_ts", F.to_date("warc_ts").alias("warc_day"), "lang"
+    )
+    # identity partition on a DATE column
+    t = PartitionedIceTable(
+        str(tmp_path / "pdate"), PartitionSpec(PartitionField("warc_day"))
+    )
+    t.write_snapshot(src)
+    lit = date(2024, 1, 2)
+    got = t.read(spark, [("warc_day", "=", lit)])
+    exp = src.filter(F.col("warc_day") == F.lit(lit))
+    assert _rows(got) == _rows(exp)
+    st = t.prune([("warc_day", "=", lit)])
+    assert 0 < st["kept_files"] < st["total_files"]
+    # range op on the date literal must not raise and stays exact
+    got_r = t.read(spark, [("warc_day", ">=", lit)])
+    exp_r = src.filter(F.col("warc_day") >= F.lit(lit))
+    assert _rows(got_r) == _rows(exp_r)
+    assert t.prune([("warc_day", ">=", lit)])["kept_files"] < st["total_files"]
+
+    # identity partition on a TIMESTAMP column (dirs spell 'Y-m-d H:M:S')
+    t2 = PartitionedIceTable(
+        str(tmp_path / "pts"),
+        PartitionSpec(PartitionField("warc_ts", "hours", "ts_hour")),
+    )
+    t2.write_snapshot(src)
+    mid = datetime(2024, 1, 2, 3, 0, 0)
+    got2 = t2.read(spark, [("warc_ts", ">=", mid)])
+    exp2 = src.filter(F.col("warc_ts") >= F.lit(mid))
+    assert _rows(got2) == _rows(exp2)
+
+    # Decimal literal vs int partition dirs: now coerced, prunes exactly
+    t3 = PartitionedIceTable(
+        str(tmp_path / "pint"),
+        PartitionSpec(PartitionField("doc_seq", "truncate[500]", "seq_range")),
+    )
+    t3.write_snapshot(src)
+    st3 = t3.prune([("doc_seq", "=", Decimal("123"))])
+    assert 0 < st3["kept_files"] < st3["total_files"]
+    got3 = t3.read(spark, [("doc_seq", "=", 123)])
+    assert _rows(got3) == _rows(src.filter(F.col("doc_seq") == 123))
+    # genuinely unhandled literal type: _coerce says unknowable (file kept)
+    from pyrle_spark.sources.partitioned import _UNKNOWN, _coerce
+
+    assert _coerce(b"en", "en") is _UNKNOWN
+    assert _coerce((1, 2), "1") is _UNKNOWN

@@ -929,7 +929,7 @@ def test_vacuum_removes_orphans_only(spark, webtext, tmp_path):
     # a fresh orphan is spared by the concurrency margin
     spared = IceTable(out).vacuum(older_than_s=3600)
     assert spared["deleted_files"] == 0
-    info = IceTable(out).vacuum()
+    info = IceTable(out).vacuum(older_than_s=0.0, force=True)
     assert info["deleted_files"] >= 2  # orphan parquet + marker
     assert info["reclaimed_bytes"] >= 1024
     assert not os.path.exists(orphan_dir)
@@ -939,7 +939,7 @@ def test_vacuum_removes_orphans_only(spark, webtext, tmp_path):
     }
     assert after == before
     # idempotent
-    assert IceTable(out).vacuum()["deleted_files"] == 0
+    assert IceTable(out).vacuum(older_than_s=0.0, force=True)["deleted_files"] == 0
 
 
 def test_assign_row_order_null_and_degenerate_keys(spark):
@@ -1145,7 +1145,7 @@ def test_table_op_sequence_model(spark, tmp_path):
     compact_table(spark, out); check("compact")
     delete_rows(spark, out, [130]); deleted |= {130}; check("delete-after-compact")
     IceTable(out).expire_snapshots(keep_last=1); check("expire")
-    IceTable(out).vacuum(); check("vacuum")
+    IceTable(out).vacuum(older_than_s=0.0, force=True); check("vacuum")
     append(160, 192); check("append3")
     whole = list(range(32, 64))
     delete_rows(spark, out, whole); deleted |= set(whole); check("whole-block-delete")
@@ -1998,3 +1998,104 @@ def test_empty_snapshot_read(spark, tmp_path):
     got = table.read_table(spark)
     assert got.count() == 0
     assert got.schema.simpleString() == "struct<block_id:bigint,column:string>"
+
+
+def test_vacuum_safety_floor(spark, webtext, tmp_path):
+    """ADVICE r02: vacuum's mtime margin is the only guard against deleting
+    a concurrent writer's finished-but-uncommitted output; sub-10-minute
+    margins must be an explicit opt-in, never a default."""
+    out = str(tmp_path / "vfloor")
+    encode_table(
+        spark,
+        webtext.filter(F.col("doc_seq") < 500).select("doc_seq", "url", "lang"),
+        out,
+        EncodeConfig(columns=["url", "lang"], order_col="doc_seq", block_rows=BLOCK),
+    )
+    with pytest.raises(ValueError, match="force=True"):
+        IceTable(out).vacuum(older_than_s=0.0)
+    # default margin spares a fresh orphan
+    import os
+
+    orphan = os.path.join(out, "data", "orphan.parquet")
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)
+    with open(orphan, "wb") as f:
+        f.write(b"x" * 64)
+    assert IceTable(out).vacuum()["deleted_files"] == 0
+    assert os.path.exists(orphan)
+    # forced zero-margin vacuum takes the orphan (plus marker files,
+    # which are orphans by definition)
+    assert IceTable(out).vacuum(older_than_s=0.0, force=True)["deleted_files"] >= 1
+    assert not os.path.exists(orphan)
+
+
+def test_expire_preserves_log_order_with_pinned_ref(spark, webtext, tmp_path):
+    """ADVICE r02: a pinned ref snapshot interleaved with age-retained ones
+    used to be hoisted to the log front; _delete_positions scopes
+    delete-vector visibility by log index, so retention must keep commit
+    order.  Asserts the retained log is an ordered subsequence AND that
+    time-travel reads to the pinned snapshot still honor deletes."""
+    from pyrle_spark.plans.encode_job import delete_rows
+
+    out = str(tmp_path / "exporder")
+    cols = ["doc_seq", "url", "lang"]
+
+    def batch(lo, hi):
+        return webtext.filter(
+            (F.col("doc_seq") >= lo) & (F.col("doc_seq") < hi)
+        ).select(*cols)
+
+    cfg = EncodeConfig(columns=["url", "lang"], order_col="doc_seq", block_rows=BLOCK)
+    encode_table(spark, batch(0, 500), out, cfg)       # s1
+    t = IceTable(out)
+    delete_rows(spark, out, [3, 7])                    # as_of s1
+    encode_table(spark, batch(500, 1000), out, cfg)    # s2
+    s2 = t.current_snapshot_id()
+    t.create_tag("pin", s2)                            # pinned mid-log
+    delete_rows(spark, out, [11])                      # as_of s2
+    encode_table(spark, batch(1000, 1500), out, cfg)   # s3
+    delete_rows(spark, out, [1203])                    # as_of s3 (expired below)
+    encode_table(spark, batch(1500, 2000), out, cfg)   # s4 (current)
+    order_before = [s["id"] for s in t.snapshots()]
+    assert len(order_before) == 4
+    # keep_last=1 retains only the head by count; the pinned tag forces
+    # exactly {pin, head} — pin must stay mid-order, never hoisted
+    info = t.expire_snapshots(keep_last=1)
+    assert info["expired_snapshots"]
+    retained = [s["id"] for s in IceTable(out).snapshots()]
+    assert set(retained) == {s2, order_before[-1]}
+    assert retained == [i for i in order_before if i in set(retained)]
+    # the pinned snapshot sees deletes {3,7,11} but NOT the one tagged
+    # with the (expired, mid-log, newer-than-pin) s3
+    pinned = decode_table(spark, out, snapshot_id="pin")
+    seqs = {r["_order"] for r in pinned.select("_order").collect()}
+    assert {3, 7, 11}.isdisjoint(seqs)
+    assert len(seqs) == 997
+    # the current head still sees every delete, incl. the s3-tagged one
+    cur = {r["_order"] for r in decode_table(spark, out).select("_order").collect()}
+    assert {3, 7, 11, 1203}.isdisjoint(cur)
+    assert len(cur) == 1996
+
+
+def test_merge_into_empty_table_insert_only(spark, webtext, tmp_path):
+    """ADVICE r02: insert-only MERGE into a table with zero blocks used to
+    raise int(None); it must start inserting at position 0."""
+    from pyrle_spark.plans.encode_job import merge_into
+
+    out = str(tmp_path / "mergeempty")
+    cols = ["url", "lang", "n_chars"]
+    base = webtext.filter(F.lit(False)).select(
+        "doc_seq", "url", "lang", F.length("text").alias("n_chars")
+    )
+    encode_table(
+        spark, base, out,
+        EncodeConfig(columns=cols, order_col="doc_seq", block_rows=BLOCK),
+    )
+    src = webtext.filter(F.col("doc_seq") < 50).select(
+        "url", "lang", F.length("text").alias("n_chars")
+    )
+    info = merge_into(spark, out, src, on="url")
+    assert info["n_updated"] == 0 and info["n_inserted"] == 50
+    assert info["first_new_pos"] == 0
+    dec = decode_table(spark, out)
+    assert dec.count() == 50
+    assert dec.agg(F.min("_order")).first()[0] == 0
