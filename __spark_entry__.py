@@ -21,6 +21,14 @@ def entry(spark: SparkSession) -> DataFrame:
     return relational.rle_encode_lang(spark, SF0001)
 
 
+# Version-skew guard (r02 gate ran on a stale 50-query registry without
+# anyone noticing): the registry size is pinned here and asserted on
+# every queries() call — adding or removing a query without bumping this
+# constant fails the driver contract LOUDLY instead of silently
+# shrinking the certified surface.
+EXPECTED_QUERY_COUNT = 91
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -30,7 +38,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # relational subset (bench.py imports it unconditionally too)
     from pyrle_spark.functions import registry as fn_registry
 
-    out.update(fn_registry.QUERIES)
+    from pyrle_spark.streaming import queries as stream_queries
+
+    for reg in (fn_registry.QUERIES, stream_queries.QUERIES):
+        overlap = set(out) & set(reg)
+        if overlap:
+            raise RuntimeError(
+                f"query name collision across registries: {sorted(overlap)}"
+            )
+        out.update(reg)
+    if len(out) != EXPECTED_QUERY_COUNT:
+        raise RuntimeError(
+            f"query registry has {len(out)} entries, expected "
+            f"{EXPECTED_QUERY_COUNT} — update EXPECTED_QUERY_COUNT in "
+            "__spark_entry__.py alongside any added/removed query so the "
+            "correctness gate can never run on a silently-shrunk registry"
+        )
     return out
 
 
@@ -39,6 +62,8 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(relational.ORACLE_SQL)
     from pyrle_spark.functions import registry as fn_registry
+    from pyrle_spark.streaming import queries as stream_queries
 
     out.update(fn_registry.ORACLE_SQL)
+    out.update(stream_queries.ORACLE_SQL)
     return out

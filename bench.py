@@ -136,7 +136,13 @@ def main() -> None:
         if f.endswith(".parquet")
     ]
     summary = None
-    for slots in slot_options:
+    # BENCH/scaling.py's alternated best-of discipline (r02 verdict task
+    # #2): visit each slot count TWICE, interleaved, 2 warm reps per
+    # visit — a host CPU-steal burst that spans one visit cannot define
+    # any slot count's number, and the full per-rep wall list is
+    # recorded so the spread is part of the artifact, not folklore.
+    wall_runs: dict[int, list[float]] = {s: [] for s in slot_options}
+    for slots in slot_options * 2:
         if spark is None:
             spark = get_spark("bench_encode", cpus=slots, shuffle_partitions=slots)
         wt = spark.read.parquet(src_dir)
@@ -161,12 +167,13 @@ def main() -> None:
         )
         verify_checksums(spark, warm_dir)
         shutil.rmtree(warm_dir, ignore_errors=True)
-        # Best-of-3 per query per slot count: the sandbox VM sees bursty
+        # Best-of-all-reps per slot count: the sandbox VM sees bursty
         # host CPU steal that can inflate an arbitrary run 3-4×; the
         # minimum of the warm runs reports the machine's actual
-        # capability.  Output identity across every run and slot count is
-        # separately asserted (same bytes_out, checksums green).
-        for rep in range(3):
+        # capability, and every rep's wall is recorded.  Output identity
+        # across every run and slot count is separately asserted (same
+        # bytes_out, checksums green).
+        for rep in range(2):
             shutil.rmtree(out_dir, ignore_errors=True)
             t0 = time.time()
             # source written one file per block → block-aligned scan, no shuffle
@@ -185,6 +192,7 @@ def main() -> None:
             # same basis as BENCH/BASELINE.md's scaling harness — while
             # q_encode_webtext reports the full end-to-end call including
             # manifest/lineage writing
+            wall_runs[slots].append(round(s["wall_s"], 3))
             if (
                 "encode_wall_s" not in extras
                 or s["wall_s"] < extras["encode_wall_s"]
@@ -211,6 +219,25 @@ def main() -> None:
     extras["encode_total_gb_per_s"] = round(
         summary["bytes_in"] / 1e9 / queries["q_encode_webtext"], 4
     )
+    # spread across ALL recorded reps (both slot counts, both visits):
+    # median + [worst, best] GB/s plus the raw walls — the number
+    # BASELINE.md states is the one this harness reproduces, and the
+    # weather is visible in the artifact instead of explaining it away
+    all_walls = sorted(w for ws in wall_runs.values() for w in ws)
+    mid = len(all_walls) // 2
+    median_wall = (
+        all_walls[mid]
+        if len(all_walls) % 2
+        else (all_walls[mid - 1] + all_walls[mid]) / 2
+    )
+    extras["encode_wall_runs"] = {str(k): v for k, v in wall_runs.items()}
+    extras["encode_gb_per_s_median"] = round(
+        summary["bytes_in"] / 1e9 / median_wall, 4
+    )
+    extras["encode_gb_per_s_spread"] = [
+        round(summary["bytes_in"] / 1e9 / max(all_walls), 4),
+        round(summary["bytes_in"] / 1e9 / min(all_walls), 4),
+    ]
     extras["compression_ratio"] = round(
         summary["bytes_in"] / max(summary["bytes_out"], 1), 3
     )

@@ -192,12 +192,88 @@ FROM documents
 """
 
 
+PAYLOAD_BLOCK = 64  # bytes per profiled block
+
+
+def payload_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second, independent certification of the binary-payload path (r02
+    verdict task #7): an exact per-64-byte-block byte profile — n_bytes,
+    distinct byte values, modal byte count, and the order-independent
+    integer checksum Σ(byte value) — computed on RAW BYTES in the Arrow
+    batch loop (``np.frombuffer`` on the payload, no text decode), while
+    :func:`byte_histogram` certifies the codepoint view.  The duckdb twin
+    reconstructs every byte from ``hex(encode(text))`` pairs, so the two
+    engines must agree byte-for-byte at block granularity; all outputs
+    are integers, so the value hash is exact by construction (no float
+    rounding seam).  A real image/audio feature extractor consumes the
+    same (payload → per-block ndarray stats) shape."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def profile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blks, nb, ndv, mode, bsum = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                for b in range(0, max(len(arr), 1), PAYLOAD_BLOCK):
+                    v = arr[b : b + PAYLOAD_BLOCK]
+                    if len(v) == 0:
+                        continue
+                    counts = np.bincount(v, minlength=256)
+                    ids.append(doc_id)
+                    blks.append(b // PAYLOAD_BLOCK)
+                    nb.append(len(v))
+                    ndv.append(int((counts > 0).sum()))
+                    mode.append(int(counts.max()))
+                    bsum.append(int(v.sum(dtype=np.int64)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "block_idx": blks,
+                    "n_bytes": nb,
+                    "ndv_bytes": ndv,
+                    "mode_cnt": mode,
+                    "byte_sum": bsum,
+                }
+            )
+
+    return docs.mapInPandas(
+        profile,
+        "doc_id long, block_idx int, n_bytes int, ndv_bytes int, "
+        "mode_cnt int, byte_sum long",
+    )
+
+
+_PAYLOAD_BLOCK_STATS_SQL = f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents WHERE length(text) > 0
+), pos AS (
+  SELECT doc_id, h, unnest(generate_series(1, n)) AS i FROM b
+), byte AS (
+  SELECT doc_id, CAST((i - 1) // {PAYLOAD_BLOCK} AS INT) AS block_idx,
+         (strpos('0123456789ABCDEF', substr(h, 2 * i - 1, 1)) - 1) * 16
+       + (strpos('0123456789ABCDEF', substr(h, 2 * i, 1)) - 1) AS v
+  FROM pos
+), per_val AS (
+  SELECT doc_id, block_idx, v, count(*) AS c FROM byte GROUP BY 1, 2, 3
+)
+SELECT doc_id, block_idx, CAST(sum(c) AS INT) AS n_bytes,
+       CAST(count(*) AS INT) AS ndv_bytes, CAST(max(c) AS INT) AS mode_cnt,
+       CAST(sum(v * c) AS BIGINT) AS byte_sum
+FROM per_val GROUP BY doc_id, block_idx
+"""
+
+
 QUERIES = {
     "byte_histogram": byte_histogram,
     "multimodal_meta": multimodal_meta,
+    "payload_block_stats": payload_block_stats,
 }
 
 ORACLE_SQL = {
     "byte_histogram": _BYTE_HISTOGRAM_SQL,
     "multimodal_meta": _MULTIMODAL_META_SQL,
+    "payload_block_stats": _PAYLOAD_BLOCK_STATS_SQL,
 }

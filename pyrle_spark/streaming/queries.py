@@ -1,0 +1,86 @@
+"""Oracle-certified streaming queries.
+
+The streaming modules are covered by pytest (state shape, watermark
+drops, resume), but until r3 none had a driver-oracle row — this module
+upgrades one: a Structured Streaming windowed aggregation whose FINAL
+result must equal the batch GROUP BY, certified by the same
+DuckDB-twin gate as every batch operator.
+
+``stream_windowed_counts`` replays the events table through a parquet
+file stream (``maxFilesPerTrigger=1`` → multiple triggers, real
+incremental state updates) into a tumbling 1-day window aggregate in
+COMPLETE output mode.  Complete mode makes the certification exact
+regardless of file processing order (no watermark drops — append-mode
+watermark semantics are pinned separately in
+``tests/test_salting_streaming.py``); the aggregate columns are integer
+count/sum so the value hash is exact by construction.
+
+Scale shape: state is O(open windows × event types); a production
+deployment bounds it with the watermark (``streaming/windowed.py``) —
+this query's complete mode is the certification configuration, not the
+deployment configuration, and says so.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["stream_windowed_counts", "QUERIES", "ORACLE_SQL"]
+
+
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windowed counts over the event stream; the final
+    complete-mode table must equal the batch GROUP BY (the oracle)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts", "event_type", "user_id"
+    )
+    src_dir = tempfile.mkdtemp(prefix="stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    # range-partition by ts so each trigger's file is a disjoint time
+    # slice — the stream sees (roughly) time-ordered arrivals, as a
+    # replayed crawl log would
+    ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src_dir)
+    name = f"stream_wc_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("user_id").alias("sum_uid"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_uid",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(ckpt, "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_STREAM_WINDOWED_SQL = """
+SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, event_type,
+       count(*) AS n_events, CAST(sum(user_id) AS BIGINT) AS sum_uid
+FROM events GROUP BY window_start, event_type
+"""
+
+QUERIES = {"stream_windowed_counts": stream_windowed_counts}
+ORACLE_SQL = {"stream_windowed_counts": _STREAM_WINDOWED_SQL}

@@ -712,3 +712,21 @@ def test_dedup_stream_null_text(spark, tmp_path):
     assert 1 in kept
     # null and "" are the same (empty) document: exactly one keeper
     assert len(kept & {2, 3, 4}) == 1 and min(kept & {2, 3, 4}) == 2
+
+
+def test_stream_windowed_counts_matches_oracle(spark, ducks):
+    """The oracle-certified streaming query (streaming/queries.py): the
+    complete-mode windowed aggregate's final table equals the batch
+    GROUP BY, bit-exact (integer count/sum columns)."""
+    from pyrle_spark.streaming.queries import ORACLE_SQL, stream_windowed_counts
+    from tests.conftest import SF_SMALL
+
+    got = sorted(
+        tuple(r)
+        for r in stream_windowed_counts(spark, SF_SMALL).collect()
+    )
+    exp = sorted(
+        tuple(r)
+        for r in ducks.sql(ORACLE_SQL["stream_windowed_counts"]).fetchall()
+    )
+    assert got == exp

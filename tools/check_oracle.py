@@ -5,10 +5,14 @@ DuckDB at sf0.01, compares row count, column names, and sorted values
 (numeric columns within 1e-9 relative tolerance; exact otherwise).
 
 Usage: python tools/check_oracle.py [name ...]
+       SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.1 \
+       SPARK_GRAFT_ORACLE_JSON=CORRECTNESS_r03_sf01.json \
+           python tools/check_oracle.py      # driver-file-shaped artifact
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -93,6 +97,7 @@ def main() -> int:
         print(f"valid names: {sorted(queries)}")
         return 2
     failures = 0
+    records: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -101,20 +106,42 @@ def main() -> int:
             got = fn(spark, SF_DIR).toPandas()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark raised {type(exc).__name__}: {exc}")
+            records[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"spark {type(exc).__name__}: {exc}"[:400],
+            }
             failures += 1
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(got)} rows (no oracle, rows-only check)")
+            records[name] = {
+                "rows_match": True, "schema_match": None, "hash_match": None,
+                "spark_rows": len(got), "oracle_rows": None, "err": None,
+            }
             continue
         try:
             exp = con.sql(oracles[name]).df()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb raised {type(exc).__name__}: {exc}")
+            records[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": len(got), "oracle_rows": None,
+                "err": f"duckdb {type(exc).__name__}: {exc}"[:400],
+            }
             failures += 1
             continue
         problems = compare(got, exp)
         dt = time.time() - t0
         hard = [p for p in problems if not p.startswith("column") or "WARNING" not in p]
+        records[name] = {
+            "rows_match": len(got) == len(exp),
+            "schema_match": sorted(got.columns) == sorted(exp.columns),
+            "hash_match": not problems,  # bit-equal incl. float warnings
+            "spark_rows": len(got),
+            "oracle_rows": len(exp),
+            "err": "; ".join(problems)[:400] if hard else None,
+        }
         if hard:
             print(f"FAIL  {name} ({dt:.1f}s, {len(got)} rows)")
             for p in problems:
@@ -123,6 +150,11 @@ def main() -> int:
         else:
             note = "; ".join(p for p in problems if "WARNING" in p)
             print(f"ok    {name} ({dt:.1f}s, {len(got)} rows){' | ' + note if note else ''}")
+    out_json = os.environ.get("SPARK_GRAFT_ORACLE_JSON")
+    if out_json and not only:
+        with open(out_json, "w") as f:
+            json.dump(records, f, indent=2)
+        print(f"wrote {out_json} ({len(records)} rows)")
     print(f"\n{failures} failures")
     return 1 if failures else 0
 
