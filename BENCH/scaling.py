@@ -151,8 +151,16 @@ generate_webtext(spark, {n_rows}, block_rows=32768).write.mode("overwrite").parq
     # whole level's JVM 2×.  Alternating the levels twice through and
     # keeping each level's best run makes the N-vs-4N *ratio* robust: a
     # burst that spans one pass degrades every level of that pass, and
-    # the other pass supplies clean numbers.
-    for cpus in (32, 8, 2, 32, 8, 2):
+    # the other pass supplies clean numbers.  SCALING_LEVELS overrides
+    # the schedule (e.g. "32,8,2,8,2,8,2" gives the N→4N pair extra
+    # visits when a burst has swallowed both default visits of a level).
+    schedule = tuple(
+        int(x)
+        for x in os.environ.get("SCALING_LEVELS", "32,8,2,32,8,2").split(",")
+    )
+    if not {2, 8, 32} <= set(schedule):
+        raise ValueError("schedule must visit levels 2, 8 and 32")
+    for cpus in schedule:
         os.makedirs(SCRATCH, exist_ok=True)
         out = os.path.join(SCRATCH, f"scal_out_{cpus}")
         for suffix in ("", "_r2", "_r3", "_r4", "_warm"):

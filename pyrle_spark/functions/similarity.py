@@ -472,7 +472,12 @@ def ann_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (K·DIM driver rows per iter); the audit joins are on tiny top-k
     sets.  ``k_total`` (=15) anchors the row to the data so the oracle
     is not a pure constant."""
-    emb = _emb(spark, sf_dir).select("vec_id", _dvec("embedding").alias("v"))
+    # persist: kmeans_fit scans emb once per iteration, and `assigned`
+    # (scan → broadcast join → argmax window) feeds three separate
+    # actions below (candidate count, scoring, query extraction)
+    emb = (
+        _emb(spark, sf_dir).select("vec_id", _dvec("embedding").alias("v")).persist()
+    )
     n_vec = emb.count()
     cents, costs = kmeans_fit(emb, k=N_CENTROIDS, iters=KMEANS_ITERS)
     sims = emb.join(F.broadcast(cents)).select(
@@ -483,6 +488,7 @@ def ann_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims.withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", "cid")
+        .persist()
     )
     queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
@@ -506,6 +512,8 @@ def ann_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = ann_cosine_topk(spark, sf_dir).select("q_id", "vec_id")
     k_total = brute.count()
     hits = brute.join(approx, ["q_id", "vec_id"]).count()
+    assigned.unpersist()
+    emb.unpersist()
     eps = 1e-9
     row = (
         int(k_total),

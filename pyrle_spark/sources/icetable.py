@@ -91,6 +91,17 @@ def commit_lock(table_dir: str, timeout_s: float = 90.0, stale_s: float = 60.0):
             os.remove(lock)
 
 
+def _next_ts(snaps: list) -> int:
+    """Strictly monotone commit timestamp: snapshots of one table never
+    share a millisecond, so commit-time ordering (delete-vector
+    visibility after a tagging snapshot was expired, `encode_job.py
+    _delete_positions`) is exact — two sub-millisecond metadata commits
+    would otherwise tie and a `ts <= read_ts` fallback could apply a
+    later commit's delete to an earlier pinned read."""
+    last = max((int(s["timestamp_ms"]) for s in snaps), default=-1)
+    return max(int(time.time() * 1000), last + 1)
+
+
 def touch_lock(table_dir: str) -> None:
     """Heartbeat the commit lock's mtime.  Long critical sections
     (expire/vacuum file deletion loops) call this periodically so a
@@ -180,7 +191,7 @@ class IceTable:
             manifest = {
                 "snapshot_id": snap_id,
                 "parent": parent_snap,
-                "timestamp_ms": int(time.time() * 1000),
+                "timestamp_ms": _next_ts(meta["snapshots"]),
                 "mode": mode,
                 "schema": df.schema.json(),
                 "properties": properties or {},
@@ -382,7 +393,7 @@ class IceTable:
                 **parent,
                 "snapshot_id": snap_id,
                 "parent": cur,
-                "timestamp_ms": int(time.time() * 1000),
+                "timestamp_ms": _next_ts(meta["snapshots"]),
                 "mode": "metadata",
                 "properties": properties,
                 "added_files": 0,
@@ -658,12 +669,21 @@ class IceTable:
                 for e in json.load(f):
                     live.add(os.path.realpath(e["file"]))
         deleted = reclaimed = 0
+        seen = 0
         cutoff = time.time() - max(0.0, older_than_s)
         data_root = os.path.join(self.path, "data")
         if not os.path.isdir(data_root):
             return {"deleted_files": 0, "reclaimed_bytes": 0}
         for root, _, names in os.walk(data_root, topdown=False):
             for name in names:
+                seen += 1
+                if seen % 1000 == 0:
+                    # heartbeat: a long walk under the commit lock must
+                    # keep the lock mtime inside the stale window, or a
+                    # waiter breaks it mid-walk and the live-set guard
+                    # this lock exists for is void (same discipline as
+                    # expire_snapshots' deletion loop)
+                    touch_lock(self.path)
                 full = os.path.join(root, name)
                 if os.path.realpath(full) in live:
                     continue
@@ -673,6 +693,8 @@ class IceTable:
                     reclaimed += os.path.getsize(full)
                     os.remove(full)
                     deleted += 1
+                    if deleted % 100 == 0:
+                        touch_lock(self.path)
                 except FileNotFoundError:
                     continue
             if root != data_root and not os.listdir(root):
