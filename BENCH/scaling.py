@@ -69,7 +69,8 @@ for rep in range(3):
     t0 = time.time()
     s = encode_table(spark, wt, rep_out,
                      EncodeConfig(columns=["url","warc_ts","html","text","lang"],
-                                  block_rows=32768, block_aligned=True))
+                                  block_rows=32768, block_aligned=True,
+                                  input_presorted=True))
     walls.append(s["wall_s"])  # the Spark job portion
     summaries.append(s)
 s = summaries[0]

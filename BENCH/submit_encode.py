@@ -1,7 +1,13 @@
 """spark-submit entry point for the encode job (north-rule deployment
 shape: ``spark-submit --py-files pyrle_spark.zip BENCH/submit_encode.py``).
 
-Arguments: <source_parquet_dir> <output_table_dir> [block_rows] [aligned]
+Arguments: <source_parquet_dir> <output_table_dir> [block_rows]
+           [aligned | aligned_presorted]
+
+``aligned_presorted`` additionally skips the in-partition sort (the
+source files are one-per-block and already ordered by doc_seq — the
+shape an Iceberg ingest lands); the encode kernel verifies the claim
+per block and fails loudly if it is false.
 
 The script only uses the already-created SparkSession (spark-submit owns
 master/conf), so the same file runs unchanged on a real cluster:
@@ -29,7 +35,9 @@ def main() -> None:
     src = sys.argv[1]
     out = sys.argv[2]
     block_rows = int(sys.argv[3]) if len(sys.argv) > 3 else 65536
-    aligned = len(sys.argv) > 4 and sys.argv[4] == "aligned"
+    mode = sys.argv[4] if len(sys.argv) > 4 else ""
+    aligned = mode.startswith("aligned")
+    presorted = mode == "aligned_presorted"
 
     spark = SparkSession.builder.appName("pyrle_spark_encode").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -47,6 +55,7 @@ def main() -> None:
             order_col="doc_seq",
             block_rows=block_rows,
             block_aligned=aligned,
+            input_presorted=presorted,
         ),
     )
     print(

@@ -162,7 +162,8 @@ def main() -> None:
             wt.filter(f"doc_seq < {4 * block_rows}"),
             warm_dir,
             EncodeConfig(
-                columns=WEBTEXT_COLS, block_rows=block_rows, block_aligned=True
+                columns=WEBTEXT_COLS, block_rows=block_rows, block_aligned=True,
+                input_presorted=True,
             ),
         )
         verify_checksums(spark, warm_dir)
@@ -182,7 +183,8 @@ def main() -> None:
                 wt,
                 out_dir,
                 EncodeConfig(
-                    columns=WEBTEXT_COLS, block_rows=block_rows, block_aligned=True
+                    columns=WEBTEXT_COLS, block_rows=block_rows, block_aligned=True,
+                    input_presorted=True,
                 ),
             )
             dt = round(time.time() - t0, 3)

@@ -2099,3 +2099,73 @@ def test_merge_into_empty_table_insert_only(spark, webtext, tmp_path):
     dec = decode_table(spark, out)
     assert dec.count() == 50
     assert dec.agg(F.min("_order")).first()[0] == 0
+
+
+# ------------------------------------------------- presorted (no-sort) path
+def test_presorted_block_aligned_identical(spark, tmp_path):
+    """input_presorted=True skips the sortWithinPartitions pass; with a
+    block-aligned source (one file per block, file rows already in
+    order_col order — how generate_webtext(block_rows=...) writes and how
+    an Iceberg ingest naturally lands) the encoded blocks must be
+    byte-identical to the sorted path's."""
+    src = str(tmp_path / "src_aligned")
+    generate_webtext(spark, 3000, n_hosts=20, block_rows=500).write.mode(
+        "overwrite"
+    ).parquet(src)
+    wt = spark.read.parquet(src)
+    sigs = []
+    for i, presorted in enumerate((False, True)):
+        out = str(tmp_path / f"enc_ps{i}")
+        encode_table(
+            spark,
+            wt,
+            out,
+            EncodeConfig(
+                columns=COLS,
+                block_rows=500,
+                block_aligned=True,
+                input_presorted=presorted,
+            ),
+        )
+        sigs.append(
+            sorted(
+                tuple(r)
+                for r in IceTable(out)
+                .read_table(spark)
+                .select("block_id", "column", "codec", "crc32", "bytes_out", "n_rows")
+                .collect()
+            )
+        )
+    assert sigs[0] == sigs[1]
+    res = verify_checksums(spark, str(tmp_path / "enc_ps1"))
+    assert res["bad"] == 0 and res["ok"] > 0
+
+
+def test_presorted_misdeclared_raises(spark, tmp_path):
+    """A shuffled source mis-declared as presorted must fail loudly (the
+    kernel's strict-monotone _order check), never silently encode a
+    permuted block."""
+    import pyspark.sql.utils
+
+    src = str(tmp_path / "src_shuffled")
+    (
+        generate_webtext(spark, 2000, n_hosts=20)
+        .orderBy(F.md5(F.col("url")))  # scramble row order within files
+        .coalesce(2)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    wt = spark.read.parquet(src)
+    out = str(tmp_path / "enc_bad")
+    with pytest.raises(Exception, match="input_presorted"):
+        encode_table(
+            spark,
+            wt,
+            out,
+            EncodeConfig(
+                columns=COLS,
+                block_rows=500,
+                block_aligned=True,
+                input_presorted=True,
+            ),
+        )
