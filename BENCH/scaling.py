@@ -36,28 +36,25 @@ for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
     os.environ[v] = "1"  # before any numpy/pyspark import
 sys.path.insert(0, sys.argv[4])
 from pyrle_spark.session import get_spark
-from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+from pyrle_spark.plans.encode_job import EncodeConfig, encode_parquet_dir
 from pyrle_spark.sources.icetable import IceTable
 from pyspark.sql import functions as F
 
 cpus = int(sys.argv[1]); src = sys.argv[2]; out = sys.argv[3]
 spark = get_spark("scal%d" % cpus, cpus=cpus, shuffle_partitions=cpus)
-wt = spark.read.parquet(src)
-# one scan split per block file at every level: default 128MB packing
-# fuses block files into fewer splits than task slots at local[32]
-# (task starvation would masquerade as poor scaling)
-fsz = max(os.path.getsize(os.path.join(src, f))
-          for f in os.listdir(src) if f.endswith(".parquet"))
-spark.conf.set("spark.sql.files.maxPartitionBytes", str(fsz))
-spark.conf.set("spark.sql.files.openCostInBytes", str(fsz))
-# warm the JVM + python workers with an untimed pass over a small slice
-encode_table(spark, wt.limit(20000), out + "_warm",
-             EncodeConfig(columns=["url","warc_ts","html","text","lang"],
-                          block_rows=16384))
+src_files = sorted(os.path.join(src, f)
+                   for f in os.listdir(src) if f.endswith(".parquet"))
+CFG = EncodeConfig(columns=["url","warc_ts","html","text","lang"],
+                   block_rows=32768, block_aligned=True,
+                   input_presorted=True)
+# warm the JVM + python workers with an untimed pass over a few files
+encode_parquet_dir(spark, src, out + "_warm", CFG,
+                   files=src_files[:min(4, len(src_files))])
 os.sync()
-# block-aligned: the source was written one file per block, so the scan
-# partitions contain whole blocks and the encode needs NO shuffle — the
-# production shape for encoding an Iceberg table (file = natural block)
+# file-direct (since r3): the JVM plans (footer pass, resume join,
+# commit), the Arrow workers stream parquet → codecs → parquet — the
+# production shape for encoding an Iceberg table (file = natural block),
+# and no raw byte crosses the JVM↔Python socket.
 # timed reps (fresh output dir each), min wall: the box shows
 # multi-second host-steal/writeback stalls that are measurement noise
 walls = []
@@ -67,10 +64,7 @@ for rep in range(3):
     rep_out = out if rep == 0 else out + "_r%d" % (rep + 1)
     shutil.rmtree(rep_out, ignore_errors=True)
     t0 = time.time()
-    s = encode_table(spark, wt, rep_out,
-                     EncodeConfig(columns=["url","warc_ts","html","text","lang"],
-                                  block_rows=32768, block_aligned=True,
-                                  input_presorted=True))
+    s = encode_parquet_dir(spark, src, rep_out, CFG, files=src_files)
     walls.append(s["wall_s"])  # the Spark job portion
     summaries.append(s)
 s = summaries[0]

@@ -2,12 +2,18 @@
 shape: ``spark-submit --py-files pyrle_spark.zip BENCH/submit_encode.py``).
 
 Arguments: <source_parquet_dir> <output_table_dir> [block_rows]
-           [aligned | aligned_presorted]
+           [aligned | aligned_presorted | file_direct]
 
 ``aligned_presorted`` additionally skips the in-partition sort (the
 source files are one-per-block and already ordered by doc_seq — the
 shape an Iceberg ingest lands); the encode kernel verifies the claim
 per block and fails loudly if it is false.
+
+``file_direct`` (the fastest path, bench default since r3) requires the
+same block-aligned presorted layout and routes through
+``encode_parquet_dir``: the JVM plans (footer-stats pass, resume
+anti-join, snapshot commit) while the Arrow workers stream
+parquet → codecs → parquet — no raw byte crosses the JVM↔Python socket.
 
 The script only uses the already-created SparkSession (spark-submit owns
 master/conf), so the same file runs unchanged on a real cluster:
@@ -42,22 +48,40 @@ def main() -> None:
     spark = SparkSession.builder.appName("pyrle_spark_encode").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        encode_parquet_dir,
+        encode_table,
+    )
 
     df = spark.read.parquet(src)
     columns = [c for c in df.columns if not c.startswith(("doc_seq", "sort_", "host_"))]
-    summary = encode_table(
-        spark,
-        df,
-        out,
-        EncodeConfig(
-            columns=columns,
-            order_col="doc_seq",
-            block_rows=block_rows,
-            block_aligned=aligned,
-            input_presorted=presorted,
-        ),
-    )
+    if mode == "file_direct":
+        summary = encode_parquet_dir(
+            spark,
+            src,
+            out,
+            EncodeConfig(
+                columns=columns,
+                order_col="doc_seq",
+                block_rows=block_rows,
+                block_aligned=True,
+                input_presorted=True,
+            ),
+        )
+    else:
+        summary = encode_table(
+            spark,
+            df,
+            out,
+            EncodeConfig(
+                columns=columns,
+                order_col="doc_seq",
+                block_rows=block_rows,
+                block_aligned=aligned,
+                input_presorted=presorted,
+            ),
+        )
     print(
         "SUBMIT_RESULT "
         + json.dumps(

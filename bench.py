@@ -29,7 +29,7 @@ from pyrle_spark.functions import registry as fn_registry  # noqa: E402
 from pyrle_spark.operators import relational  # noqa: E402
 from pyrle_spark.plans.encode_job import (  # noqa: E402
     EncodeConfig,
-    encode_table,
+    encode_parquet_dir,
     verify_checksums,
 )
 from pyrle_spark.session import get_spark  # noqa: E402
@@ -142,29 +142,34 @@ def main() -> None:
     # any slot count's number, and the full per-rep wall list is
     # recorded so the spread is part of the artifact, not folklore.
     wall_runs: dict[int, list[float]] = {s: [] for s in slot_options}
+    src_files = sorted(
+        os.path.join(src_dir, f)
+        for f in os.listdir(src_dir)
+        if f.endswith(".parquet")
+    )
     for slots in slot_options * 2:
         if spark is None:
             spark = get_spark("bench_encode", cpus=slots, shuffle_partitions=slots)
-        wt = spark.read.parquet(src_dir)
-        # one scan split per block file: the default 128MB packing would
-        # fuse the small block files of a small-SF run into a handful of
-        # splits and starve the executors (a real 100 TB table has
-        # row-groups >> splits)
+        # scan split = one block file, for the JVM-side VERIFY pass only
+        # (the timed encode is file-direct since r3: the workers read the
+        # parquet themselves — see encode_parquet_dir — so the raw bytes
+        # never pay the JVM scan + Arrow-IPC double transfer)
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(max(f_sizes)))
         spark.conf.set("spark.sql.files.openCostInBytes", str(max(f_sizes)))
         # warm-up (untimed): one small encode pass through the identical
-        # read→arrow→python→write path; first use pays one-time JVM JIT +
+        # read→encode→write path; first use pays one-time JVM JIT +
         # python-worker spawn (~10s) that a long-running cluster never sees
         warm_dir = tempfile.mkdtemp(prefix="bench_warm_", dir=SCRATCH)
         shutil.rmtree(warm_dir, ignore_errors=True)
-        encode_table(
+        encode_parquet_dir(
             spark,
-            wt.filter(f"doc_seq < {4 * block_rows}"),
+            src_dir,
             warm_dir,
             EncodeConfig(
                 columns=WEBTEXT_COLS, block_rows=block_rows, block_aligned=True,
                 input_presorted=True,
             ),
+            files=src_files[: min(4, len(src_files))],
         )
         verify_checksums(spark, warm_dir)
         shutil.rmtree(warm_dir, ignore_errors=True)
@@ -177,15 +182,18 @@ def main() -> None:
         for rep in range(2):
             shutil.rmtree(out_dir, ignore_errors=True)
             t0 = time.time()
-            # source written one file per block → block-aligned scan, no shuffle
-            s = encode_table(
+            # source written one file per block → file-direct encode:
+            # the JVM plans (footer pass, resume join, commit), the Arrow
+            # workers stream parquet → codecs → parquet
+            s = encode_parquet_dir(
                 spark,
-                wt,
+                src_dir,
                 out_dir,
                 EncodeConfig(
                     columns=WEBTEXT_COLS, block_rows=block_rows, block_aligned=True,
                     input_presorted=True,
                 ),
+                files=src_files,
             )
             dt = round(time.time() - t0, 3)
             if "q_encode_webtext" not in queries or dt < queries["q_encode_webtext"]:

@@ -68,6 +68,7 @@ __all__ = [
     "scan_incremental",
     "update_where",
     "encode_table",
+    "encode_parquet_dir",
     "prune_blocks",
     "prune_blocks_eq",
     "prune_blocks_in",
@@ -396,6 +397,68 @@ def _encode_pass(
                 spark.conf.set(k, v)
 
 
+def _prior_state(
+    spark: SparkSession, table: IceTable, cols: list, config: EncodeConfig
+):
+    """Resume/widen state of an existing encoded table: returns
+    ``(prior, committed, resumed_blocks)`` where ``prior`` is the
+    (columns, dropped, aliases, source_schema) tuple carried into the new
+    snapshot's properties and ``committed`` is a DataFrame of block_ids
+    that are COMPLETE for every requested column (``None`` for a fresh
+    table).  Raises on pending renames / stale dropped columns — resume
+    matches blocks by PHYSICAL name, so either would corrupt the table.
+
+    Only COMPLETE blocks are resumable: a partial trailing block from an
+    earlier pass (input grew, or kill mid-range) must be re-encoded; the
+    new complete row supersedes it via max-n_rows dedup on read.  A block
+    counts as committed only when EVERY requested column is complete for
+    it — so widening a table (re-running with extra columns) re-encodes
+    exactly the blocks missing the new columns instead of silently
+    skipping them, and resume stays exact when the column set changes
+    between runs."""
+    if not table.exists():
+        return (set(), set(), {}, {}), None, 0
+    prior_props = table.properties()
+    prior_cols = set(prior_props.get("columns", []))
+    prior_dropped = set(prior_props.get("dropped_columns", []))
+    prior_aliases = dict(prior_props.get("column_aliases", {}))
+    prior_src_schema = dict(prior_props.get("source_schema", {}))
+    alias_clash = set(cols) & (set(prior_aliases) | set(prior_aliases.values()))
+    if alias_clash:
+        # resume matches blocks by PHYSICAL name; encoding an aliased
+        # logical name would fork the column into two physical names
+        raise ValueError(
+            f"columns {sorted(alias_clash)} are involved in a pending "
+            f"rename in {table.path}; run compact_table first to "
+            "materialize the rename, then re-encode"
+        )
+    clash = prior_dropped & set(cols)
+    if clash:
+        # stale pre-drop blocks still live in the data files; the
+        # resume anti-join would see them as committed and decode
+        # would serve pre-drop data for the "new" column
+        raise ValueError(
+            f"columns {sorted(clash)} were dropped from {table.path} but "
+            "their stale blocks remain in the data files; run "
+            "compact_table first to reclaim them, then re-encode"
+        )
+    committed = (
+        table.read_table(spark)
+        .filter(F.col("n_rows") == config.block_rows)
+        .filter(F.col("column").isin(cols))
+        .groupBy("block_id")
+        .agg(F.countDistinct("column").alias("_nc"))
+        .filter(F.col("_nc") == len(cols))
+        .select("block_id")
+    )
+    resumed_blocks = committed.count()
+    return (
+        (prior_cols, prior_dropped, prior_aliases, prior_src_schema),
+        committed,
+        resumed_blocks,
+    )
+
+
 def _encode_pass_inner(
     spark: SparkSession,
     df: DataFrame,
@@ -416,61 +479,14 @@ def _encode_pass_inner(
             & (F.col("_block_id") < block_range[1])
         )
     table = IceTable(out_dir)
-    resumed_blocks = 0
-    prior_cols: set = set()
-    prior_dropped: set = set()
-    prior_aliases: dict = {}
-    prior_src_schema: dict = {}
-    if table.exists():
-        prior_props = table.properties()
-        prior_cols = set(prior_props.get("columns", []))
-        prior_dropped = set(prior_props.get("dropped_columns", []))
-        prior_aliases = dict(prior_props.get("column_aliases", {}))
-        prior_src_schema = dict(prior_props.get("source_schema", {}))
-        alias_clash = set(cols) & (
-            set(prior_aliases) | set(prior_aliases.values())
-        )
-        if alias_clash:
-            # resume matches blocks by PHYSICAL name; encoding an aliased
-            # logical name would fork the column into two physical names
-            raise ValueError(
-                f"columns {sorted(alias_clash)} are involved in a pending "
-                f"rename in {out_dir}; run compact_table first to "
-                "materialize the rename, then re-encode"
-            )
-        clash = prior_dropped & set(cols)
-        if clash:
-            # stale pre-drop blocks still live in the data files; the
-            # resume anti-join would see them as committed and decode
-            # would serve pre-drop data for the "new" column
-            raise ValueError(
-                f"columns {sorted(clash)} were dropped from {out_dir} but "
-                "their stale blocks remain in the data files; run "
-                "compact_table first to reclaim them, then re-encode"
-            )
-        # Only COMPLETE blocks are resumable: a partial trailing block from
-        # an earlier pass (input grew, or kill mid-range) must be re-encoded;
-        # the new complete row supersedes it via max-n_rows dedup on read.
-        # A block counts as committed only when EVERY requested column is
-        # complete for it — so widening a table (re-running with extra
-        # columns) re-encodes exactly the blocks missing the new columns
-        # instead of silently skipping them, and resume stays exact when
-        # the column set changes between runs.
-        committed = (
-            table.read_table(spark)
-            .filter(F.col("n_rows") == config.block_rows)
-            .filter(F.col("column").isin(cols))
-            .groupBy("block_id")
-            .agg(F.countDistinct("column").alias("_nc"))
-            .filter(F.col("_nc") == len(cols))
-            .select("block_id")
-        )
+    prior, committed, resumed_blocks = _prior_state(spark, table, cols, config)
+    prior_cols, prior_dropped, prior_aliases, prior_src_schema = prior
+    if committed is not None:
         base = base.join(
             committed,
             base["_block_id"] == committed["block_id"],
             "left_anti",
         )
-        resumed_blocks = committed.count()
     work = base
     skip_sort = config.block_aligned and config.input_presorted
     if not config.block_aligned:
@@ -488,6 +504,51 @@ def _encode_pass_inner(
         _make_encode_fn(cols, config.zstd_threshold, verify_order=skip_sort),
         ENCODED_SPARK_SCHEMA,
     )
+    src_schema_json = {c: base.schema[c].dataType.jsonValue() for c in cols}
+    return _commit_encoded(
+        spark,
+        table,
+        encoded,
+        config,
+        cols,
+        (prior_cols, prior_dropped, prior_aliases, prior_src_schema),
+        resumed_blocks,
+        out_dir,
+        src_schema_json,
+    )
+
+
+def _snapshot_properties(config: EncodeConfig, cols, prior, src_schema_json) -> dict:
+    prior_cols, prior_dropped, prior_aliases, prior_src_schema = prior
+    return {
+        "kind": "encoded_blocks",
+        "block_rows": config.block_rows,
+        "order_col": config.order_col,
+        # union with any previously-encoded columns: a widen pass that
+        # encodes only the NEW columns must not shrink the column list
+        # the latest snapshot advertises to decode_table
+        "columns": sorted(set(cols) | set(prior_cols)),
+        "dropped_columns": sorted(prior_dropped),
+        "column_aliases": prior_aliases,
+        # logical Spark type per column, merged across widen passes:
+        # lets decode_table type an EMPTY table (zero live blocks),
+        # where no block row exists to carry an arrow_type
+        "source_schema": {**prior_src_schema, **src_schema_json},
+        **config.properties,
+    }
+
+
+def _commit_encoded(
+    spark: SparkSession,
+    table: IceTable,
+    encoded: DataFrame,
+    config: EncodeConfig,
+    cols: list,
+    prior: tuple,
+    resumed_blocks: int,
+    out_dir: str,
+    src_schema_json: dict,
+) -> dict:
     t0 = time.time()
     snap_id = table.write_snapshot(
         encoded,
@@ -502,25 +563,7 @@ def _encode_pass_inner(
             # benefit — blocks are fetched by block_id, not range-scanned
             "parquet.block.size": str(16 * 1024 * 1024),
         },
-        properties={
-            "kind": "encoded_blocks",
-            "block_rows": config.block_rows,
-            "order_col": config.order_col,
-            # union with any previously-encoded columns: a widen pass that
-            # encodes only the NEW columns must not shrink the column list
-            # the latest snapshot advertises to decode_table
-            "columns": sorted(set(cols) | set(prior_cols)),
-            "dropped_columns": sorted(prior_dropped),
-            "column_aliases": prior_aliases,
-            # logical Spark type per column, merged across widen passes:
-            # lets decode_table type an EMPTY table (zero live blocks),
-            # where no block row exists to carry an arrow_type
-            "source_schema": {
-                **prior_src_schema,
-                **{c: base.schema[c].dataType.jsonValue() for c in cols},
-            },
-            **config.properties,
-        },
+        properties=_snapshot_properties(config, cols, prior, src_schema_json),
     )
     wall_s = time.time() - t0
     # lineage: per-partition metrics aggregated from THIS pass's files only.
@@ -550,6 +593,24 @@ def _encode_pass_inner(
         )
         .collect()
     )
+    return _finish_snapshot(
+        table, out_dir, snap_id, cells, cols, config, resumed_blocks, wall_s
+    )
+
+
+def _finish_snapshot(
+    table: IceTable,
+    out_dir: str,
+    snap_id: str,
+    cells: list,
+    cols: list,
+    config: EncodeConfig,
+    resumed_blocks: int,
+    wall_s: float,
+) -> dict:
+    """Roll lineage cells (one row per (part_id, column, codec)) into the
+    per-partition and per-column lineage views, run the aligned-mode
+    partial-block guard, and attach the lineage to the snapshot manifest."""
     lineage_by_part: dict = {}
     col_by_key: dict = {}
     partials_by_col: dict = {}
@@ -586,7 +647,7 @@ def _encode_pass_inner(
     # aligned-mode guard: a scan split that broke a block in two would
     # silently emit duplicate partial blocks; only the single trailing
     # block may be partial (per column)
-    if config.block_aligned and added:
+    if config.block_aligned and cells:
         bad = {c: n for c, n in partials_by_col.items() if n > 1}
         if bad:
             raise RuntimeError(
@@ -620,6 +681,387 @@ def _encode_pass_inner(
         json.dump(manifest, f, default=str)
     os.replace(tmp, snap_path)
     return summary
+
+
+# ------------------------------------------------- file-direct encode path
+#
+# encode_table's mapInArrow-over-a-JVM-scan pays a double transfer of every
+# raw byte: parquet → JVM columnar batches → Arrow IPC over the local
+# socket → Python.  Measured on webtext that transfer, not the codecs, is
+# the encode bottleneck (BENCH/BASELINE.md: a no-op scan+transfer pass
+# costs the same as the full encode).  encode_parquet_dir removes it: the
+# JVM plans — file manifest, a footer-stats pass, the resume anti-join,
+# the snapshot commit — while the Arrow workers stream
+# parquet → codecs → parquet directly, exactly a DataSourceV2 columnar
+# reader/writer pair.  At 10^12 docs this is also the only shape that
+# works: the driver and JVM touch O(#files) metadata, never data.
+
+_FOOTER_SCHEMA = "path string, min_order long, max_order long, n_rows long"
+_STAT_SPARK_SCHEMA = (
+    "block_id long, column string, codec string, n_rows long, "
+    "bytes_in long, bytes_out long, encode_ns long, n_runs long, "
+    "part_id int, file string, file_bytes long"
+)
+_STAT_COLS = [
+    "block_id", "column", "codec", "n_rows", "bytes_in", "bytes_out",
+    "encode_ns", "n_runs", "part_id",
+]
+
+
+def _make_footer_fn(order_col: str):
+    """Per-file (min_order, max_order, n_rows) from parquet footer
+    statistics — O(footer bytes) per file, never the data.  Falls back to
+    reading just the order column when a writer omitted stats."""
+
+    def footer_stream(batches):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            out = {"path": [], "min_order": [], "max_order": [], "n_rows": []}
+            for p in b.column("path").to_pylist():
+                md = pq.ParquetFile(p).metadata
+                if md.num_rows == 0:
+                    continue
+                try:
+                    ci = md.schema.names.index(order_col)
+                except ValueError:
+                    raise ValueError(
+                        f"{p} has no column {order_col!r}"
+                    ) from None
+                mn = mx = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+                if not ok or mn is None:
+                    mm = pc.min_max(
+                        pq.read_table(p, columns=[order_col]).column(order_col)
+                    ).as_py()
+                    mn, mx = mm["min"], mm["max"]
+                out["path"].append(p)
+                out["min_order"].append(int(mn))
+                out["max_order"].append(int(mx))
+                out["n_rows"].append(int(md.num_rows))
+            yield pa.RecordBatch.from_pydict(out)
+
+    return footer_stream
+
+
+def _jvm_equivalent_type(t: pa.DataType) -> pa.DataType:
+    """The Arrow type Spark's own Arrow transfer would hand the kernel
+    for a column parquet stores as ``t`` — the file-direct path normalizes
+    to it so codec payloads (and therefore block crc32 / bytes_out) are
+    bit-identical to encode_table's.  Spark's TimestampType is
+    microseconds in the session timezone (pinned UTC by get_spark); a
+    parquet writer may have stored ns and/or naive values, which Spark
+    truncates/reinterprets exactly like this cast does."""
+    if pa.types.is_timestamp(t):
+        return pa.timestamp("us", tz="UTC")
+    if pa.types.is_large_string(t):
+        return pa.string()
+    if pa.types.is_large_binary(t):
+        return pa.binary()
+    return t
+
+
+def _make_file_encode_fn(
+    columns: list, order_col: str, block_rows: int, zstd_threshold: float
+):
+    """Encode kernel over (path, blocks) rows: each task opens its parquet
+    files with pyarrow (column-pruned), derives ``_block_id`` from the
+    order column, masks to the wanted (uncommitted) blocks, and feeds the
+    stream into the shared :func:`_make_encode_fn` kernel — which also
+    verifies strictly increasing order per block, so an unsorted or
+    misdeclared file fails loudly."""
+    inner = _make_encode_fn(list(columns), zstd_threshold, verify_order=True)
+
+    def block_batches(batches):
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            paths = b.column("path").to_pylist()
+            wants = b.column("blocks").to_pylist()
+            for p, want in zip(paths, wants):
+                want_arr = (
+                    np.asarray(sorted(want), dtype=np.int64)
+                    if want is not None
+                    else None
+                )
+                pf = pq.ParquetFile(p)
+                for rb in pf.iter_batches(columns=[order_col] + list(columns)):
+                    if rb.num_rows == 0:
+                        continue
+                    onp = rb.column(order_col).to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.int64, copy=False)
+                    bids = onp // block_rows
+                    if want_arr is not None:
+                        mask = np.isin(bids, want_arr)
+                        if not mask.any():
+                            continue
+                        if not mask.all():
+                            rb = rb.filter(pa.array(mask))
+                            onp = onp[mask]
+                            bids = bids[mask]
+                    data = []
+                    for c in columns:
+                        a = rb.column(c)
+                        tgt = _jvm_equivalent_type(a.type)
+                        if tgt != a.type:
+                            a = a.cast(tgt, safe=False)
+                        data.append(a)
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(bids), pa.array(onp)] + data,
+                        names=["_block_id", "_order"] + list(columns),
+                    )
+
+    def file_stream(batches):
+        yield from inner(block_batches(batches))
+
+    return file_stream
+
+
+def _make_direct_write_fn(
+    columns: list,
+    order_col: str,
+    block_rows: int,
+    zstd_threshold: float,
+    data_dir: str,
+):
+    """File-direct encode + direct parquet write: each task writes ONE
+    uniquely named data file itself (pyarrow writer, one row group per
+    block — multi-MB pre-compressed buffers want small groups) and yields
+    only per-block lineage stats.  Kill-atomic: the file is written under
+    a ``.inprogress`` name and renamed at close, so a killed attempt never
+    leaves a readable ``.parquet`` — only an orphan vacuum() reclaims —
+    and the manifest links exactly what successful attempts reported."""
+    encode = _make_file_encode_fn(columns, order_col, block_rows, zstd_threshold)
+
+    def stream(batches):
+        import os
+        import uuid as _uuid
+
+        import pyarrow.parquet as pq
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        writer = None
+        final = tmp = None
+        kept = []
+        try:
+            for enc_rb in encode(batches):
+                if writer is None:
+                    os.makedirs(data_dir, exist_ok=True)
+                    final = os.path.join(
+                        data_dir,
+                        f"part-{pid:05d}-{_uuid.uuid4().hex[:8]}.parquet",
+                    )
+                    tmp = final + ".inprogress"
+                    writer = pq.ParquetWriter(
+                        tmp, _ENCODED_PA_SCHEMA, compression="none"
+                    )
+                writer.write_batch(enc_rb)
+                kept.append(enc_rb.select(_STAT_COLS))
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return
+        os.replace(tmp, final)
+        fsize = os.path.getsize(final)
+        stats = pa.Table.from_batches(kept)
+        stats = stats.append_column(
+            "file", pa.array([final] * stats.num_rows, type=pa.string())
+        )
+        stats = stats.append_column(
+            "file_bytes",
+            pa.array([fsize] * stats.num_rows, type=pa.int64()),
+        )
+        yield from stats.combine_chunks().to_batches()
+
+    return stream
+
+
+def _parquet_source_schema(path: str, cols: list) -> dict:
+    """Logical Spark type per column from a parquet footer (the
+    ``source_schema`` snapshot property, used to type empty tables)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    sch = pq.read_schema(path)
+    return {
+        c: from_arrow_type(_jvm_equivalent_type(sch.field(c).type)).jsonValue()
+        for c in cols
+    }
+
+
+def encode_parquet_dir(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    config: EncodeConfig,
+    direct_write: bool = True,
+    files: list | None = None,
+) -> dict:
+    """Encode a block-aligned parquet directory without the raw bytes ever
+    crossing the JVM↔Python socket (see module comment above).
+
+    Requirements (each verified, violations fail loudly):
+    - every file starts on a ``block_rows`` boundary of ``order_col``
+      (footer-stats check) and no block spans two files (distinct-path
+      check over the exploded block spans);
+    - rows within a file are sorted by ``order_col`` (the shared encode
+      kernel verifies strict monotonicity per block).
+    Arbitrary layouts should use :func:`encode_table` (JVM scan +
+    shuffle-to-blocks), which handles any input.
+
+    Resume is exact and file-granular → block-granular: committed blocks
+    are anti-joined out of the exploded (path, block_id) spans, fully
+    committed files are never opened, and a partially committed file is
+    re-read with the committed blocks masked out in the kernel.
+
+    ``direct_write=True`` additionally writes the encoded parquet from
+    the workers themselves (Iceberg's commit protocol: uniquely named
+    task files + one metadata commit of the reported list) — the encoded
+    bytes skip the Python→JVM hop too, and lineage comes back as the
+    job's only output (O(blocks × columns) stat rows, no data re-read).
+
+    Output is bit-identical to ``encode_table(..., block_aligned=True,
+    input_presorted=True)`` on the same input (pinned by tests): blocks
+    are a property of the data, not of the path that encoded them.
+    """
+    import os
+
+    cols = list(config.columns)
+    if not config.block_aligned:
+        raise ValueError(
+            "encode_parquet_dir requires EncodeConfig.block_aligned=True "
+            "(one block never spans two files); use encode_table for "
+            "arbitrary layouts"
+        )
+    if files is None:
+        files = []
+        for root, _, names in os.walk(src_dir):
+            for n in sorted(names):
+                if n.endswith(".parquet"):
+                    files.append(os.path.join(root, n))
+    if not files:
+        raise ValueError(f"no parquet files under {src_dir}")
+    table = IceTable(out_dir)
+    prior, committed, resumed_blocks = _prior_state(spark, table, cols, config)
+    br = int(config.block_rows)
+    par = spark.sparkContext.defaultParallelism
+    paths_df = spark.createDataFrame([(p,) for p in files], "path string")
+    footer = (
+        paths_df.repartition(max(1, min(len(files), 2 * par)))
+        .mapInArrow(_make_footer_fn(config.order_col), _FOOTER_SCHEMA)
+        .persist()
+    )
+    try:
+        misaligned = (
+            footer.filter(F.pmod(F.col("min_order"), F.lit(br)) != 0)
+            .select("path")
+            .limit(4)
+            .collect()
+        )
+        if misaligned:
+            raise ValueError(
+                "files do not start on a block boundary (order_col % "
+                f"block_rows != 0), e.g. {[r['path'] for r in misaligned]}; "
+                "use encode_table(block_aligned=False) for this layout"
+            )
+        spans = footer.select(
+            "path",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("min_order") / br).cast("long"),
+                    F.floor(F.col("max_order") / br).cast("long"),
+                )
+            ).alias("block_id"),
+        )
+        dup = (
+            spans.groupBy("block_id")
+            .agg(F.countDistinct("path").alias("n"))
+            .filter("n > 1")
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"block {dup[0]['block_id']} spans multiple files; "
+                "use encode_table(block_aligned=False) for this layout"
+            )
+        if committed is not None:
+            spans = spans.join(committed, "block_id", "left_anti")
+        wanted = spans.groupBy("path").agg(
+            F.sort_array(F.collect_list("block_id")).alias("blocks")
+        )
+        work = wanted.repartition(max(1, min(len(files), 4 * par)))
+        src_schema_json = _parquet_source_schema(files[0], cols)
+        if not direct_write:
+            encoded = work.mapInArrow(
+                _make_file_encode_fn(
+                    cols, config.order_col, br, config.zstd_threshold
+                ),
+                ENCODED_SPARK_SCHEMA,
+            )
+            return _commit_encoded(
+                spark, table, encoded, config, cols, prior,
+                resumed_blocks, out_dir, src_schema_json,
+            )
+        snap_id = table.new_snapshot_id()
+        data_dir = os.path.join(out_dir, "data", snap_id)
+        t0 = time.time()
+        stats = work.mapInArrow(
+            _make_direct_write_fn(
+                cols, config.order_col, br, config.zstd_threshold, data_dir
+            ),
+            _STAT_SPARK_SCHEMA,
+        ).persist()
+        # one encode job (materialized by the first action); the second
+        # action reads the tiny cached stat rows.  A lost-executor
+        # recompute could re-write a task file — its replacement gets a
+        # fresh unique name, the stale one becomes a vacuum()-able orphan
+        # (the same guarantee Iceberg gives speculative attempts).
+        cells = (
+            stats.groupBy("part_id", "column", "codec")
+            .agg(
+                F.count(F.lit(1)).alias("blocks"),
+                F.sum("n_rows").alias("rows"),
+                F.sum("bytes_in").alias("bytes_in"),
+                F.sum("bytes_out").alias("bytes_out"),
+                F.sum("encode_ns").alias("encode_ns"),
+                F.sum("n_runs").alias("runs_emitted"),
+                F.sum(
+                    F.when(F.col("n_rows") != br, 1).otherwise(0)
+                ).alias("partial_blocks"),
+            )
+            .collect()
+        )
+        file_rows = stats.select("file", "file_bytes").distinct().collect()
+        stats.unpersist()
+        wall_s = time.time() - t0
+        schema_json = spark.createDataFrame([], ENCODED_SPARK_SCHEMA).schema.json()
+        snap_id = table.commit_files(
+            snap_id,
+            [
+                {"path": r["file"], "bytes": r["file_bytes"]}
+                for r in sorted(file_rows, key=lambda r: r["file"])
+            ],
+            schema_json,
+            mode="append",
+            properties=_snapshot_properties(config, cols, prior, src_schema_json),
+        )
+        return _finish_snapshot(
+            table, out_dir, snap_id, cells, cols, config, resumed_blocks, wall_s
+        )
+    finally:
+        footer.unpersist()
 
 
 def dedup_blocks(enc: DataFrame) -> DataFrame:

@@ -159,7 +159,7 @@ class IceTable:
         :meth:`fast_forward`."""
         if branch is not None and not publish:
             raise ValueError("stage (publish=False) applies to main only")
-        snap_id = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
+        snap_id = self.new_snapshot_id()
         data_dir = os.path.join(self.path, "data", snap_id)
         writer = df.write.mode("errorifexists")
         for k, v in (write_options or {}).items():
@@ -173,9 +173,46 @@ class IceTable:
                     files.append(
                         {"path": full, "bytes": os.path.getsize(full)}
                     )
-        # the data write above is long and lock-free; only the metadata
-        # read-modify-write serializes (current state re-read INSIDE the
-        # lock, so a concurrent append committed meanwhile is linked in)
+        return self.commit_files(
+            snap_id,
+            files,
+            df.schema.json(),
+            mode=mode,
+            properties=properties,
+            publish=publish,
+            branch=branch,
+        )
+
+    def new_snapshot_id(self) -> str:
+        """Allocate a snapshot id for a direct-write job (tasks write data
+        files under ``data/<snap_id>/`` themselves, the driver commits the
+        file list afterwards via :meth:`commit_files`)."""
+        return f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
+
+    def commit_files(
+        self,
+        snap_id: str,
+        files: list,
+        schema_json: str,
+        mode: str = "append",
+        properties: dict | None = None,
+        publish: bool = True,
+        branch: str | None = None,
+    ) -> str:
+        """Commit a snapshot whose data files already exist on storage —
+        the Iceberg commit protocol's second half: tasks write uniquely
+        named parquet files (a killed attempt leaves an orphan that
+        ``vacuum`` reclaims, never a manifest entry), then ONE metadata
+        read-modify-write under the commit lock links exactly the files
+        the successful attempts reported.  ``files`` is a list of
+        ``{"path":…, "bytes":…}`` dicts; ``schema_json`` the Spark schema
+        of the rows those files hold.
+
+        The data write is long and lock-free; only this metadata
+        read-modify-write serializes (current state re-read INSIDE the
+        lock, so a concurrent append committed meanwhile is linked in)."""
+        if branch is not None and not publish:
+            raise ValueError("stage (publish=False) applies to main only")
         with commit_lock(self.path):
             meta = self._read_meta()
             if branch is not None:
@@ -193,7 +230,7 @@ class IceTable:
                 "parent": parent_snap,
                 "timestamp_ms": _next_ts(meta["snapshots"]),
                 "mode": mode,
-                "schema": df.schema.json(),
+                "schema": schema_json,
                 "properties": properties or {},
                 "files": prev_files + files,
                 "added_files": len(files),
@@ -217,7 +254,7 @@ class IceTable:
                 meta["refs"][branch]["snapshot_id"] = snap_id
             elif publish:
                 meta["current_snapshot_id"] = snap_id
-                meta["schema"] = df.schema.json()
+                meta["schema"] = schema_json
             tmp = self._meta_path + f".tmp-{uuid.uuid4().hex[:8]}"
             with open(tmp, "w") as f:
                 json.dump(meta, f)
