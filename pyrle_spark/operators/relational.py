@@ -1173,6 +1173,104 @@ FROM documents WHERE lang = 'fr' GROUP BY source
 """
 
 
+def dsv2_pushdown_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine surfaced through Spark's own extension point: encode
+    documents into an encoded-blocks table, then query it with
+    ``spark.read.format("pyrle")`` — the registered Python Data Source
+    (``sources/datasource.py``) — letting Catalyst hand the ``lang =
+    'de'`` and ``n_chars <= 470`` predicates to the source's
+    ``pushFilters`` hook.  The reader prunes blocks task-side (bloom
+    digest for the equality, zone maps for the range) and Spark
+    re-applies every filter on the decoded rows, so pruning is a pure
+    superset optimization.  The oracle is the naive full scan — equality
+    proves the planner-integrated path invents and loses nothing.
+
+    Scale shape: planning touches O(#files) footers on the driver, the
+    filters prune at block granularity before any decode, and decode
+    parallelism is one task per data file — the DataSourceV2 contract,
+    implemented in Python against the engine's own table format.  The
+    fixture order comes from ``_fixture_ordered`` (bounded rank, no
+    global window)."""
+    import tempfile
+
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+    from pyrle_spark.sources.datasource import register
+
+    register(spark)
+    docs = load(spark, sf_dir, "documents")
+    ordered = _fixture_ordered(docs, ["lang", "source", "n_chars"], key_cols=("lang",))
+    out_dir = tempfile.mkdtemp(prefix="dsv2_pushdown_")
+    encode_table(
+        spark,
+        ordered,
+        out_dir,
+        EncodeConfig(
+            columns=["lang", "source", "n_chars"],
+            order_col="_seq",
+            block_rows=64,
+        ),
+    )
+    df = spark.read.format("pyrle").load(out_dir)
+    return (
+        df.filter((F.col("lang") == "de") & (F.col("n_chars") <= 470))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_DSV2_PUSHDOWN_AGG_SQL = """
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE lang = 'de' AND n_chars <= 470 GROUP BY source
+"""
+
+
+def dsv2_roundtrip_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 writer → V2 reader roundtrip as a certified query: write the
+    ordered fixture through ``df.write.format("pyrle")`` (each task
+    encodes its pre-clustered rows and the driver links the reported
+    files in one Iceberg-protocol metadata commit), read it back through
+    the source, and aggregate per lang.  The oracle is the raw table —
+    equality proves the write-side commit protocol preserves every row
+    exactly once (no lost partial blocks, no double-linked task files).
+    """
+    import tempfile
+
+    from pyrle_spark.sources.datasource import register
+
+    register(spark)
+    docs = load(spark, sf_dir, "documents")
+    ordered = _fixture_ordered(docs, ["lang", "n_chars"], key_cols=("lang",))
+    out_dir = tempfile.mkdtemp(prefix="dsv2_rt_")
+    BR = 64
+    (
+        ordered.repartition(8, F.floor(F.col("_seq") / BR).cast("long"))
+        .sortWithinPartitions("_seq")
+        .write.format("pyrle")
+        .option("order_col", "_seq")
+        .option("block_rows", str(BR))
+        .mode("append")
+        .save(out_dir)
+    )
+    return (
+        spark.read.format("pyrle")
+        .load(out_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_DSV2_ROUNDTRIP_COUNT_SQL = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
 def mor_delete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read deletion end-to-end through the REAL encoded
     pipeline: encode documents, record a position-delete vector for
@@ -2791,6 +2889,8 @@ QUERIES = {
     "update_where_agg": update_where_agg,
     "zonemap_prune_agg": zonemap_prune_agg,
     "bloom_prune_eq_agg": bloom_prune_eq_agg,
+    "dsv2_pushdown_agg": dsv2_pushdown_agg,
+    "dsv2_roundtrip_count": dsv2_roundtrip_count,
     "compressed_count_by_lang": compressed_count_by_lang,
     "compressed_stats_n_chars": compressed_stats_n_chars,
     "compressed_sum_by_lang": compressed_sum_by_lang,
@@ -2843,6 +2943,8 @@ ORACLE_SQL = {
     "table_changes_agg": _table_changes_sql(),
     "zonemap_prune_agg": _ZONEMAP_PRUNE_AGG_SQL,
     "bloom_prune_eq_agg": _BLOOM_PRUNE_EQ_AGG_SQL,
+    "dsv2_pushdown_agg": _DSV2_PUSHDOWN_AGG_SQL,
+    "dsv2_roundtrip_count": _DSV2_ROUNDTRIP_COUNT_SQL,
     "compressed_count_by_lang": _COMPRESSED_COUNT_SQL,
     "compressed_stats_n_chars": _COMPRESSED_STATS_SQL,
     "compressed_sum_by_lang": _COMPRESSED_SUM_SQL,

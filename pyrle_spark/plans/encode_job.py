@@ -104,6 +104,33 @@ _ENCODED_PA_SCHEMA = pa.schema(
     ]
 )
 
+def _encoded_schema_json() -> str:
+    """ENCODED_SPARK_SCHEMA as a StructType JSON document, built without
+    a SparkSession — commit paths that run outside the driver REPL (the
+    V2 writer's planning subprocess) need it session-free."""
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    t = {"long": LongType(), "string": StringType(), "int": IntegerType()}
+    fields = []
+    for part in ENCODED_SPARK_SCHEMA.split(", "):
+        name, typ = part.split(" ", 1)
+        if typ == "map<string,binary>":
+            fields.append(
+                StructField(name, MapType(StringType(), BinaryType()), True)
+            )
+        else:
+            fields.append(StructField(name, t[typ], True))
+    return StructType(fields).json()
+
+
 # ----------------------------------------------------- equality bloom digest
 
 # Zone maps answer RANGE questions; a per-(block, column) bloom digest
@@ -397,27 +424,14 @@ def _encode_pass(
                 spark.conf.set(k, v)
 
 
-def _prior_state(
-    spark: SparkSession, table: IceTable, cols: list, config: EncodeConfig
-):
-    """Resume/widen state of an existing encoded table: returns
-    ``(prior, committed, resumed_blocks)`` where ``prior`` is the
-    (columns, dropped, aliases, source_schema) tuple carried into the new
-    snapshot's properties and ``committed`` is a DataFrame of block_ids
-    that are COMPLETE for every requested column (``None`` for a fresh
-    table).  Raises on pending renames / stale dropped columns — resume
-    matches blocks by PHYSICAL name, so either would corrupt the table.
-
-    Only COMPLETE blocks are resumable: a partial trailing block from an
-    earlier pass (input grew, or kill mid-range) must be re-encoded; the
-    new complete row supersedes it via max-n_rows dedup on read.  A block
-    counts as committed only when EVERY requested column is complete for
-    it — so widening a table (re-running with extra columns) re-encodes
-    exactly the blocks missing the new columns instead of silently
-    skipping them, and resume stays exact when the column set changes
-    between runs."""
+def _prior_props_guarded(table: IceTable, cols: list) -> tuple:
+    """The (columns, dropped, aliases, source_schema) tuple of an existing
+    table, with the append-safety guards every new-snapshot writer needs:
+    raises on pending renames / stale dropped columns among ``cols`` —
+    resume and decode match blocks by PHYSICAL name, so either would
+    corrupt the table.  Driver metadata only (no Spark job)."""
     if not table.exists():
-        return (set(), set(), {}, {}), None, 0
+        return (set(), set(), {}, {})
     prior_props = table.properties()
     prior_cols = set(prior_props.get("columns", []))
     prior_dropped = set(prior_props.get("dropped_columns", []))
@@ -442,6 +456,30 @@ def _prior_state(
             "their stale blocks remain in the data files; run "
             "compact_table first to reclaim them, then re-encode"
         )
+    return (prior_cols, prior_dropped, prior_aliases, prior_src_schema)
+
+
+def _prior_state(
+    spark: SparkSession, table: IceTable, cols: list, config: EncodeConfig
+):
+    """Resume/widen state of an existing encoded table: returns
+    ``(prior, committed, resumed_blocks)`` where ``prior`` is the
+    (columns, dropped, aliases, source_schema) tuple carried into the new
+    snapshot's properties and ``committed`` is a DataFrame of block_ids
+    that are COMPLETE for every requested column (``None`` for a fresh
+    table).
+
+    Only COMPLETE blocks are resumable: a partial trailing block from an
+    earlier pass (input grew, or kill mid-range) must be re-encoded; the
+    new complete row supersedes it via max-n_rows dedup on read.  A block
+    counts as committed only when EVERY requested column is complete for
+    it — so widening a table (re-running with extra columns) re-encodes
+    exactly the blocks missing the new columns instead of silently
+    skipping them, and resume stays exact when the column set changes
+    between runs."""
+    if not table.exists():
+        return (set(), set(), {}, {}), None, 0
+    prior = _prior_props_guarded(table, cols)
     committed = (
         table.read_table(spark)
         .filter(F.col("n_rows") == config.block_rows)
@@ -452,11 +490,7 @@ def _prior_state(
         .select("block_id")
     )
     resumed_blocks = committed.count()
-    return (
-        (prior_cols, prior_dropped, prior_aliases, prior_src_schema),
-        committed,
-        resumed_blocks,
-    )
+    return (prior, committed, resumed_blocks)
 
 
 def _encode_pass_inner(
@@ -708,45 +742,59 @@ _STAT_COLS = [
 ]
 
 
+def _file_footer_stats(path: str, order_col: str):
+    """(min_order, max_order, n_rows) of one parquet file from footer
+    statistics — O(footer bytes), never the data.  Falls back to reading
+    just the order column when a writer omitted stats.  None for an
+    empty file."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    if md.num_rows == 0:
+        return None
+    try:
+        ci = md.schema.names.index(order_col)
+    except ValueError:
+        raise ValueError(f"{path} has no column {order_col!r}") from None
+    mn = mx = None
+    ok = True
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(ci).statistics
+        if st is None or not st.has_min_max:
+            ok = False
+            break
+        mn = st.min if mn is None else min(mn, st.min)
+        mx = st.max if mx is None else max(mx, st.max)
+    if not ok or mn is None:
+        mm = pc.min_max(
+            pq.read_table(path, columns=[order_col]).column(order_col)
+        ).as_py()
+        mn, mx = mm["min"], mm["max"]
+    return int(mn), int(mx), int(md.num_rows)
+
+
+# below this many files the driver reads the footers itself (a parquet
+# footer is ~KB; Spark's own file-source planning spends the same budget
+# driver-side) — above it, a distributed footer job keeps the driver
+# O(#files) in MEMORY but not in I/O
+_DRIVER_FOOTER_MAX_FILES = 512
+
+
 def _make_footer_fn(order_col: str):
-    """Per-file (min_order, max_order, n_rows) from parquet footer
-    statistics — O(footer bytes) per file, never the data.  Falls back to
-    reading just the order column when a writer omitted stats."""
+    """Distributed per-file footer-stats pass (see _file_footer_stats)."""
 
     def footer_stream(batches):
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
         for b in batches:
             out = {"path": [], "min_order": [], "max_order": [], "n_rows": []}
             for p in b.column("path").to_pylist():
-                md = pq.ParquetFile(p).metadata
-                if md.num_rows == 0:
+                st = _file_footer_stats(p, order_col)
+                if st is None:
                     continue
-                try:
-                    ci = md.schema.names.index(order_col)
-                except ValueError:
-                    raise ValueError(
-                        f"{p} has no column {order_col!r}"
-                    ) from None
-                mn = mx = None
-                ok = True
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(ci).statistics
-                    if st is None or not st.has_min_max:
-                        ok = False
-                        break
-                    mn = st.min if mn is None else min(mn, st.min)
-                    mx = st.max if mx is None else max(mx, st.max)
-                if not ok or mn is None:
-                    mm = pc.min_max(
-                        pq.read_table(p, columns=[order_col]).column(order_col)
-                    ).as_py()
-                    mn, mx = mm["min"], mm["max"]
                 out["path"].append(p)
-                out["min_order"].append(int(mn))
-                out["max_order"].append(int(mx))
-                out["n_rows"].append(int(md.num_rows))
+                out["min_order"].append(st[0])
+                out["max_order"].append(st[1])
+                out["n_rows"].append(st[2])
             yield pa.RecordBatch.from_pydict(out)
 
     return footer_stream
@@ -956,112 +1004,124 @@ def encode_parquet_dir(
     prior, committed, resumed_blocks = _prior_state(spark, table, cols, config)
     br = int(config.block_rows)
     par = spark.sparkContext.defaultParallelism
-    paths_df = spark.createDataFrame([(p,) for p in files], "path string")
-    footer = (
-        paths_df.repartition(max(1, min(len(files), 2 * par)))
-        .mapInArrow(_make_footer_fn(config.order_col), _FOOTER_SCHEMA)
-        .persist()
-    )
-    try:
-        misaligned = (
-            footer.filter(F.pmod(F.col("min_order"), F.lit(br)) != 0)
-            .select("path")
-            .limit(4)
+    # ---- planning: ONE footer pass (driver-side below the threshold,
+    # one Spark job above it), then pure-Python validation over the
+    # O(#files) span tuples.  Planning latency is the serial fraction of
+    # the whole encode — at 4N parallelism every extra Spark action here
+    # costs scaling efficiency directly (Amdahl), so the job count is
+    # kept at: 1 footer pass (large dirs only) + 1 encode.
+    if len(files) <= _DRIVER_FOOTER_MAX_FILES:
+        footer_rows = []
+        for p in files:
+            st = _file_footer_stats(p, config.order_col)
+            if st is not None:
+                footer_rows.append((p, st[0], st[1], st[2]))
+    else:
+        paths_df = spark.createDataFrame([(p,) for p in files], "path string")
+        footer_rows = [
+            (r["path"], r["min_order"], r["max_order"], r["n_rows"])
+            for r in paths_df.repartition(max(1, min(len(files), 2 * par)))
+            .mapInArrow(_make_footer_fn(config.order_col), _FOOTER_SCHEMA)
             .collect()
+        ]
+    misaligned = [p for p, mn, _, _ in footer_rows if mn % br != 0][:4]
+    if misaligned:
+        raise ValueError(
+            "files do not start on a block boundary (order_col % "
+            f"block_rows != 0), e.g. {misaligned}; "
+            "use encode_table(block_aligned=False) for this layout"
         )
-        if misaligned:
+    # no block spans two files ⇔ the files' block-id spans are pairwise
+    # disjoint: one sorted sweep over O(#files) tuples
+    spans = sorted((mn // br, mx // br, p) for p, mn, mx, _ in footer_rows)
+    for (lo1, hi1, p1), (lo2, _, p2) in zip(spans, spans[1:]):
+        if lo2 <= hi1:
             raise ValueError(
-                "files do not start on a block boundary (order_col % "
-                f"block_rows != 0), e.g. {[r['path'] for r in misaligned]}; "
+                f"block {lo2} spans multiple files ({p1}, {p2}); "
                 "use encode_table(block_aligned=False) for this layout"
             )
-        spans = footer.select(
-            "path",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col("min_order") / br).cast("long"),
-                    F.floor(F.col("max_order") / br).cast("long"),
-                )
-            ).alias("block_id"),
-        )
-        dup = (
-            spans.groupBy("block_id")
-            .agg(F.countDistinct("path").alias("n"))
-            .filter("n > 1")
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            raise ValueError(
-                f"block {dup[0]['block_id']} spans multiple files; "
-                "use encode_table(block_aligned=False) for this layout"
-            )
-        if committed is not None:
-            spans = spans.join(committed, "block_id", "left_anti")
-        wanted = spans.groupBy("path").agg(
-            F.sort_array(F.collect_list("block_id")).alias("blocks")
-        )
-        work = wanted.repartition(max(1, min(len(files), 4 * par)))
-        src_schema_json = _parquet_source_schema(files[0], cols)
-        if not direct_write:
-            encoded = work.mapInArrow(
-                _make_file_encode_fn(
-                    cols, config.order_col, br, config.zstd_threshold
-                ),
-                ENCODED_SPARK_SCHEMA,
-            )
-            return _commit_encoded(
-                spark, table, encoded, config, cols, prior,
-                resumed_blocks, out_dir, src_schema_json,
-            )
-        snap_id = table.new_snapshot_id()
-        data_dir = os.path.join(out_dir, "data", snap_id)
-        t0 = time.time()
-        stats = work.mapInArrow(
-            _make_direct_write_fn(
-                cols, config.order_col, br, config.zstd_threshold, data_dir
+    if committed is not None:
+        # resume: committed COMPLETE blocks are O(done blocks) driver
+        # rows (the same magnitude as the manifest); fully committed
+        # files are never opened, partially committed ones get a
+        # blocks mask
+        committed_ids = {r["block_id"] for r in committed.collect()}
+        work_rows = []
+        for lo, hi, p in spans:
+            want = [b for b in range(lo, hi + 1) if b not in committed_ids]
+            if want:
+                work_rows.append((p, want))
+    else:
+        work_rows = [(p, None) for _, _, p in spans]
+    if not work_rows:
+        # everything already committed: no-op pass, keep current snapshot
+        return {
+            "snapshot_id": table._read_meta()["current_snapshot_id"],
+            "wall_s": 0.0,
+            "resumed_committed_blocks": resumed_blocks,
+            "bytes_in": 0,
+            "bytes_out": 0,
+            "partitions": [],
+            "columns": [],
+        }
+    work = spark.createDataFrame(
+        work_rows, "path string, blocks array<long>"
+    ).repartition(max(1, min(len(work_rows), 4 * par)))
+    src_schema_json = _parquet_source_schema(files[0], cols)
+    if not direct_write:
+        encoded = work.mapInArrow(
+            _make_file_encode_fn(
+                cols, config.order_col, br, config.zstd_threshold
             ),
-            _STAT_SPARK_SCHEMA,
-        ).persist()
-        # one encode job (materialized by the first action); the second
-        # action reads the tiny cached stat rows.  A lost-executor
-        # recompute could re-write a task file — its replacement gets a
-        # fresh unique name, the stale one becomes a vacuum()-able orphan
-        # (the same guarantee Iceberg gives speculative attempts).
-        cells = (
-            stats.groupBy("part_id", "column", "codec")
-            .agg(
-                F.count(F.lit(1)).alias("blocks"),
-                F.sum("n_rows").alias("rows"),
-                F.sum("bytes_in").alias("bytes_in"),
-                F.sum("bytes_out").alias("bytes_out"),
-                F.sum("encode_ns").alias("encode_ns"),
-                F.sum("n_runs").alias("runs_emitted"),
-                F.sum(
-                    F.when(F.col("n_rows") != br, 1).otherwise(0)
-                ).alias("partial_blocks"),
-            )
-            .collect()
+            ENCODED_SPARK_SCHEMA,
         )
-        file_rows = stats.select("file", "file_bytes").distinct().collect()
-        stats.unpersist()
-        wall_s = time.time() - t0
-        schema_json = spark.createDataFrame([], ENCODED_SPARK_SCHEMA).schema.json()
-        snap_id = table.commit_files(
-            snap_id,
-            [
-                {"path": r["file"], "bytes": r["file_bytes"]}
-                for r in sorted(file_rows, key=lambda r: r["file"])
-            ],
-            schema_json,
-            mode="append",
-            properties=_snapshot_properties(config, cols, prior, src_schema_json),
+        return _commit_encoded(
+            spark, table, encoded, config, cols, prior,
+            resumed_blocks, out_dir, src_schema_json,
         )
-        return _finish_snapshot(
-            table, out_dir, snap_id, cells, cols, config, resumed_blocks, wall_s
+    snap_id = table.new_snapshot_id()
+    data_dir = os.path.join(out_dir, "data", snap_id)
+    t0 = time.time()
+    stats = work.mapInArrow(
+        _make_direct_write_fn(
+            cols, config.order_col, br, config.zstd_threshold, data_dir
+        ),
+        _STAT_SPARK_SCHEMA,
+    )
+    # ONE job runs the whole encode; a task writes exactly one file, so
+    # grouping by (part_id, file) costs nothing and the single collect
+    # yields both the lineage cells and the commit file list.  A
+    # lost-executor recompute could re-write a task file — its
+    # replacement gets a fresh unique name, the stale one becomes a
+    # vacuum()-able orphan (the same guarantee Iceberg gives
+    # speculative attempts).
+    cells = (
+        stats.groupBy("part_id", "column", "codec", "file", "file_bytes")
+        .agg(
+            F.count(F.lit(1)).alias("blocks"),
+            F.sum("n_rows").alias("rows"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum("bytes_out").alias("bytes_out"),
+            F.sum("encode_ns").alias("encode_ns"),
+            F.sum("n_runs").alias("runs_emitted"),
+            F.sum(
+                F.when(F.col("n_rows") != br, 1).otherwise(0)
+            ).alias("partial_blocks"),
         )
-    finally:
-        footer.unpersist()
+        .collect()
+    )
+    wall_s = time.time() - t0
+    file_list = sorted({(r["file"], r["file_bytes"]) for r in cells})
+    snap_id = table.commit_files(
+        snap_id,
+        [{"path": f, "bytes": b} for f, b in file_list],
+        _encoded_schema_json(),
+        mode="append",
+        properties=_snapshot_properties(config, cols, prior, src_schema_json),
+    )
+    return _finish_snapshot(
+        table, out_dir, snap_id, cells, cols, config, resumed_blocks, wall_s
+    )
 
 
 def dedup_blocks(enc: DataFrame) -> DataFrame:

@@ -1,0 +1,242 @@
+"""Spark Python Data Source (`spark.read/write.format("pyrle")`):
+roundtrip identity vs the library paths, filter-pushdown block pruning
+(superset contract + actual skipping), column pruning, MoR deletes,
+time travel, resume-dedup reads, and the writer's loud-failure
+contracts (unsorted input, block split across tasks)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from pyrle_spark.plans.encode_job import (
+    EncodeConfig,
+    decode_table,
+    delete_rows,
+    encode_table,
+)
+from pyrle_spark.sources.datasource import (
+    _norm_filters,
+    _surviving_blocks,
+    register,
+)
+from pyrle_spark.sources.icetable import IceTable
+from pyrle_spark.sources.webtext import generate_webtext
+
+BR = 512
+N = 4096
+COLS = ["url", "warc_ts", "html", "text", "lang"]
+
+
+@pytest.fixture(scope="module")
+def ds_spark(spark):
+    register(spark)
+    return spark
+
+
+@pytest.fixture(scope="module")
+def table_dir(ds_spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("dsv2") / "tbl")
+    rows = generate_webtext(ds_spark, N, n_hosts=40, block_rows=BR)
+    (
+        rows.repartition(4, F.floor(F.col("doc_seq") / BR).cast("long"))
+        .sortWithinPartitions("doc_seq")
+        .write.format("pyrle")
+        .option("order_col", "doc_seq")
+        .option("block_rows", str(BR))
+        .mode("append")
+        .save(out)
+    )
+    return out
+
+
+def test_write_then_read_roundtrip(ds_spark, table_dir):
+    rows = generate_webtext(ds_spark, N, n_hosts=40, block_rows=BR)
+    got = (
+        ds_spark.read.format("pyrle")
+        .load(table_dir)
+        .orderBy("_order")
+        .select(*sorted(COLS))
+        .toPandas()
+    )
+    exp = rows.orderBy("doc_seq").select(*sorted(COLS)).toPandas()
+    assert got.shape == exp.shape
+    for c in sorted(COLS):
+        assert (got[c].values == exp[c].values).all(), c
+
+
+def test_read_matches_decode_table(ds_spark, table_dir):
+    via_ds = (
+        ds_spark.read.format("pyrle").load(table_dir).orderBy("_order").toPandas()
+    )
+    via_lib = (
+        decode_table(ds_spark, table_dir).orderBy("_order").toPandas()
+    )
+    assert list(via_ds.columns) == list(via_lib.columns)
+    for c in via_ds.columns:
+        assert (via_ds[c].values == via_lib[c].values).all(), c
+
+
+def test_filter_pushdown_exact(ds_spark, table_dir):
+    df = ds_spark.read.format("pyrle").load(table_dir)
+    full = decode_table(ds_spark, table_dir)
+    for cond in [
+        F.col("lang") == "en",
+        F.col("lang").isin("en", "de", "zz_nope"),
+        F.col("url") > "https://m",
+    ]:
+        assert df.filter(cond).count() == full.filter(cond).count()
+
+
+def test_column_pruning_option(ds_spark, table_dir):
+    df = (
+        ds_spark.read.format("pyrle")
+        .option("columns", "lang,text")
+        .load(table_dir)
+    )
+    assert df.columns == ["_order", "lang", "text"]
+    assert df.count() == N
+
+
+def test_pruning_skips_blocks_superset(ds_spark, table_dir):
+    """_surviving_blocks (the task-side pruner) must skip at least one
+    block for a selective predicate, and never a matching one."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.datasource import EqualTo
+
+    meta = IceTable(table_dir)._read_meta()
+    snap = meta["current_snapshot_id"]
+    paths = [f["path"] for f in IceTable(table_dir)._manifest(snap)["files"]]
+    thin = pa.concat_tables(
+        pq.read_table(
+            p,
+            columns=[
+                "block_id", "column", "arrow_type", "n_rows",
+                "zmin", "zmax", "bloom",
+            ],
+        )
+        for p in paths
+    )
+    all_blocks = set(thin.column("block_id").to_pylist())
+    # a url range predicate: zone maps must prune some blocks
+    preds = _norm_filters([EqualTo(("lang",), "fr")])
+    surv = _surviving_blocks(thin, preds)
+    assert surv is not None and surv <= all_blocks
+    # superset contract: every block that actually contains a match survives
+    dec = decode_table(ds_spark, table_dir, columns=["lang"])
+    hit_blocks = {
+        r["b"]
+        for r in dec.filter(F.col("lang") == "fr")
+        .select(F.floor(F.col("_order") / BR).alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert hit_blocks <= surv
+
+
+def test_mor_deletes_and_time_travel(ds_spark, tmp_path):
+    out = str(tmp_path / "mor")
+    rows = generate_webtext(ds_spark, 2 * BR, n_hosts=10, block_rows=BR)
+
+    def _write(df):
+        (
+            df.repartition(1, F.floor(F.col("doc_seq") / BR).cast("long"))
+            .sortWithinPartitions("doc_seq")
+            .write.format("pyrle")
+            .option("order_col", "doc_seq")
+            .option("block_rows", str(BR))
+            .mode("append")
+            .save(out)
+        )
+
+    _write(rows.filter(F.col("doc_seq") < BR))  # snap0
+    snap0 = IceTable(out)._read_meta()["current_snapshot_id"]
+    _write(rows.filter(F.col("doc_seq") >= BR))  # snap1
+    # delete tags the CURRENT snapshot (snap1): visible at snap1+, not snap0
+    delete_rows(ds_spark, out, list(range(10, 60)))
+    assert ds_spark.read.format("pyrle").load(out).count() == 2 * BR - 50
+    assert (
+        ds_spark.read.format("pyrle")
+        .option("snapshot", snap0)
+        .load(out)
+        .count()
+        == BR
+    )
+
+
+def test_resume_dedup_read(ds_spark, tmp_path):
+    """A table holding a superseded partial block (resume semantics) must
+    read the complete row only — files with overlapping block spans fuse
+    into one task and dedup there."""
+    out = str(tmp_path / "resume")
+    rows = generate_webtext(ds_spark, 2 * BR + 100, n_hosts=10, block_rows=BR)
+    cfg = EncodeConfig(columns=COLS, order_col="doc_seq", block_rows=BR)
+    encode_table(ds_spark, rows.filter(F.col("doc_seq") < 2 * BR + 40), out, cfg)
+    encode_table(ds_spark, rows, out, cfg)  # re-encodes the partial tail
+    got = (
+        ds_spark.read.format("pyrle")
+        .load(out)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("_order").alias("d"))
+        .first()
+    )
+    assert got["n"] == 2 * BR + 100 == got["d"]
+
+
+def test_writer_rejects_unsorted(ds_spark, tmp_path):
+    out = str(tmp_path / "unsorted")
+    rows = generate_webtext(ds_spark, BR, n_hosts=5, block_rows=BR)
+    with pytest.raises(Exception, match="sort|order"):
+        (
+            rows.orderBy(F.desc("doc_seq"))
+            .coalesce(1)
+            .write.format("pyrle")
+            .option("order_col", "doc_seq")
+            .option("block_rows", str(BR))
+            .mode("append")
+            .save(out)
+        )
+    assert not IceTable(out).exists()  # nothing committed
+
+
+def test_writer_rejects_block_split_across_tasks(ds_spark, tmp_path):
+    out = str(tmp_path / "split")
+    rows = generate_webtext(ds_spark, 2 * BR, n_hosts=5, block_rows=BR)
+    # range-partition on doc_seq with 3 partitions: boundaries will not
+    # align to BR, so some block spans two tasks -> commit must fail
+    with pytest.raises(Exception, match="two tasks|clustered"):
+        (
+            rows.repartitionByRange(3, "doc_seq")
+            .sortWithinPartitions("doc_seq")
+            .write.format("pyrle")
+            .option("order_col", "doc_seq")
+            .option("block_rows", str(BR))
+            .mode("append")
+            .save(out)
+        )
+    assert not IceTable(out).exists()
+
+
+def test_writer_append_accumulates(ds_spark, tmp_path):
+    out = str(tmp_path / "append2")
+    rows = generate_webtext(ds_spark, 2 * BR, n_hosts=5, block_rows=BR)
+
+    def _write(df):
+        (
+            df.repartition(2, F.floor(F.col("doc_seq") / BR).cast("long"))
+            .sortWithinPartitions("doc_seq")
+            .write.format("pyrle")
+            .option("order_col", "doc_seq")
+            .option("block_rows", str(BR))
+            .mode("append")
+            .save(out)
+        )
+
+    _write(rows.filter(F.col("doc_seq") < BR))
+    _write(rows.filter(F.col("doc_seq") >= BR))
+    got = ds_spark.read.format("pyrle").load(out)
+    assert got.count() == 2 * BR
+    assert got.select(F.countDistinct("_order")).first()[0] == 2 * BR
