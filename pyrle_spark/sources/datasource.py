@@ -80,6 +80,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -362,107 +364,128 @@ class PyrleReader(DataSourceReader):
         return groups
 
     def read(self, partition: _FileGroup):
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_type
-
-        from pyrle_spark.codecs import Encoded, decode_array
-
-        if not partition.paths:
-            return
-        phys_cols = sorted(set(self.phys_of.values()))
-        rename = {p: c for c, p in self.phys_of.items()}
-        # pass 1: thin manifest columns → block pruning + dedup winners
-        thin = pa.concat_tables(
-            pq.read_table(
-                p,
-                columns=_THIN_COLS,
-                filters=[("column", "in", phys_cols)],
-            )
-            for p in partition.paths
+        yield from _decode_group(
+            partition.paths,
+            self.phys_of,
+            self.types,
+            self.block_rows,
+            self.deleted,
+            self.preds,
         )
-        survivors = _surviving_blocks(thin, self.preds) if self.preds else None
-        # dedup (resume semantics): per (block_id, column) the max-n_rows
-        # row wins; ties broken by scan order for determinism
-        win: dict = {}
-        bids = thin.column("block_id").to_pylist()
-        cnames = thin.column("column").to_pylist()
-        nrs = thin.column("n_rows").to_pylist()
-        for i in range(thin.num_rows):
-            if survivors is not None and bids[i] not in survivors:
-                continue
-            k = (bids[i], cnames[i])
-            if k not in win or nrs[i] > win[k][0]:
-                win[k] = (nrs[i], i)
-        want_bids = sorted({b for b, _ in win})
-        if not want_bids:
-            return
-        # pass 2: full rows (buffers included) of surviving blocks only
-        full = pa.concat_tables(
-            pq.read_table(
-                p,
-                columns=["block_id", "column", "codec", "arrow_type",
-                         "n_rows", "meta", "buffers"],
-                filters=[
-                    ("column", "in", phys_cols),
-                    ("block_id", "in", want_bids),
-                ],
-            )
-            for p in partition.paths
+
+
+def _decode_group(
+    paths: list,
+    phys_of: dict,
+    spark_types: dict,
+    block_rows: int,
+    deleted: np.ndarray,
+    preds: list,
+):
+    """Task-side decode of one file group: thin-column pass for block
+    pruning + resume dedup, then a buffers pass over surviving blocks
+    only, decoded and cast to the declared Spark schema's arrow types.
+    Shared by the batch and streaming readers."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    from pyrle_spark.codecs import Encoded, decode_array
+
+    if not paths:
+        return
+    phys_cols = sorted(set(phys_of.values()))
+    rename = {p: c for c, p in phys_of.items()}
+    # pass 1: thin manifest columns → block pruning + dedup winners
+    thin = pa.concat_tables(
+        pq.read_table(
+            p,
+            columns=_THIN_COLS,
+            filters=[("column", "in", phys_cols)],
         )
-        # align pass-2 row indexing with pass-1 winners by re-keying
-        rows_by_key: dict = {}
-        fb = full.column("block_id").to_pylist()
-        fc = full.column("column").to_pylist()
-        fn = full.column("n_rows").to_pylist()
-        for i in range(full.num_rows):
-            k = (fb[i], fc[i])
-            if k in win and fn[i] == win[k][0] and k not in rows_by_key:
-                rows_by_key[k] = i
-        tgt_type = {
-            c: to_arrow_type(self.types[c], timestamp_utc=True)
-            for c in self.cols
-        }
-        codec_a = full.column("codec").to_pylist()
-        at_a = full.column("arrow_type").to_pylist()
-        meta_a = full.column("meta").to_pylist()
-        buf_a = full.column("buffers")
-        for bid in want_bids:
-            arrays = {}
-            n = None
-            for pc_ in phys_cols:
-                i = rows_by_key.get((bid, pc_))
-                if i is None:
-                    raise ValueError(
-                        f"block {bid} lacks column {pc_!r} in "
-                        f"{partition.paths} (corrupt or mid-widen table)"
-                    )
-                enc = Encoded(
-                    codec=codec_a[i],
-                    arrow_type=at_a[i],
-                    n_rows=fn[i],
-                    meta=json.loads(meta_a[i]),
-                    buffers=dict(buf_a[i].as_py()),
+        for p in paths
+    )
+    survivors = _surviving_blocks(thin, preds) if preds else None
+    # dedup (resume semantics): per (block_id, column) the max-n_rows
+    # row wins; ties broken by scan order for determinism
+    win: dict = {}
+    bids = thin.column("block_id").to_pylist()
+    cnames = thin.column("column").to_pylist()
+    nrs = thin.column("n_rows").to_pylist()
+    for i in range(thin.num_rows):
+        if survivors is not None and bids[i] not in survivors:
+            continue
+        k = (bids[i], cnames[i])
+        if k not in win or nrs[i] > win[k][0]:
+            win[k] = (nrs[i], i)
+    want_bids = sorted({b for b, _ in win})
+    if not want_bids:
+        return
+    # pass 2: full rows (buffers included) of surviving blocks only
+    full = pa.concat_tables(
+        pq.read_table(
+            p,
+            columns=["block_id", "column", "codec", "arrow_type",
+                     "n_rows", "meta", "buffers"],
+            filters=[
+                ("column", "in", phys_cols),
+                ("block_id", "in", want_bids),
+            ],
+        )
+        for p in paths
+    )
+    # align pass-2 row indexing with pass-1 winners by re-keying
+    rows_by_key: dict = {}
+    fb = full.column("block_id").to_pylist()
+    fc = full.column("column").to_pylist()
+    fn = full.column("n_rows").to_pylist()
+    for i in range(full.num_rows):
+        k = (fb[i], fc[i])
+        if k in win and fn[i] == win[k][0] and k not in rows_by_key:
+            rows_by_key[k] = i
+    tgt_type = {
+        c: to_arrow_type(t, timestamp_utc=True) for c, t in spark_types.items()
+    }
+    codec_a = full.column("codec").to_pylist()
+    at_a = full.column("arrow_type").to_pylist()
+    meta_a = full.column("meta").to_pylist()
+    buf_a = full.column("buffers")
+    for bid in want_bids:
+        arrays = {}
+        n = None
+        for pc_ in phys_cols:
+            i = rows_by_key.get((bid, pc_))
+            if i is None:
+                raise ValueError(
+                    f"block {bid} lacks column {pc_!r} in "
+                    f"{paths} (corrupt or mid-widen table)"
                 )
-                arr = decode_array(enc)
-                logical = rename.get(pc_, pc_)
-                want = tgt_type[logical]
-                if arr.type != want:
-                    arr = arr.cast(want, safe=False)
-                arrays[logical] = arr
-                n = len(arr)
-            order = np.arange(n, dtype=np.int64) + bid * self.block_rows
-            if len(self.deleted):
-                mask = ~np.isin(order, self.deleted)
-                if not mask.all():
-                    pmask = pa.array(mask)
-                    arrays = {c: a.filter(pmask) for c, a in arrays.items()}
-                    order = order[mask]
-                    if len(order) == 0:
-                        continue
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(order)] + [arrays[c] for c in sorted(arrays)],
-                names=["_order"] + sorted(arrays),
+            enc = Encoded(
+                codec=codec_a[i],
+                arrow_type=at_a[i],
+                n_rows=fn[i],
+                meta=json.loads(meta_a[i]),
+                buffers=dict(buf_a[i].as_py()),
             )
+            arr = decode_array(enc)
+            logical = rename.get(pc_, pc_)
+            want = tgt_type[logical]
+            if arr.type != want:
+                arr = arr.cast(want, safe=False)
+            arrays[logical] = arr
+            n = len(arr)
+        order = np.arange(n, dtype=np.int64) + bid * block_rows
+        if len(deleted):
+            mask = ~np.isin(order, deleted)
+            if not mask.all():
+                pmask = pa.array(mask)
+                arrays = {c: a.filter(pmask) for c, a in arrays.items()}
+                order = order[mask]
+                if len(order) == 0:
+                    continue
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(order)] + [arrays[c] for c in sorted(arrays)],
+            names=["_order"] + sorted(arrays),
+        )
 
 
 # --------------------------------------------------------------- writer
@@ -474,6 +497,135 @@ class _EncodeCommit(WriterCommitMessage):
     bytes: int
     block_ids: list
     cells: list = field(default_factory=list)  # (part_id, column, codec) stats
+
+
+def _encode_task(
+    iterator,
+    columns: list,
+    order_col: str,
+    block_rows: int,
+    zstd_threshold: float,
+    data_dir: str,
+) -> "_EncodeCommit":
+    """Task side of every V2 write (batch and streaming): derive block
+    ids from the order column, verify global monotonicity (the encode
+    kernel only checks within-block order; a block revisited after a
+    different block would silently fork into two partial rows), stream
+    through the shared encode kernel, and write ONE kill-atomic data
+    file.  Returns the file + per-(column, codec) lineage cells."""
+    import pyarrow.parquet as pq
+    from pyspark import TaskContext
+
+    from pyrle_spark.plans.encode_job import (
+        _ENCODED_PA_SCHEMA,
+        _make_encode_fn,
+        _STAT_COLS,
+    )
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx else 0
+    inner = _make_encode_fn(list(columns), zstd_threshold, verify_order=True)
+    state = {"last": None}
+
+    def tagged(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            onp = (
+                b.column(order_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False)
+            )
+            if state["last"] is not None and onp[0] <= state["last"]:
+                raise ValueError(
+                    "rows are not sorted by order_col within the "
+                    "partition; write with .sortWithinPartitions"
+                    f"({order_col!r}) after clustering by block"
+                )
+            if len(onp) > 1 and not bool(np.all(np.diff(onp) > 0)):
+                raise ValueError(
+                    f"duplicate or decreasing {order_col!r} values "
+                    "within a batch; order values must be unique"
+                )
+            state["last"] = int(onp[-1])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(onp // block_rows), pa.array(onp)]
+                + [b.column(c) for c in columns],
+                names=["_block_id", "_order"] + list(columns),
+            )
+
+    os.makedirs(data_dir, exist_ok=True)
+    final = os.path.join(
+        data_dir, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.parquet"
+    )
+    tmp = final + ".inprogress"
+    writer = None
+    kept = []
+    try:
+        for enc_rb in inner(tagged(iterator)):
+            if writer is None:
+                writer = pq.ParquetWriter(
+                    tmp, _ENCODED_PA_SCHEMA, compression="none"
+                )
+            writer.write_batch(enc_rb)
+            kept.append(enc_rb.select(_STAT_COLS))
+    finally:
+        if writer is not None:
+            writer.close()
+    if writer is None:
+        return _EncodeCommit(file="", bytes=0, block_ids=[])
+    os.replace(tmp, final)
+    stats = pa.Table.from_batches(kept)
+    cells: dict = {}
+    sb = stats.column("block_id").to_pylist()
+    sc = stats.column("column").to_pylist()
+    scod = stats.column("codec").to_pylist()
+    snr = stats.column("n_rows").to_pylist()
+    sbi = stats.column("bytes_in").to_pylist()
+    sbo = stats.column("bytes_out").to_pylist()
+    sen = stats.column("encode_ns").to_pylist()
+    sruns = stats.column("n_runs").to_pylist()
+    for i in range(stats.num_rows):
+        k = (pid, sc[i], scod[i])
+        c = cells.setdefault(
+            k,
+            {
+                "part_id": pid, "column": sc[i], "codec": scod[i],
+                "blocks": 0, "rows": 0, "bytes_in": 0, "bytes_out": 0,
+                "encode_ns": 0, "runs_emitted": 0, "partial_blocks": 0,
+            },
+        )
+        c["blocks"] += 1
+        c["rows"] += snr[i]
+        c["bytes_in"] += sbi[i]
+        c["bytes_out"] += sbo[i]
+        c["encode_ns"] += sen[i]
+        c["runs_emitted"] += sruns[i]
+        if snr[i] != block_rows:
+            c["partial_blocks"] += 1
+    return _EncodeCommit(
+        file=final,
+        bytes=os.path.getsize(final),
+        block_ids=sorted(set(sb)),
+        cells=list(cells.values()),
+    )
+
+
+def _check_disjoint_blocks(msgs: list) -> None:
+    """A block written by two tasks means the input was not clustered by
+    block — fail the commit instead of committing two partial rows that
+    dedup-on-read would silently halve."""
+    seen: dict = {}
+    for m in msgs:
+        for b in m.block_ids:
+            if b in seen and seen[b] != m.file:
+                raise ValueError(
+                    f"block {b} was written by two tasks ({seen[b]} and "
+                    f"{m.file}): the input was not clustered by block — "
+                    "repartition by floor(order_col / block_rows) and "
+                    "sortWithinPartitions(order_col) before writing"
+                )
+            seen[b] = m.file
 
 
 class PyrleWriter(DataSourceArrowWriter):
@@ -506,117 +658,17 @@ class PyrleWriter(DataSourceArrowWriter):
         self.t0 = time.time()
 
     def write(self, iterator):
-        from pyspark import TaskContext
-
-        import pyarrow.parquet as pq
-
-        from pyrle_spark.plans.encode_job import (
-            _ENCODED_PA_SCHEMA,
-            _make_encode_fn,
-            _STAT_COLS,
-        )
-        from pyrle_spark.sources.icetable import IceTable
-
-        table = IceTable(self.path)
         if self.snap_id is None:
             # one snapshot id per job: planned on the driver, shipped in
             # the pickled writer, shared by every task's data dir
             raise RuntimeError("writer not initialized with a snapshot id")
-        ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx else 0
-        inner = _make_encode_fn(
-            list(self.columns), self.zstd_threshold, verify_order=True
-        )
-        br = self.block_rows
-        order_col = self.order_col
-        state = {"last": None}
-
-        def tagged(batches):
-            for b in batches:
-                if b.num_rows == 0:
-                    continue
-                onp = (
-                    b.column(order_col)
-                    .to_numpy(zero_copy_only=False)
-                    .astype(np.int64, copy=False)
-                )
-                # global monotonicity across the task's whole stream: the
-                # encode kernel only verifies within-block order; a block
-                # revisited after a different block would silently fork
-                # into two partial rows, so fail loudly here
-                if state["last"] is not None and onp[0] <= state["last"]:
-                    raise ValueError(
-                        "rows are not sorted by order_col within the "
-                        "partition; write with .sortWithinPartitions"
-                        f"({order_col!r}) after clustering by block"
-                    )
-                if len(onp) > 1 and not bool(np.all(np.diff(onp) > 0)):
-                    raise ValueError(
-                        f"duplicate or decreasing {order_col!r} values "
-                        "within a batch; order values must be unique"
-                    )
-                state["last"] = int(onp[-1])
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(onp // br), pa.array(onp)]
-                    + [b.column(c) for c in self.columns],
-                    names=["_block_id", "_order"] + list(self.columns),
-                )
-
-        data_dir = os.path.join(self.path, "data", self.snap_id)
-        os.makedirs(data_dir, exist_ok=True)
-        final = os.path.join(
-            data_dir, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.parquet"
-        )
-        tmp = final + ".inprogress"
-        writer = None
-        kept = []
-        try:
-            for enc_rb in inner(tagged(iterator)):
-                if writer is None:
-                    writer = pq.ParquetWriter(
-                        tmp, _ENCODED_PA_SCHEMA, compression="none"
-                    )
-                writer.write_batch(enc_rb)
-                kept.append(enc_rb.select(_STAT_COLS))
-        finally:
-            if writer is not None:
-                writer.close()
-        if writer is None:
-            return _EncodeCommit(file="", bytes=0, block_ids=[])
-        os.replace(tmp, final)
-        stats = pa.Table.from_batches(kept)
-        cells: dict = {}
-        sb = stats.column("block_id").to_pylist()
-        sc = stats.column("column").to_pylist()
-        scod = stats.column("codec").to_pylist()
-        snr = stats.column("n_rows").to_pylist()
-        sbi = stats.column("bytes_in").to_pylist()
-        sbo = stats.column("bytes_out").to_pylist()
-        sen = stats.column("encode_ns").to_pylist()
-        sruns = stats.column("n_runs").to_pylist()
-        for i in range(stats.num_rows):
-            k = (pid, sc[i], scod[i])
-            c = cells.setdefault(
-                k,
-                {
-                    "part_id": pid, "column": sc[i], "codec": scod[i],
-                    "blocks": 0, "rows": 0, "bytes_in": 0, "bytes_out": 0,
-                    "encode_ns": 0, "runs_emitted": 0, "partial_blocks": 0,
-                },
-            )
-            c["blocks"] += 1
-            c["rows"] += snr[i]
-            c["bytes_in"] += sbi[i]
-            c["bytes_out"] += sbo[i]
-            c["encode_ns"] += sen[i]
-            c["runs_emitted"] += sruns[i]
-            if snr[i] != self.block_rows:
-                c["partial_blocks"] += 1
-        return _EncodeCommit(
-            file=final,
-            bytes=os.path.getsize(final),
-            block_ids=sorted(set(sb)),
-            cells=list(cells.values()),
+        return _encode_task(
+            iterator,
+            list(self.columns),
+            self.order_col,
+            self.block_rows,
+            self.zstd_threshold,
+            os.path.join(self.path, "data", self.snap_id),
         )
 
     def commit(self, messages):
@@ -630,17 +682,7 @@ class PyrleWriter(DataSourceArrowWriter):
         from pyrle_spark.sources.icetable import IceTable
 
         msgs = [m for m in messages if m is not None and m.file]
-        seen: dict = {}
-        for m in msgs:
-            for b in m.block_ids:
-                if b in seen and seen[b] != m.file:
-                    raise ValueError(
-                        f"block {b} was written by two tasks ({seen[b]} and "
-                        f"{m.file}): the input was not clustered by block — "
-                        "repartition by floor(order_col / block_rows) and "
-                        "sortWithinPartitions(order_col) before writing"
-                    )
-                seen[b] = m.file
+        _check_disjoint_blocks(msgs)
         table = IceTable(self.path)
         config = EncodeConfig(
             columns=list(self.columns),
@@ -669,6 +711,244 @@ class PyrleWriter(DataSourceArrowWriter):
         )
 
     def abort(self, messages):
+        for m in messages or []:
+            if m is not None and getattr(m, "file", ""):
+                try:
+                    os.remove(m.file)
+                except OSError:
+                    pass
+
+
+# ------------------------------------------------------------ streaming
+
+
+class PyrleStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("pyrle")`` — a CDC tail of the encoded
+    table through Spark's streaming offset machinery.
+
+    The offset is the length of the MAIN snapshot lineage (the parent
+    chain from the current head): each micro-batch delivers the decoded
+    rows of the data files ADDED by the snapshots in ``(start, end]`` —
+    the same manifest diff as :func:`scan_incremental`, planned by the
+    driver from O(metadata) and decoded one task per file group.
+
+    Semantics match ``streaming/decode_stream.py``'s documented contract:
+    at-least-once per block (a resume/widen/compaction re-adds files and
+    their blocks are re-delivered with current content — exactly-once
+    consumers key on ``_order`` and upsert); MoR deletes are not part of
+    the append stream (diff them with ``incremental_deletes``); a
+    rollback shortens the lineage and fails the stream loudly — restart
+    it with a fresh checkpoint.  ``option("startingSnapshot", "latest")``
+    begins at the current head instead of the table's beginning."""
+
+    def __init__(self, options: dict, schema: StructType):
+        from pyrle_spark.sources.icetable import IceTable
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pyrle stream reader requires .load(<table path>)")
+        table = IceTable(self.path)
+        props = table.properties()
+        self.block_rows = int(props["block_rows"])
+        aliases = props.get("column_aliases", {})
+        self.cols = [f.name for f in schema.fields if f.name != "_order"]
+        self.phys_of = {c: aliases.get(c, c) for c in self.cols}
+        self.types = {
+            f.name: f.dataType for f in schema.fields if f.name != "_order"
+        }
+        self._chain: list = []  # main-lineage snapshot ids, oldest first
+        # Spark lowercases data source option keys
+        start = options.get("startingsnapshot", options.get("startingSnapshot", ""))
+        self.start_latest = str(start).lower() == "latest"
+
+    def _main_chain(self) -> list:
+        """Snapshot ids on the main lineage, oldest → head.  The chain is
+        append-only for a healthy table; a rollback (shorter or diverged
+        chain) raises — streaming offsets cannot regress."""
+        from pyrle_spark.sources.icetable import IceTable
+
+        table = IceTable(self.path)
+        head = table._read_meta()["current_snapshot_id"]
+        known = set(self._chain)
+        suffix: list = []
+        cur = head
+        while cur is not None and cur not in known:
+            suffix.append(cur)
+            cur = table._manifest(cur).get("parent")
+        suffix.reverse()
+        if cur is None and known:
+            raise RuntimeError(
+                f"snapshot lineage of {self.path} no longer extends the "
+                "streamed prefix (rollback or compaction rewrote history); "
+                "restart the stream with a fresh checkpoint"
+            )
+        if known and cur != self._chain[-1]:
+            raise RuntimeError(
+                f"snapshot lineage of {self.path} diverged at {cur} "
+                "(rollback?); restart the stream with a fresh checkpoint"
+            )
+        self._chain = self._chain + suffix
+        return self._chain
+
+    def initialOffset(self) -> dict:
+        return {"idx": len(self._main_chain()) if self.start_latest else 0}
+
+    def latestOffset(self) -> dict:
+        return {"idx": len(self._main_chain())}
+
+    def partitions(self, start: dict, end: dict):
+        from pyrle_spark.sources.icetable import IceTable
+
+        chain = self._main_chain()
+        table = IceTable(self.path)
+        added: list = []
+        for snap_id in chain[int(start["idx"]):int(end["idx"])]:
+            m = table._manifest(snap_id)
+            n_added = int(m.get("added_files", 0))
+            if n_added:
+                added.extend(f["path"] for f in m["files"][-n_added:])
+        if not added:
+            return [_FileGroup(paths=[])]
+        # fuse overlapping block spans (same dedup rationale as batch)
+        import pyarrow.parquet as pq
+
+        spans = []
+        for p in added:
+            md = pq.ParquetFile(p).metadata
+            ci = md.schema.names.index("block_id")
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    mn, mx = -(2**62), 2**62
+                    break
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            spans.append((mn, mx, p))
+        spans.sort()
+        groups: list = []
+        cur_paths, cur_hi = [spans[0][2]], spans[0][1]
+        for mn, mx, p in spans[1:]:
+            if mn <= cur_hi:
+                cur_paths.append(p)
+                cur_hi = max(cur_hi, mx)
+            else:
+                groups.append(_FileGroup(paths=cur_paths))
+                cur_paths, cur_hi = [p], mx
+        groups.append(_FileGroup(paths=cur_paths))
+        return groups
+
+    def read(self, partition: _FileGroup):
+        yield from _decode_group(
+            partition.paths,
+            self.phys_of,
+            self.types,
+            self.block_rows,
+            np.empty(0, dtype=np.int64),  # append stream: no delete masking
+            [],
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint; the table needs nothing
+
+
+class PyrleStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("pyrle")`` — one snapshot per micro-batch
+    through the same Iceberg commit protocol as the batch writer, with
+    exactly-once METADATA: the batch id is recorded in the snapshot
+    properties, and a replayed batch (failure between task success and
+    checkpoint advance) finds its id already committed and skips the
+    re-link — its re-written task files become vacuum()-able orphans,
+    never duplicate manifest entries."""
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        # reuse the batch writer's option parsing / schema bookkeeping
+        self._w = PyrleWriter(options, schema, overwrite=False)
+        self.path = self._w.path
+        self.sink_id = options.get("checkpointlocation", options.get(
+            "checkpointLocation", ""
+        ))
+
+    def write(self, iterator):
+        return _encode_task(
+            iterator,
+            list(self._w.columns),
+            self._w.order_col,
+            self._w.block_rows,
+            self._w.zstd_threshold,
+            os.path.join(self.path, "data", "stream"),
+        )
+
+    def _last_committed_batch(self, table) -> int:
+        """Largest micro-batch id this sink has committed, read by walking
+        the parent chain from the head until this sink's newest snapshot
+        (batch ids are monotone per query, so the first hit is the max).
+        O(snapshots by OTHER writers since our last commit) manifest
+        reads — normally one."""
+        cur = table.current_snapshot_id()
+        while cur is not None:
+            m = table._manifest(cur)
+            p = m.get("properties", {})
+            if (
+                p.get("stream_sink_id", "") == self.sink_id
+                and "stream_batch_id" in p
+            ):
+                return int(p["stream_batch_id"])
+            cur = m.get("parent")
+        return -1
+
+    def commit(self, messages, batchId: int) -> None:
+        from pyrle_spark.plans.encode_job import (
+            EncodeConfig,
+            _encoded_schema_json,
+            _finish_snapshot,
+            _prior_props_guarded,
+            _snapshot_properties,
+        )
+        from pyrle_spark.sources.icetable import IceTable
+
+        msgs = [m for m in messages if m is not None and m.file]
+        table = IceTable(self.path)
+        if table.exists() and batchId <= self._last_committed_batch(table):
+            # replayed micro-batch (failure between this commit and the
+            # checkpoint advance): already in the snapshot log — drop the
+            # re-written task files instead of committing duplicates
+            self.abort(messages, batchId)
+            return
+        if not msgs:
+            return
+        _check_disjoint_blocks(msgs)
+        w = self._w
+        config = EncodeConfig(
+            columns=list(w.columns),
+            order_col=w.order_col,
+            block_rows=w.block_rows,
+            block_aligned=True,
+            zstd_threshold=w.zstd_threshold,
+        )
+        prior = _prior_props_guarded(table, list(w.columns))
+        props = _snapshot_properties(
+            config, list(w.columns), prior, w.src_schema_json
+        )
+        props["stream_batch_id"] = batchId
+        props["stream_sink_id"] = self.sink_id
+        snap_id = table.new_snapshot_id()
+        table.commit_files(
+            snap_id,
+            [
+                {"path": m.file, "bytes": m.bytes}
+                for m in sorted(msgs, key=lambda m: m.file)
+            ],
+            _encoded_schema_json(),
+            mode="append",
+            properties=props,
+        )
+        cells = [c for m in msgs for c in m.cells]
+        _finish_snapshot(
+            table, self.path, snap_id, cells, list(w.columns), config, 0, 0.0
+        )
+
+    def abort(self, messages, batchId: int) -> None:
         for m in messages or []:
             if m is not None and getattr(m, "file", ""):
                 try:
@@ -714,6 +994,12 @@ class PyrleDataSource(DataSource):
         w = PyrleWriter(dict(self.options), schema, overwrite)
         w.snap_id = IceTable(w.path).new_snapshot_id()
         return w
+
+    def streamReader(self, schema: StructType):
+        return PyrleStreamReader(dict(self.options), schema)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return PyrleStreamWriter(dict(self.options), schema, overwrite)
 
 
 def register(spark) -> None:
