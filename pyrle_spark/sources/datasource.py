@@ -98,6 +98,21 @@ __all__ = ["PyrleDataSource", "register"]
 _ORDER_FIELD = {"name": "_order", "type": "long", "nullable": False, "metadata": {}}
 
 
+def _norm_path(p):
+    """Normalize a table path option.  The SQL surface (``CREATE TABLE …
+    USING pyrle OPTIONS (path '…')``) hands the path through Hadoop's
+    resolver as a ``file:`` URI; the DataFrame API hands it verbatim.
+    Local ``file:`` URIs are unwrapped so both spell the same table."""
+    if p and p.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        u = urlparse(p)
+        if u.netloc not in ("", "localhost"):
+            raise ValueError(f"non-local file URI not supported: {p}")
+        return unquote(u.path)
+    return p
+
+
 def _decoded_schema(props: dict, columns: list | None) -> StructType:
     """Decoded-row schema from the snapshot's recorded source types —
     driver metadata only, no data read.  ``columns`` restricts (and the
@@ -271,7 +286,7 @@ class PyrleReader(DataSourceReader):
         from pyrle_spark.plans.encode_job import _delete_positions
         from pyrle_spark.sources.icetable import IceTable
 
-        self.path = options.get("path")
+        self.path = _norm_path(options.get("path"))
         if not self.path:
             raise ValueError("pyrle reader requires .load(<table path>)")
         table = IceTable(self.path)
@@ -634,7 +649,7 @@ class PyrleWriter(DataSourceArrowWriter):
     the reported files in one locked metadata commit."""
 
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
-        self.path = options.get("path")
+        self.path = _norm_path(options.get("path"))
         if not self.path:
             raise ValueError("pyrle writer requires .save(<table path>)")
         self.order_col = options.get("order_col", "doc_seq")
@@ -744,7 +759,7 @@ class PyrleStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict, schema: StructType):
         from pyrle_spark.sources.icetable import IceTable
 
-        self.path = options.get("path")
+        self.path = _norm_path(options.get("path"))
         if not self.path:
             raise ValueError("pyrle stream reader requires .load(<table path>)")
         table = IceTable(self.path)
@@ -969,7 +984,7 @@ class PyrleDataSource(DataSource):
     def schema(self):
         from pyrle_spark.sources.icetable import IceTable
 
-        path = self.options.get("path")
+        path = _norm_path(self.options.get("path"))
         if not path:
             raise ValueError("pyrle data source requires a path")
         table = IceTable(path)

@@ -43,6 +43,26 @@ def _batch_write(df, out: str) -> None:
     )
 
 
+def test_file_uri_load_and_sql_view(ds_spark, tmp_path):
+    """``load("file:/…")`` (the spelling Hadoop's resolver produces, e.g.
+    from SQL DDL paths) reads the same table as the plain path, and the
+    SQL surface works through a temp view.  (Catalog tables — CREATE
+    TABLE … USING pyrle — are parsed but this pyspark version hands the
+    Python reader EMPTY options, so the supported SQL route is a view
+    over ``spark.read``.)"""
+    out = str(tmp_path / "tbl")
+    rows = generate_webtext(ds_spark, BR, n_hosts=7, block_rows=BR)
+    _batch_write(rows, out)
+    got = ds_spark.read.format("pyrle").load("file:" + out)
+    assert got.count() == BR
+    got.createOrReplaceTempView("enc_uri_view")
+    n = ds_spark.sql(
+        "SELECT count(DISTINCT _order) FROM enc_uri_view WHERE lang IS NOT NULL"
+    ).first()[0]
+    assert n == BR
+    ds_spark.catalog.dropTempView("enc_uri_view")
+
+
 def test_stream_read_tails_snapshots(ds_spark, tmp_path):
     out = str(tmp_path / "tbl")
     rows = generate_webtext(ds_spark, 3 * BR, n_hosts=7, block_rows=BR)
