@@ -247,6 +247,15 @@ reference's own data model would need (full-width int64 runs + float64
 values per run, pyrle rle.py:146-147; strings enter as dictionary
 codes + dictionary bytes) — ours is smaller by that factor (≥1 ⇒ the
 north-rule "compressed ≤ reference" holds).
+
+Deployment shape (north rule: `spark-submit --py-files`): the same
+encode runs via
+`spark-submit --master local[N] --driver-memory 8g --py-files
+BENCH/pyrle_spark.zip BENCH/submit_encode.py <src> <table> 32768
+file_direct` — the script only uses the already-created SparkSession,
+so it runs unchanged with `--master yarn --num-executors 4N` on a real
+cluster; smoke-verified this round (SUBMIT_RESULT committed snapshot,
+resume + lineage identical to the library path).
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
