@@ -139,6 +139,36 @@ def test_stream_read_starting_latest(ds_spark, tmp_path):
         ds_spark.catalog.dropTempView("pyrle_latest")
 
 
+def test_stream_read_rollback_fails_loudly(ds_spark, tmp_path):
+    """Streaming offsets cannot regress: after the streamed prefix is
+    rolled back, the reader must raise instead of silently re-reading a
+    diverged chain (the consumer restarts with a fresh checkpoint)."""
+    from pyspark.sql.types import StructType
+
+    from pyrle_spark.sources.datasource import PyrleStreamReader
+
+    out = str(tmp_path / "tbl")
+    rows = generate_webtext(ds_spark, 2 * BR, n_hosts=7, block_rows=BR)
+    _batch_write(rows.filter(F.col("doc_seq") < BR), out)
+    table = IceTable(out)
+    first = table.current_snapshot_id()
+    _batch_write(rows.filter(F.col("doc_seq") >= BR), out)
+
+    schema = StructType.fromJson(
+        __import__("json").loads(
+            '{"type":"struct","fields":[{"name":"_order","type":"long",'
+            '"nullable":false,"metadata":{}}]}'
+        )
+    )
+    # minimal reader: only the lineage walk matters here
+    reader = PyrleStreamReader({"path": out}, schema.add("lang", "string"))
+    assert reader.latestOffset() == {"idx": 2}
+
+    table.rollback_to(first)  # undo the second ingest
+    with pytest.raises(RuntimeError, match="rollback|diverged"):
+        reader.latestOffset()
+
+
 def test_stream_write_end_to_end(ds_spark, tmp_path):
     """File-stream source -> writeStream.format("pyrle") with an
     availableNow trigger: one snapshot per micro-batch, decoded rows
