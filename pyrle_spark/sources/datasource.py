@@ -877,6 +877,14 @@ class PyrleStreamWriter(DataSourceStreamArrowWriter):
     never duplicate manifest entries."""
 
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        if overwrite:
+            # complete/truncate output modes would need a REPLACE snapshot
+            # per micro-batch; the sink is append-only by design — fail at
+            # plan time instead of silently appending
+            raise ValueError(
+                "the pyrle streaming sink is append-only; use "
+                'outputMode("append")'
+            )
         # reuse the batch writer's option parsing / schema bookkeeping
         self._w = PyrleWriter(options, schema, overwrite=False)
         self.path = self._w.path
