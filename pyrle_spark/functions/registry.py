@@ -9,10 +9,11 @@ from pyrle_spark.functions import (
     similarity,
     sketch,
     text,
+    web,
 )
 
 QUERIES = {}
 ORACLE_SQL = {}
-for mod in (text, dedup, similarity, multimodal, sketch, quantize):
+for mod in (text, dedup, similarity, multimodal, sketch, quantize, web):
     QUERIES.update(mod.QUERIES)
     ORACLE_SQL.update(mod.ORACLE_SQL)
