@@ -1,0 +1,138 @@
+"""Event-stream analytics over the events table (SURVEY §2.3/§2.6
+extensions a complete engine needs): gap-based sessionization and the
+as-of join.
+
+Both are single-shuffle window plans (partition by user, order by
+time), the shape that scales: state per user is a running scalar, no
+self-join, no driver state.  Timestamps are compared as exact epoch
+microseconds so the duckdb twins match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def _events(spark, sf_dir):
+    # ts is TIMESTAMP_NTZ in the driver parquet; the session timezone is
+    # pinned to UTC, so the cast to TIMESTAMP is value-preserving and
+    # unix_micros matches duckdb's epoch_us on the naive value
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds 30 minutes.  One shuffle (by user), two
+    window passes, then a grouped rollup per session."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "ts_us",
+        F.sum(is_new).over(w).alias("session_seq"),
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("ts_us") - F.min("ts_us")).alias("dur_us"),
+            F.min("ts_us").alias("start_us"),
+        )
+    )
+
+
+_SESSIONIZE_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+), marked AS (
+  SELECT user_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sess AS (
+  SELECT user_id, ts_us,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events,
+       max(ts_us) - min(ts_us) AS dur_us,
+       min(ts_us) AS start_us
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's latest purchase at
+    or before the click.  Implemented as ONE sorted window over the
+    tagged union (purchases carry their id forward with
+    ``last(..., ignorenulls)``) — no join, one shuffle by user; the
+    duckdb twin uses its native ASOF JOIN, so two entirely different
+    algorithms must agree row-for-row.  Purchases are pre-deduped to
+    one per (user, ts) by max event_id, making ties deterministic in
+    both engines; at equal timestamps the purchase sorts first so
+    'at or before' includes the same instant."""
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_id").alias("purchase_id"))
+        .select("user_id", "ts_us", "purchase_id", F.lit(0).alias("kind"),
+                F.lit(None).cast("long").alias("click_id"))
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(1).alias("kind"), F.col("event_id").alias("click_id"),
+    )
+    u = p.unionByName(c)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = F.last("purchase_id", ignorenulls=True).over(w)
+    return (
+        u.select("user_id", "ts_us", "kind", "click_id",
+                 carried.alias("prior_purchase_id"))
+        .filter(F.col("kind") == 1)
+        .select("click_id", "user_id", "ts_us", "prior_purchase_id")
+    )
+
+
+_ASOF_SQL = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, epoch_us(ts)
+)
+SELECT c.click_id, c.user_id, c.ts_us,
+       p.purchase_id AS prior_purchase_id
+FROM c ASOF LEFT JOIN p
+  ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+"""
+
+
+QUERIES = {
+    "sessionize_events": sessionize_events,
+    "asof_join_events": asof_join_events,
+}
+
+ORACLE_SQL = {
+    "sessionize_events": _SESSIONIZE_SQL,
+    "asof_join_events": _ASOF_SQL,
+}

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyrle_spark.functions import (
     dedup,
+    events,
     multimodal,
     quantize,
     similarity,
@@ -14,6 +15,6 @@ from pyrle_spark.functions import (
 
 QUERIES = {}
 ORACLE_SQL = {}
-for mod in (text, dedup, similarity, multimodal, sketch, quantize, web):
+for mod in (text, dedup, similarity, multimodal, sketch, quantize, web, events):
     QUERIES.update(mod.QUERIES)
     ORACLE_SQL.update(mod.ORACLE_SQL)
