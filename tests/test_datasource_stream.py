@@ -222,6 +222,49 @@ def test_stream_write_end_to_end(ds_spark, tmp_path):
         assert (got[c].values == exp[c].values).all(), c
 
 
+def test_mirror_encoded_incremental(ds_spark, tmp_path):
+    """readStream → writeStream composition: mirror an encoded table
+    into another encoded table, incrementally.  First drain copies the
+    existing snapshots; an append to the source followed by a rerun on
+    the SAME checkpoint processes only the delta; the mirror decodes
+    identically to the source at both points."""
+    from pyrle_spark.streaming.mirror import mirror_encoded
+
+    src = str(tmp_path / "src_tbl")
+    dst = str(tmp_path / "dst_tbl")
+    ck = str(tmp_path / "ck")
+    rows = generate_webtext(ds_spark, 2 * BR, n_hosts=7, block_rows=BR)
+    _batch_write(rows.filter(F.col("doc_seq") < BR), src)
+
+    q = mirror_encoded(ds_spark, src, dst, ck)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    def decoded(path):
+        return (
+            ds_spark.read.format("pyrle").load(path).orderBy("_order").toPandas()
+        )
+
+    a, b = decoded(src), decoded(dst)
+    assert len(b) == BR
+    for c in a.columns:
+        assert (a[c].values == b[c].values).all(), c
+
+    # append to the source, rerun on the same checkpoint → only the
+    # delta is processed (exactly one new mirror snapshot)
+    _batch_write(rows.filter(F.col("doc_seq") >= BR), src)
+    n_snaps_before = len(IceTable(dst).snapshots())
+    q2 = mirror_encoded(ds_spark, src, dst, ck)
+    q2.awaitTermination(120)
+    assert not q2.isActive
+    assert len(IceTable(dst).snapshots()) == n_snaps_before + 1
+
+    a, b = decoded(src), decoded(dst)
+    assert len(b) == 2 * BR
+    for c in a.columns:
+        assert (a[c].values == b[c].values).all(), c
+
+
 def test_stream_write_replayed_batch_commits_once(ds_spark, tmp_path):
     """Exactly-once metadata: re-delivering a batch id that is already in
     the snapshot log must not add a second snapshot, and the replayed
