@@ -240,3 +240,37 @@ def test_writer_append_accumulates(ds_spark, tmp_path):
     got = ds_spark.read.format("pyrle").load(out)
     assert got.count() == 2 * BR
     assert got.select(F.countDistinct("_order")).first()[0] == 2 * BR
+
+
+def test_writer_overwrite_replaces_visible_rows(ds_spark, tmp_path):
+    """mode("overwrite") commits a REPLACE snapshot: the read sees only
+    the new rows, and the pre-overwrite snapshot still time-travels."""
+    out = str(tmp_path / "ovw")
+    rows = generate_webtext(ds_spark, 2 * BR, n_hosts=5, block_rows=BR)
+
+    def _write(df, mode):
+        (
+            df.repartition(2, F.floor(F.col("doc_seq") / BR).cast("long"))
+            .sortWithinPartitions("doc_seq")
+            .write.format("pyrle")
+            .option("order_col", "doc_seq")
+            .option("block_rows", str(BR))
+            .mode(mode)
+            .save(out)
+        )
+
+    _write(rows.filter(F.col("doc_seq") < BR), "append")
+    old_snap = IceTable(out).current_snapshot_id()
+    _write(rows.filter(F.col("doc_seq") >= BR), "overwrite")
+
+    got = ds_spark.read.format("pyrle").load(out)
+    assert got.count() == BR
+    assert got.agg(F.min("_order")).first()[0] == BR  # only the new half
+
+    old = (
+        ds_spark.read.format("pyrle")
+        .option("snapshot", old_snap)
+        .load(out)
+    )
+    assert old.count() == BR
+    assert old.agg(F.max("_order")).first()[0] == BR - 1  # pre-overwrite rows
