@@ -528,6 +528,63 @@ class IceTable:
             "total_files long, total_bytes long, is_current boolean",
         )
 
+    def lineage_df(self, spark: SparkSession) -> DataFrame:
+        """The ``table$lineage`` relation: one row per (snapshot,
+        partition) of encode lineage — the north-star per-partition
+        metrics (bytes in/out, encode MB/s) as a queryable table.
+        Driver-side O(#snapshots × #partitions) metadata, no data IO."""
+        meta = self._read_meta()
+        rows = []
+        for s in meta["snapshots"]:
+            m = self._manifest(s["id"])
+            lin = m.get("properties", {}).get("lineage", {})
+            for p in lin.get("partitions", []):
+                rows.append(
+                    {
+                        "snapshot_id": s["id"],
+                        "part_id": int(p["part_id"]),
+                        "blocks": int(p["blocks"]),
+                        "rows": int(p["rows"]),
+                        "bytes_in": int(p["bytes_in"]),
+                        "bytes_out": int(p["bytes_out"]),
+                        "encode_ns": int(p["encode_ns"]),
+                        "encode_mb_per_s": float(p["encode_mb_per_s"]),
+                    }
+                )
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id string, part_id long, blocks long, rows long, "
+            "bytes_in long, bytes_out long, encode_ns long, "
+            "encode_mb_per_s double",
+        )
+
+    def codecs_df(self, spark: SparkSession) -> DataFrame:
+        """The ``table$codecs`` relation: one row per (snapshot, column,
+        codec) — which codec the auto-selector chose where, with sizes
+        and runs emitted.  Driver-side metadata only."""
+        meta = self._read_meta()
+        rows = []
+        for s in meta["snapshots"]:
+            m = self._manifest(s["id"])
+            lin = m.get("properties", {}).get("lineage", {})
+            for c in lin.get("columns", []):
+                rows.append(
+                    {
+                        "snapshot_id": s["id"],
+                        "column": c["column"],
+                        "codec": c["codec"],
+                        "blocks": int(c["blocks"]),
+                        "bytes_in": int(c["bytes_in"]),
+                        "bytes_out": int(c["bytes_out"]),
+                        "runs_emitted": int(c.get("runs_emitted", 0)),
+                    }
+                )
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id string, column string, codec string, blocks long, "
+            "bytes_in long, bytes_out long, runs_emitted long",
+        )
+
     def history_df(self, spark: SparkSession) -> DataFrame:
         """The ``table$history`` relation: the snapshot log in commit
         order, flagging which entries are ancestors of the CURRENT

@@ -274,3 +274,21 @@ def test_writer_overwrite_replaces_visible_rows(ds_spark, tmp_path):
     )
     assert old.count() == BR
     assert old.agg(F.max("_order")).first()[0] == BR - 1  # pre-overwrite rows
+
+
+def test_lineage_and_codecs_metadata_relations(ds_spark, table_dir):
+    """$lineage / $codecs relations surface the per-partition metrics and
+    codec choices the north rule requires, straight from the manifests."""
+    t = IceTable(table_dir)
+    lin = t.lineage_df(ds_spark).toPandas()
+    assert len(lin) > 0
+    assert (lin["bytes_in"] > 0).all() and (lin["bytes_out"] > 0).all()
+    assert (lin["encode_mb_per_s"] > 0).all()
+    # partition rows sum to the table's committed blocks
+    assert lin["blocks"].sum() == N // BR
+
+    cod = t.codecs_df(ds_spark).toPandas()
+    assert set(COLS) <= set(cod["column"])  # fixture also wrote extras
+    assert (cod["runs_emitted"] > 0).all()
+    # every (column, codec) cell compressed or stayed ≤ raw+ε
+    assert (cod["bytes_out"] <= cod["bytes_in"] * 1.05).all()
