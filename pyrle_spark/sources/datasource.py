@@ -350,6 +350,8 @@ class PyrleReader(DataSourceReader):
         spans = []
         for p in self.files:
             md = pq.ParquetFile(p).metadata
+            if md.num_rows == 0:
+                continue  # empty task file (vacuum fodder): nothing to read
             try:
                 ci = md.schema.names.index("block_id")
             except ValueError:
@@ -365,6 +367,8 @@ class PyrleReader(DataSourceReader):
             if mn is None:
                 mn, mx = -(2**62), 2**62  # statless file: fuse with all
             spans.append((mn, mx, p))
+        if not spans:
+            return [_FileGroup(paths=[])]
         spans.sort()
         groups: list = []
         cur_paths, cur_hi = [spans[0][2]], spans[0][1]
@@ -830,6 +834,8 @@ class PyrleStreamReader(DataSourceStreamReader):
         spans = []
         for p in added:
             md = pq.ParquetFile(p).metadata
+            if md.num_rows == 0:
+                continue  # empty task file: nothing to deliver
             ci = md.schema.names.index("block_id")
             mn = mx = None
             for rg in range(md.num_row_groups):
@@ -839,7 +845,11 @@ class PyrleStreamReader(DataSourceStreamReader):
                     break
                 mn = st.min if mn is None else min(mn, st.min)
                 mx = st.max if mx is None else max(mx, st.max)
+            if mn is None:
+                mn, mx = -(2**62), 2**62  # statless file: fuse with all
             spans.append((mn, mx, p))
+        if not spans:
+            return [_FileGroup(paths=[])]
         spans.sort()
         groups: list = []
         cur_paths, cur_hi = [spans[0][2]], spans[0][1]

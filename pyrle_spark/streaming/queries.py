@@ -30,7 +30,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["stream_windowed_counts", "QUERIES", "ORACLE_SQL"]
+__all__ = ["stream_windowed_counts", "stream_mirror_roundtrip", "QUERIES", "ORACLE_SQL"]
 
 
 def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,5 +82,56 @@ SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, event_type,
 FROM events GROUP BY window_start, event_type
 """
 
-QUERIES = {"stream_windowed_counts": stream_windowed_counts}
-ORACLE_SQL = {"stream_windowed_counts": _STREAM_WINDOWED_SQL}
+
+def stream_mirror_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full V2 streaming loop, driver-certified: encode the
+    documents table into an encoded-blocks table, replicate it through
+    ``readStream.format("pyrle")`` → ``writeStream.format("pyrle")``
+    (one micro-batch per source snapshot, exactly-once metadata), and
+    return the DECODED MIRROR — which must equal the raw documents rows
+    the duckdb oracle reads directly.  Exercises the stream reader's
+    snapshot tail, the stream writer's Iceberg commit, and both codecs
+    paths (encode + decode) in one certified loop."""
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+    from pyrle_spark.sources.datasource import register
+    from pyrle_spark.streaming.mirror import mirror_encoded
+
+    register(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", "text"
+    )
+    src = tempfile.mkdtemp(prefix="mirror_src_")
+    dst = tempfile.mkdtemp(prefix="mirror_dst_")
+    ckpt = tempfile.mkdtemp(prefix="mirror_ckpt_")
+    cfg = EncodeConfig(
+        columns=["lang", "source", "text"], order_col="doc_id",
+        block_rows=128,
+    )
+    encode_table(spark, docs, os.path.join(src, "t"), cfg)
+    q = mirror_encoded(
+        spark, os.path.join(src, "t"), os.path.join(dst, "t"),
+        os.path.join(ckpt, "cp"),
+    )
+    q.awaitTermination()
+    return (
+        spark.read.format("pyrle")
+        .load(os.path.join(dst, "t"))
+        .select(
+            F.col("_order").alias("doc_id"), "lang", "source", "text"
+        )
+    )
+
+
+_STREAM_MIRROR_SQL = """
+SELECT doc_id, lang, source, text FROM documents
+"""
+
+
+QUERIES = {
+    "stream_windowed_counts": stream_windowed_counts,
+    "stream_mirror_roundtrip": stream_mirror_roundtrip,
+}
+ORACLE_SQL = {
+    "stream_windowed_counts": _STREAM_WINDOWED_SQL,
+    "stream_mirror_roundtrip": _STREAM_MIRROR_SQL,
+}
