@@ -127,12 +127,75 @@ FROM c ASOF LEFT JOIN p
 """
 
 
+def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function family (§2.9): per-day, per-type rollup with
+    day-of-week — date_trunc arithmetic on exact UTC timestamps."""
+    ev = _events(spark, sf_dir).select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    day = F.date_trunc("day", F.col("ts"))
+    return (
+        ev.groupBy(day.alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("value_milli"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.dayofweek("day").alias("dow"),
+            "event_type",
+            "n",
+            "value_milli",
+        )
+    )
+
+
+_DAILY_ROLLUP_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(dayofweek(date_trunc('day', ts)) + 1 AS INT) AS dow,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def topk_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (§2.7): the 3 longest documents per language,
+    deterministic tie-break on doc_id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = W.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+_TOPK_SQL = """
+SELECT lang, doc_id, n_chars, CAST(rk AS INT) AS rk
+FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents
+)
+WHERE rk <= 3
+"""
+
+
 QUERIES = {
     "sessionize_events": sessionize_events,
     "asof_join_events": asof_join_events,
+    "events_daily_rollup": events_daily_rollup,
+    "topk_docs_per_lang": topk_docs_per_lang,
 }
 
 ORACLE_SQL = {
     "sessionize_events": _SESSIONIZE_SQL,
     "asof_join_events": _ASOF_SQL,
+    "events_daily_rollup": _DAILY_ROLLUP_SQL,
+    "topk_docs_per_lang": _TOPK_SQL,
 }
