@@ -149,3 +149,87 @@ def test_kill_mid_rewrite_then_resume(tmp_path, spark):
     assert sig_of(dst) == sig_of(ref)
     assert decode_table(spark, dst).count() == N_ROWS
     assert verify_checksums(spark, dst)["bad"] == 0
+
+
+STREAM_WORKER = """
+import sys, time
+sys.path.insert(0, sys.argv[3])
+from pyrle_spark.session import get_spark
+from pyrle_spark.sources.datasource import register
+from pyrle_spark.streaming.mirror import mirror_encoded
+
+spark = get_spark("killstream", cpus=4, shuffle_partitions=4)
+register(spark)
+q = mirror_encoded(spark, sys.argv[1], sys.argv[2],
+                   sys.argv[2] + "_ck", available_now=False)
+q.awaitTermination(600)
+"""
+
+
+@pytest.mark.slow
+def test_kill_mid_stream_mirror_then_resume(tmp_path, spark):
+    """SIGKILL the streaming mirror mid-flight, rerun on the same
+    checkpoint: the mirror must converge to decode-identical with no
+    duplicate micro-batch commits (exactly-once metadata through a real
+    crash, not just the in-process replay path)."""
+    from pyspark.sql import functions as F
+
+    from pyrle_spark.sources.datasource import register
+    from pyrle_spark.sources.icetable import IceTable
+    from pyrle_spark.sources.webtext import generate_webtext
+    from pyrle_spark.streaming.mirror import mirror_encoded
+
+    register(spark)
+    BR = 512
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    rows = generate_webtext(spark, 3 * BR, n_hosts=9, block_rows=BR)
+    for lo in (0, BR, 2 * BR):  # three source snapshots
+        (
+            rows.filter((F.col("doc_seq") >= lo) & (F.col("doc_seq") < lo + BR))
+            .repartition(1)
+            .sortWithinPartitions("doc_seq")
+            .write.format("pyrle")
+            .option("order_col", "doc_seq")
+            .option("block_rows", str(BR))
+            .mode("append")
+            .save(src)
+        )
+
+    proc = subprocess.Popen(
+        [sys.executable, "-c", STREAM_WORKER, src, dst, REPO],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    # wait for the mirror's first commit, then SIGKILL the whole driver
+    meta = os.path.join(dst, "metadata", "metadata.json")
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        if os.path.exists(meta) or proc.poll() is not None:
+            break
+        time.sleep(0.5)
+    if proc.poll() is None:
+        proc.send_signal(signal.SIGKILL)
+        proc.wait()
+    assert os.path.exists(meta), "no mirror snapshot committed before kill"
+
+    # rerun on the SAME checkpoint: drains whatever the kill left behind
+    q = mirror_encoded(spark, src, dst, dst + "_ck")
+    q.awaitTermination(240)
+    assert not q.isActive
+
+    a = spark.read.format("pyrle").load(src).orderBy("_order").toPandas()
+    b = spark.read.format("pyrle").load(dst).orderBy("_order").toPandas()
+    assert len(b) == 3 * BR
+    for c in a.columns:
+        assert (a[c].values == b[c].values).all(), c
+
+    # exactly-once metadata: every committed micro-batch id is unique
+    t = IceTable(dst)
+    ids = [
+        t.properties(s["id"]).get("stream_batch_id")
+        for s in t.snapshots()
+    ]
+    ids = [i for i in ids if i is not None]
+    assert len(ids) == len(set(ids)), f"duplicate micro-batch commits: {ids}"
