@@ -606,7 +606,10 @@ def _commit_encoded(
     # driver-side into the per-partition and per-column views plus the
     # aligned-mode guard (previously three separate scan jobs).
     manifest0 = table._manifest(snap_id)
-    added = [f["path"] for f in manifest0["files"][-manifest0["added_files"]:]]
+    # [-0:] would be the WHOLE list: a fully-resumed pass adds zero files
+    # and must report zero lineage, not re-attribute prior snapshots'
+    n_added = manifest0["added_files"]
+    added = [f["path"] for f in manifest0["files"][-n_added:]] if n_added else []
     enc_df = (
         spark.read.parquet(*added)
         if added

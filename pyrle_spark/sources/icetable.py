@@ -170,6 +170,17 @@ class IceTable:
             for name in sorted(names):
                 if name.endswith(".parquet"):
                     full = os.path.join(root, name)
+                    # Spark writes a file per partition including EMPTY
+                    # partitions (an over-partitioned shuffle on a small
+                    # append leaves mostly-empty tasks); committing them
+                    # bloats every future manifest and read plan, so
+                    # drop them here — one footer read per file, the
+                    # same O(#files) budget as the size stat
+                    import pyarrow.parquet as pq
+
+                    if pq.ParquetFile(full).metadata.num_rows == 0:
+                        os.remove(full)
+                        continue
                     files.append(
                         {"path": full, "bytes": os.path.getsize(full)}
                     )
