@@ -626,6 +626,146 @@ GROUP BY doc_id
 """
 
 
+# ----------------------------------------- exact-substring span dedup
+#
+# Exact duplicated-SPAN detection (the "exact substring dedup" of
+# training-data pipelines — Lee et al. 2022 use suffix arrays; a suffix
+# array is a global sorted structure that does not shard, so at Spark
+# scale the standard substitute is CONTENT-DEFINED anchoring, the same
+# trick rsync/CDC chunking uses): a word n-gram is an anchor iff
+# hash(gram) % ANCHOR_MOD == 0.  Because selection depends only on the
+# gram's CONTENT, two copies of the same duplicated region select the
+# SAME anchors regardless of their alignment/phase inside each document
+# — a shared region of c·ANCHOR_MOD grams is detected with probability
+# ≈ 1 - (1 - 1/ANCHOR_MOD)^(c·ANCHOR_MOD).  Per-doc work is linear,
+# anchor volume is 1/ANCHOR_MOD of the gram stream, and pair generation
+# is an equi-join on the anchor gram with a document-frequency cap as
+# the skew guard (a boilerplate gram at web scale would otherwise emit
+# df² pairs) — never the quadratic doc×doc form and never a global
+# sorted structure.
+
+ANCHOR_N = 8  # words per anchor gram
+ANCHOR_MOD = 4  # content-defined selection rate: keep hash % 4 == 0
+ANCHOR_DF_CAP = 64  # skew guard: anchors in > 64 docs are boilerplate
+MIN_SHARED_ANCHORS = 2  # report pairs sharing ≥ 2 anchors
+
+
+def _anchor_grams(spark, sf_dir) -> DataFrame:
+    """Distinct content-defined anchor word-8-grams per doc."""
+    docs = _docs(spark, sf_dir)
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    grams = docs.select("doc_id", ws.alias("ws")).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                _gram_idx(F.col("ws"), ANCHOR_N),
+                lambda i: F.array_join(F.slice(F.col("ws"), i, ANCHOR_N), " "),
+            )
+        ).alias("gram"),
+    )
+    return grams.distinct().filter(
+        _hash32(F.col("gram")) % ANCHOR_MOD == 0
+    )
+
+
+_ANCHORS_SQL = r"""
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents),
+       unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS t(i)
+"""
+
+
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs with exact duplicated substrings, evidenced by ≥ 2
+    shared content-defined anchor grams (see module comment above for
+    the scale shape: linear anchoring, df-capped equi-join, no suffix
+    array, no doc×doc join)."""
+    a = _anchor_grams(spark, sf_dir)
+    ok = (
+        a.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= ANCHOR_DF_CAP)
+        .select("gram")
+    )
+    aa = a.join(ok, "gram")
+    return (
+        aa.alias("x")
+        .join(aa.alias("y"), "gram")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_anchors"))
+        .filter(F.col("n_shared_anchors") >= MIN_SHARED_ANCHORS)
+    )
+
+
+_DUPLICATE_SPANS_SQL = rf"""
+WITH grams AS ({_ANCHORS_SQL}),
+anchors AS (
+  SELECT doc_id, gram FROM grams
+  WHERE {_hash32_sql('gram')} % {ANCHOR_MOD} = 0
+),
+ok AS (
+  SELECT gram FROM anchors GROUP BY gram
+  HAVING count(*) <= {ANCHOR_DF_CAP}
+)
+SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS n_shared_anchors
+FROM anchors x
+JOIN ok ON ok.gram = x.gram
+JOIN anchors y ON y.gram = x.gram
+WHERE x.doc_id < y.doc_id
+GROUP BY x.doc_id, y.doc_id
+HAVING count(*) >= {MIN_SHARED_ANCHORS}
+"""
+
+
+def span_dedup_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span exposure: of the doc's anchor grams,
+    how many also occur in at least one OTHER document (the fraction a
+    span-level dedup pass would cut).  Linear shapes only: the anchor
+    stream joins its own per-gram document-frequency table (one row per
+    gram — no pair explosion, so no df cap needed here); docs with zero
+    anchors (shorter than ANCHOR_N words or no selected gram) drop out,
+    same as the oracle's inner join."""
+    a = _anchor_grams(spark, sf_dir)
+    dfreq = a.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        a.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("n_dup_anchors"),
+        )
+        .select(
+            "doc_id",
+            "n_anchors",
+            "n_dup_anchors",
+            F.round(F.col("n_dup_anchors") / F.col("n_anchors"), 6).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+_SPAN_DEDUP_FRAC_SQL = rf"""
+WITH grams AS ({_ANCHORS_SQL}),
+anchors AS (
+  SELECT doc_id, gram FROM grams
+  WHERE {_hash32_sql('gram')} % {ANCHOR_MOD} = 0
+),
+dfreq AS (SELECT gram, count(*) AS df FROM anchors GROUP BY gram)
+SELECT a.doc_id,
+       count(*) AS n_anchors,
+       sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS n_dup_anchors,
+       round(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*),
+             6) AS dup_frac
+FROM anchors a JOIN dfreq d ON d.gram = a.gram
+GROUP BY a.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_keep_list": dedup_keep_list,
@@ -637,6 +777,8 @@ QUERIES = {
     "dedup_components": dedup_components,
     "embedding_cosine_dups": embedding_cosine_dups,
     "contamination_overlap": contamination_overlap,
+    "duplicate_spans": duplicate_spans,
+    "span_dedup_frac": span_dedup_frac,
 }
 
 ORACLE_SQL = {
@@ -650,4 +792,6 @@ ORACLE_SQL = {
     "dedup_components": _dedup_components_sql(),
     "embedding_cosine_dups": _emb_dups_sql(),
     "contamination_overlap": _CONTAMINATION_SQL,
+    "duplicate_spans": _DUPLICATE_SPANS_SQL,
+    "span_dedup_frac": _SPAN_DEDUP_FRAC_SQL,
 }

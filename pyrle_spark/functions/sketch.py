@@ -122,12 +122,57 @@ FROM documents QUALIFY sample_rank <= {SAMPLE_K}
 """
 
 
+QUANTILE_QS = (0.25, 0.5, 0.75, 0.9)
+
+
+def quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped quantiles of ``n_chars`` per language, fully
+    distributed — no sort of the data, no driver-side state, no
+    approximation.
+
+    Shape: (1) map-side-combined histogram ``groupBy(lang, value)`` —
+    the only pass over the data; (2) cumulative counts over the
+    HISTOGRAM (one window per lang, ≤ |value domain| rows per group —
+    for unbounded/float domains the same two-level bucketed-cumsum
+    trick as operators/relational._bucketed_fill applies); (3) each
+    quantile q picks the smallest value whose cumulative count reaches
+    ``ceil(q·n)`` — exactly DuckDB's ``quantile_disc`` rank rule, so
+    the oracle can use DuckDB's OWN independent quantile implementation
+    rather than a transliteration of this algorithm.  The 4 quantile
+    constants broadcast."""
+    docs = _docs(spark, sf_dir).select("lang", "n_chars")
+    hist = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy("lang").orderBy("n_chars")
+    cum = hist.select("lang", "n_chars", F.sum("c").over(w).alias("cum"))
+    tot = hist.groupBy("lang").agg(F.sum("c").alias("n"))
+    qs = spark.createDataFrame([(q,) for q in QUANTILE_QS], "q double")
+    return (
+        cum.join(tot, "lang")
+        .join(F.broadcast(qs))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("lang", "q")
+        .agg(F.min("n_chars").cast("long").alias("value"))
+    )
+
+
+def _quantiles_sql() -> str:
+    parts = [
+        f"SELECT lang, CAST({q} AS DOUBLE) AS q, "
+        f"CAST(quantile_disc(n_chars, {q}) AS BIGINT) AS value "
+        f"FROM documents GROUP BY lang"
+        for q in QUANTILE_QS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES = {
     "distinct_kmv": distinct_kmv,
     "sample_hash_priority": sample_hash_priority,
+    "quantiles_by_lang": quantiles_by_lang,
 }
 
 ORACLE_SQL = {
     "distinct_kmv": _distinct_kmv_sql(),
     "sample_hash_priority": _sample_sql(),
+    "quantiles_by_lang": _quantiles_sql(),
 }

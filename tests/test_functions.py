@@ -301,3 +301,60 @@ def test_ngram_ops_survive_short_docs(spark, tmp_path):
     assert repetition_filter(spark, d).count() >= 1
     assert ngram_jaccard_pairs(spark, d).count() == 0
     assert contamination_overlap(spark, d).count() == 0
+
+
+def test_duplicate_spans_detects_planted_duplicate(spark, tmp_path):
+    """Two docs sharing a long exact substring (32 words — plenty of
+    anchor 8-grams at the 1/4 content-defined rate) must surface as a
+    duplicate_spans pair, regardless of the span's alignment inside
+    each doc; unrelated docs must not pair.  span_dedup_frac must see
+    the same duplicated anchors doc-wise."""
+    from pyrle_spark.functions.dedup import duplicate_spans, span_dedup_frac
+
+    dup = " ".join(f"tok{i}" for i in range(32))
+    d = str(tmp_path / "dupdocs")
+    spark.createDataFrame(
+        [
+            (0, "intro words here " + dup, "en", "web", 0),
+            (1, dup + " completely different tail text", "en", "web", 0),
+            (2, " ".join(f"other{i}" for i in range(40)), "en", "web", 0),
+            (3, "tiny", "en", "web", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    pairs = {
+        (r["d1"], r["d2"]): r["n_shared_anchors"]
+        for r in duplicate_spans(spark, d).collect()
+    }
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)] >= 2  # 25 grams in the span → ≈6 anchors
+
+    frac = {r["doc_id"]: r for r in span_dedup_frac(spark, d).collect()}
+    # doc 2 has anchors but none shared; docs 0/1 share the span's
+    assert frac[0]["n_dup_anchors"] == frac[1]["n_dup_anchors"] >= 2
+    assert frac[2]["n_dup_anchors"] == 0
+    assert 3 not in frac  # shorter than ANCHOR_N words → no anchors
+
+
+def test_quantiles_by_lang_matches_numpy(spark):
+    """Exact grouped quantiles must equal the brute-force sorted-rank
+    answer (rank = ceil(q·n), 1-indexed) for every lang and q."""
+    import math
+
+    from pyrle_spark.functions.sketch import QUANTILE_QS, quantiles_by_lang
+
+    got = {
+        (r["lang"], r["q"]): r["value"]
+        for r in quantiles_by_lang(spark, SF_SMALL).collect()
+    }
+    pdf = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("lang", "n_chars")
+        .toPandas()
+    )
+    for lang, grp in pdf.groupby("lang"):
+        vals = np.sort(grp["n_chars"].to_numpy())
+        for q in QUANTILE_QS:
+            rank = max(math.ceil(q * len(vals)), 1)
+            assert got[(lang, q)] == vals[rank - 1], (lang, q)
