@@ -2169,3 +2169,39 @@ def test_presorted_misdeclared_raises(spark, tmp_path):
                 input_presorted=True,
             ),
         )
+
+
+def test_encode_decode_roundtrip_multilingual_nulls(spark, tmp_path):
+    """Real Common-Crawl text is multilingual UTF-8 with nulls; the
+    whole encode → decode pipeline (Spark ⇄ Arrow boundary included,
+    not just the codec kernels hypothesis already fuzzes) must
+    reproduce CJK / emoji / RTL / combining-mark text and NULL slots
+    bit-identically, and the selector must never crash on them."""
+    rows = []
+    samples = [
+        "純粋な日本語のテキストです。圧縮は意味を保存する必要があります。",
+        "🦀🚀 emoji soup 🌍🌎🌏 mixed with ascii",
+        "नमस्ते दुनिया — combining: é = é, ẍ, ǚ",
+        "مرحبا بالعالم (RTL) mixed مع ASCII",
+        "Ω≈ç√∫˜µ≤≥÷ æøå ß∂ƒ ∆˚¬",
+        "",  # empty string is distinct from NULL
+        None,
+        "plain ascii line",
+    ]
+    for i in range(64):
+        s = samples[i % len(samples)]
+        rows.append((i, s, None if i % 13 == 7 else f"host-{i % 5}"))
+    df = spark.createDataFrame(rows, "doc_seq long, text string, host string")
+    out = str(tmp_path / "uenc")
+    encode_table(
+        spark, df, out, EncodeConfig(columns=["text", "host"], block_rows=16)
+    )
+    dec = decode_table(spark, out)
+    src = df.select(F.col("doc_seq").alias("_order"), "text", "host")
+    joined = dec.alias("d").join(src.alias("s"), "_order", "full_outer")
+    bad = joined.filter(
+        "(d.text IS DISTINCT FROM s.text) OR (d.host IS DISTINCT FROM s.host)"
+    ).count()
+    assert bad == 0
+    assert dec.count() == 64
+    assert verify_checksums(spark, out)["bad"] == 0
