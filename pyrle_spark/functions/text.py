@@ -637,8 +637,93 @@ FROM h
 """
 
 
+# ------------------------------------------------------------------ BM25
+
+BM25_TERMS = ("data", "table", "spark")
+BM25_K1 = 1.2
+BM25_B = 0.75
+# precompute derived float constants in ONE place so both engines use
+# the identical double (a SQL literal `1.2 + 1` need not be bit-equal
+# to a Python `1.2 + 1` rounded independently)
+_BM25_K1P1 = BM25_K1 + 1.0
+_BM25_1MB = 1.0 - BM25_B
+
+
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed query term set
+    (Robertson/Okapi; idf = ln(1 + (N − df + ½)/(df + ½)), k1=1.2,
+    b=0.75) — the standard lexical ranking for retrieval-style corpus
+    queries.
+
+    Scale shape: the query term list is tiny → the token explode is
+    filtered on it immediately (corpus streams through one linear
+    pass); df-per-term (≤ |terms| rows) and the global (N, avgdl)
+    scalar broadcast back; one groupBy(doc) sum.  No corpus-wide
+    inverted index is materialized — for repeated ad-hoc queries at
+    100 TB build the text_index (plans/text_index.py) instead."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select("doc_id", _words(F.col("text")).alias("ws"))
+    base = base.select("doc_id", F.size("ws").alias("dl"), "ws")
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("ws").alias("tok"))
+        .filter(F.col("tok").isin(list(BM25_TERMS)))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
+    j = tf.join(F.broadcast(dfreq), "tok").join(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(_BM25_1MB) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * F.lit(_BM25_K1P1) / denom
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum(contrib), 6).alias("bm25"),
+        )
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+_BM25_RANK_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+),
+b2 AS (SELECT doc_id, len(ws) AS dl, ws FROM base),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM b2),
+tf AS (
+  SELECT doc_id, dl, tok, count(*) AS tf
+  FROM b2, unnest(ws) AS t(tok)
+  WHERE tok IN ({_BM25_TERMS_SQL})
+  GROUP BY doc_id, dl, tok
+),
+dfreq AS (SELECT tok, count(*) AS df_t FROM tf GROUP BY tok)
+SELECT tf.doc_id,
+       count(*) AS n_terms,
+       round(sum(
+         ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+         * tf.tf * {_BM25_K1P1!r}
+         / (tf.tf + {BM25_K1!r} * ({_BM25_1MB!r} + {BM25_B!r} * tf.dl / s.avgdl))
+       ), 6) AS bm25
+FROM tf
+JOIN dfreq d ON d.tok = tf.tok
+CROSS JOIN stats s
+GROUP BY tf.doc_id
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
+    "bm25_rank": bm25_rank,
     "html_text_extract": html_text_extract,
     "pii_redaction": pii_redaction,
     "token_count_bpe_ish": token_count_bpe_ish,
@@ -654,6 +739,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "text_stats": _TEXT_STATS_SQL,
+    "bm25_rank": _BM25_RANK_SQL,
     "html_text_extract": _HTML_TEXT_EXTRACT_SQL,
     "pii_redaction": _PII_REDACTION_SQL,
     "token_count_bpe_ish": _TOKEN_COUNT_BPE_SQL,

@@ -358,3 +358,26 @@ def test_quantiles_by_lang_matches_numpy(spark):
         for q in QUANTILE_QS:
             rank = max(math.ceil(q * len(vals)), 1)
             assert got[(lang, q)] == vals[rank - 1], (lang, q)
+
+
+def test_bm25_rank_orders_by_relevance(spark, tmp_path):
+    """BM25 sanity on a controlled corpus: more query-term occurrences
+    at equal length ⇒ strictly higher score; longer doc with the same
+    tf ⇒ lower score (length normalization); docs without any query
+    term are absent."""
+    from pyrle_spark.functions.text import bm25_rank
+
+    d = str(tmp_path / "bmdocs")
+    pad = lambda n: " ".join(["filler"] * n)  # noqa: E731
+    spark.createDataFrame(
+        [
+            (0, "data data data " + pad(7), "en", "web", 0),
+            (1, "data " + pad(9), "en", "web", 0),
+            (2, "data " + pad(29), "en", "web", 0),
+            (3, pad(10), "en", "web", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    got = {r["doc_id"]: r["bm25"] for r in bm25_rank(spark, d).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[0] > got[1] > got[2] > 0
