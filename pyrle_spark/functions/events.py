@@ -186,11 +186,157 @@ WHERE rk <= 3
 """
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: a user converts at stage
+    k only with an event of that type STRICTLY AFTER their first
+    qualifying event of stage k−1 (ties on the microsecond excluded the
+    same way in both engines).  Per-stage user counts.
+
+    Scale shape: each stage is a per-user conditional min — a map-side-
+    combined groupBy(user), never a window over the raw stream — and
+    stages chain through equi-joins on user_id (co-partitioned: one
+    shuffle key throughout, AQE coalesces).  Stage tables only ever
+    shrink, and the output is |stages| rows."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    v = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    rows = [
+        v.agg(
+            F.lit(1).cast("int").alias("stage"),
+            F.lit(FUNNEL_STAGES[0]).alias("event_type"),
+            F.count(F.lit(1)).alias("n_users"),
+        ),
+        c.agg(
+            F.lit(2).cast("int").alias("stage"),
+            F.lit(FUNNEL_STAGES[1]).alias("event_type"),
+            F.count(F.lit(1)).alias("n_users"),
+        ),
+        p.agg(
+            F.lit(3).cast("int").alias("stage"),
+            F.lit(FUNNEL_STAGES[2]).alias("event_type"),
+            F.count(F.lit(1)).alias("n_users"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+_FUNNEL_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+v AS (
+  SELECT user_id, min(ts_us) AS t0 FROM e
+  WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts_us) AS t1
+  FROM e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts_us > v.t0
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts_us) AS t2
+  FROM e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts_us > c.t1
+  GROUP BY e.user_id
+)
+SELECT CAST(1 AS INT) AS stage, '{FUNNEL_STAGES[0]}' AS event_type,
+       count(*) AS n_users FROM v
+UNION ALL
+SELECT CAST(2 AS INT), '{FUNNEL_STAGES[1]}', count(*) FROM c
+UNION ALL
+SELECT CAST(3 AS INT), '{FUNNEL_STAGES[2]}', count(*) FROM p
+"""
+
+
+RETENTION_MAX_WEEKS = 4
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by the week of their
+    FIRST event (cohort), counted again in each later week they were
+    active.  Weeks are ``floor(epoch_days / 7)`` — a pure-arithmetic
+    week that both engines define identically (date_trunc('week') ISO
+    rules would have to match across engines; integer division just
+    does).
+
+    Scale shape: first-event week is a map-side-combined min per user;
+    (user, week) activity is a distinct over the same shuffle key; one
+    user_id equi-join, then an O(#cohorts × #weeks) rollup."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                / F.lit(86_400_000_000 * 7)
+            )
+        ).alias("week"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .filter(F.col("week_offset") < RETENTION_MAX_WEEKS)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+_RETENTION_SQL = f"""
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(ts) / {86_400_000_000 * 7}) AS BIGINT) AS week
+  FROM events
+),
+first AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, week FROM e)
+SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+       count(*) AS n_users
+FROM active a JOIN first f ON f.user_id = a.user_id
+WHERE a.week - f.cohort_week < {RETENTION_MAX_WEEKS}
+GROUP BY f.cohort_week, week_offset
+"""
+
+
 QUERIES = {
     "sessionize_events": sessionize_events,
     "asof_join_events": asof_join_events,
     "events_daily_rollup": events_daily_rollup,
     "topk_docs_per_lang": topk_docs_per_lang,
+    "funnel_conversion": funnel_conversion,
+    "retention_cohorts": retention_cohorts,
 }
 
 ORACLE_SQL = {
@@ -198,4 +344,6 @@ ORACLE_SQL = {
     "asof_join_events": _ASOF_SQL,
     "events_daily_rollup": _DAILY_ROLLUP_SQL,
     "topk_docs_per_lang": _TOPK_SQL,
+    "funnel_conversion": _FUNNEL_SQL,
+    "retention_cohorts": _RETENTION_SQL,
 }

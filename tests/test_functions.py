@@ -381,3 +381,71 @@ def test_bm25_rank_orders_by_relevance(spark, tmp_path):
     got = {r["doc_id"]: r["bm25"] for r in bm25_rank(spark, d).collect()}
     assert set(got) == {0, 1, 2}
     assert got[0] > got[1] > got[2] > 0
+
+
+def _write_events(spark, path, rows):
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [
+            (i, base + _dt.timedelta(hours=h), u, t, 1.0, "{}")
+            for i, (u, t, h) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{path}/events.parquet")
+
+
+def test_funnel_conversion_orders_strictly(spark, tmp_path):
+    """Stage k requires an event strictly after the first stage-k−1
+    event: a click BEFORE the first view must not convert stage 2."""
+    from pyrle_spark.functions.events import funnel_conversion
+
+    d = str(tmp_path / "funnel")
+    _write_events(
+        spark,
+        d,
+        [
+            # user 10 converts the whole funnel in order
+            (10, "view", 0), (10, "click", 1), (10, "purchase", 2),
+            # user 20 clicked before ever viewing: stage 1 only
+            (20, "click", 0), (20, "view", 1),
+            # user 30 views and clicks, purchase precedes the click
+            (30, "purchase", 0), (30, "view", 1), (30, "click", 2),
+            # user 40 never views
+            (40, "purchase", 0),
+        ],
+    )
+    got = {r["stage"]: r["n_users"] for r in funnel_conversion(spark, d).collect()}
+    assert got == {1: 3, 2: 2, 3: 1}
+
+
+def test_retention_cohorts_triangle(spark, tmp_path):
+    """Cohort = floor(epoch_days/7) of the user's first event; a user
+    active in cohort-week + k counts once at offset k."""
+    from pyrle_spark.functions.events import retention_cohorts
+
+    d = str(tmp_path / "retention")
+    wk = 24 * 7  # hours per week
+    _write_events(
+        spark,
+        d,
+        [
+            (1, "view", 0), (1, "view", 1), (1, "view", wk),  # offsets 0, 1(wk)
+            (2, "view", 0), (2, "view", 2 * wk),
+            (3, "view", wk),  # later cohort
+        ],
+    )
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in retention_cohorts(spark, d).collect()
+    }
+    # epoch week of 2024-01-01 = floor(19723 / 7) = 2817
+    w0 = 19723 // 7
+    assert got == {
+        (w0, 0): 2,  # users 1 and 2 in their first week
+        (w0, 1): 1,  # user 1 back one week later
+        (w0, 2): 1,  # user 2 back two weeks later
+        (w0 + 1, 0): 1,  # user 3's own cohort
+    }
