@@ -175,6 +175,41 @@ FROM h
 """
 
 
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier audit: confusion matrix of the stored ``lang`` label
+    vs the marker-word language-ID prediction, with per-true-language
+    recall share.  The data pass is one doc_id equi-join + one grouped
+    count; the recall window runs over the confusion MATRIX
+    (≤ |langs|² rows), never the corpus."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    guess = lang_id_ngram(spark, sf_dir)
+    cm = (
+        docs.join(guess, "doc_id")
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("lang")
+    return cm.select(
+        "lang",
+        "lang_guess",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("recall_share"),
+    )
+
+
+_LANG_CONFUSION_SQL = f"""
+WITH pred AS ({_LANG_ID_SQL}),
+cm AS (
+  SELECT d.lang, p.lang_guess, count(*) AS n
+  FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+  GROUP BY d.lang, p.lang_guess
+)
+SELECT lang, lang_guess, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY lang), 6) AS recall_share
+FROM cm
+"""
+
+
 # ------------------------------------------------------------------ fingerprint
 
 
@@ -729,6 +764,7 @@ QUERIES = {
     "token_count_bpe_ish": token_count_bpe_ish,
     "quality_score": quality_score,
     "lang_id_ngram": lang_id_ngram,
+    "lang_confusion": lang_confusion,
     "doc_fingerprint": doc_fingerprint,
     "boilerplate_spans": boilerplate_spans,
     "source_mixture_weights": source_mixture_weights,
@@ -745,6 +781,7 @@ ORACLE_SQL = {
     "token_count_bpe_ish": _TOKEN_COUNT_BPE_SQL,
     "quality_score": _QUALITY_SCORE_SQL,
     "lang_id_ngram": _LANG_ID_SQL,
+    "lang_confusion": _LANG_CONFUSION_SQL,
     "doc_fingerprint": _DOC_FINGERPRINT_SQL,
     "boilerplate_spans": _BOILERPLATE_SPANS_SQL,
     "source_mixture_weights": _SOURCE_MIXTURE_SQL,
