@@ -536,8 +536,69 @@ SELECT CAST((SELECT count(*) FROM ({_ANN_TOPK_SQL}) t) AS INT) AS k_total,
 """
 
 
+def embedding_norm_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table audit: average embedding L2 norm per document
+    language (documents ⋈ embeddings on doc_id = vec_id).  Per-row
+    norms use the module's float64 left-to-right fold, then are FLOORED
+    TO INTEGER MILLI-UNITS before the cross-row sum — integer addition
+    is associative, so the grouped aggregate is bit-stable at any
+    parallelism (a double sum across rows would depend on reduce
+    order and could flip the last decimal vs the oracle)."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                "embedding", lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    j = docs.join(
+        emb.select(
+            "vec_id", F.floor(norm * 1000).cast("long").alias("norm_milli")
+        ),
+        docs.doc_id == emb.vec_id,
+    )
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("norm_milli").alias("sum_norm_milli"),
+        )
+        .select(
+            "lang",
+            "n_vecs",
+            "sum_norm_milli",
+            F.round(
+                F.col("sum_norm_milli") / (F.col("n_vecs") * F.lit(1000.0)), 6
+            ).alias("avg_norm"),
+        )
+    )
+
+
+_EMB_NORM_SQL = f"""
+WITH n AS (
+  SELECT vec_id,
+         CAST(floor(sqrt(list_sum(list_transform(generate_series(1, {DIM}),
+                k -> CAST(embedding[k] AS DOUBLE)
+                     * CAST(embedding[k] AS DOUBLE)))) * 1000) AS BIGINT)
+           AS norm_milli
+  FROM embeddings
+)
+SELECT d.lang, count(*) AS n_vecs, sum(n.norm_milli) AS sum_norm_milli,
+       round(sum(n.norm_milli) / (count(*) * 1000.0), 6) AS avg_norm
+FROM documents d JOIN n ON n.vec_id = d.doc_id
+GROUP BY d.lang
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
+    "embedding_norm_by_lang": embedding_norm_by_lang,
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_probe2": ann_ivf_probe2,
@@ -547,6 +608,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "ann_cosine_topk": _ANN_TOPK_SQL,
+    "embedding_norm_by_lang": _EMB_NORM_SQL,
     "ann_lsh_buckets": _ann_lsh_sql(),
     "ann_ivf_topk": _ANN_IVF_SQL,
     "ann_ivf_probe2": _ANN_IVF_PROBE2_SQL,

@@ -125,6 +125,23 @@ FROM documents QUALIFY sample_rank <= {SAMPLE_K}
 QUANTILE_QS = (0.25, 0.5, 0.75, 0.9)
 
 
+def _grouped_quantiles(spark, sf_dir, qs) -> DataFrame:
+    """(lang, q, value) exact quantiles — see quantiles_by_lang."""
+    docs = _docs(spark, sf_dir).select("lang", "n_chars")
+    hist = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy("lang").orderBy("n_chars")
+    cum = hist.select("lang", "n_chars", F.sum("c").over(w).alias("cum"))
+    tot = hist.groupBy("lang").agg(F.sum("c").alias("n"))
+    qdf = spark.createDataFrame([(q,) for q in qs], "q double")
+    return (
+        cum.join(tot, "lang")
+        .join(F.broadcast(qdf))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("lang", "q")
+        .agg(F.min("n_chars").cast("long").alias("value"))
+    )
+
+
 def quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT grouped quantiles of ``n_chars`` per language, fully
     distributed — no sort of the data, no driver-side state, no
@@ -140,19 +157,7 @@ def quantiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle can use DuckDB's OWN independent quantile implementation
     rather than a transliteration of this algorithm.  The 4 quantile
     constants broadcast."""
-    docs = _docs(spark, sf_dir).select("lang", "n_chars")
-    hist = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
-    w = W.partitionBy("lang").orderBy("n_chars")
-    cum = hist.select("lang", "n_chars", F.sum("c").over(w).alias("cum"))
-    tot = hist.groupBy("lang").agg(F.sum("c").alias("n"))
-    qs = spark.createDataFrame([(q,) for q in QUANTILE_QS], "q double")
-    return (
-        cum.join(tot, "lang")
-        .join(F.broadcast(qs))
-        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
-        .groupBy("lang", "q")
-        .agg(F.min("n_chars").cast("long").alias("value"))
-    )
+    return _grouped_quantiles(spark, sf_dir, QUANTILE_QS)
 
 
 def _quantiles_sql() -> str:
@@ -165,14 +170,103 @@ def _quantiles_sql() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+SPLIT_SALT = "split-v1"
+SPLIT_BOUNDS = (80, 90)  # hash%100: <80 train, <90 val, else test
+
+
+def dataset_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by salted content hash
+    (hash%100 against fixed boundaries), reported as per-(source,
+    split) counts.  The assignment is a pure function of doc_id + salt:
+    stable across reruns, parallelism, and incremental appends — the
+    property a training pipeline needs so yesterday's val doc can never
+    silently migrate into today's train shard.  One map-side-combined
+    groupBy; no shuffle of the corpus rows themselves."""
+    docs = _docs(spark, sf_dir).select("source", "doc_id")
+    bucket = (
+        _hash32(F.concat(F.col("doc_id").cast("string"), F.lit(SPLIT_SALT)))
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_BOUNDS[0], "train")
+        .when(bucket < SPLIT_BOUNDS[1], "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _split_sql() -> str:
+    h = _hash32_sql(f"doc_id || '{SPLIT_SALT}'")
+    return f"""
+SELECT source,
+       CASE WHEN {h} % 100 < {SPLIT_BOUNDS[0]} THEN 'train'
+            WHEN {h} % 100 < {SPLIT_BOUNDS[1]} THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM documents
+GROUP BY source, split
+"""
+
+
+def median_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition of the exact-quantile operator with a filter: per
+    language, how many documents survive a keep-if-``n_chars`` ≥
+    lang-median gate.  The median table is ≤ |langs| rows → broadcast
+    back onto the corpus scan; one grouped count after."""
+    med = _grouped_quantiles(spark, sf_dir, (0.5,)).select(
+        "lang", F.col("value").alias("med_n_chars")
+    )
+    docs = _docs(spark, sf_dir).select("lang", "n_chars")
+    return (
+        docs.join(F.broadcast(med), "lang")
+        .groupBy("lang", "med_n_chars")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                (F.col("n_chars") >= F.col("med_n_chars")).cast("long")
+            ).alias("n_kept"),
+        )
+        .select(
+            "lang",
+            "med_n_chars",
+            "n_total",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_total"), 6).alias("keep_frac"),
+        )
+    )
+
+
+_MEDIAN_FILTER_SQL = """
+WITH med AS (
+  SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS med_n_chars
+  FROM documents GROUP BY lang
+)
+SELECT d.lang, m.med_n_chars,
+       count(*) AS n_total,
+       sum(CASE WHEN d.n_chars >= m.med_n_chars THEN 1 ELSE 0 END) AS n_kept,
+       round(sum(CASE WHEN d.n_chars >= m.med_n_chars THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS keep_frac
+FROM documents d JOIN med m ON m.lang = d.lang
+GROUP BY d.lang, m.med_n_chars
+"""
+
+
 QUERIES = {
     "distinct_kmv": distinct_kmv,
     "sample_hash_priority": sample_hash_priority,
     "quantiles_by_lang": quantiles_by_lang,
+    "dataset_split_stratified": dataset_split_stratified,
+    "median_length_filter": median_length_filter,
 }
 
 ORACLE_SQL = {
     "distinct_kmv": _distinct_kmv_sql(),
     "sample_hash_priority": _sample_sql(),
     "quantiles_by_lang": _quantiles_sql(),
+    "dataset_split_stratified": _split_sql(),
+    "median_length_filter": _MEDIAN_FILTER_SQL,
 }

@@ -449,3 +449,19 @@ def test_retention_cohorts_triangle(spark, tmp_path):
         (w0, 2): 1,  # user 2 back two weeks later
         (w0 + 1, 0): 1,  # user 3's own cohort
     }
+
+
+def test_dataset_split_deterministic_and_proportional(spark):
+    """Split assignment is a pure function of doc_id + salt (two runs
+    identical) and globally close to the 80/10/10 boundaries."""
+    from pyrle_spark.functions.sketch import dataset_split_stratified
+
+    a = sorted(map(tuple, dataset_split_stratified(spark, SF_SMALL).collect()))
+    b = sorted(map(tuple, dataset_split_stratified(spark, SF_SMALL).collect()))
+    assert a == b
+    totals = {}
+    for _, split, n in a:
+        totals[split] = totals.get(split, 0) + n
+    n_all = sum(totals.values())
+    assert 0.7 <= totals["train"] / n_all <= 0.9
+    assert totals["train"] + totals.get("val", 0) + totals.get("test", 0) == n_all
