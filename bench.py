@@ -302,6 +302,9 @@ def main() -> None:
             # the 100 TB-relevant dedup family: banded LSH candidate
             # generation over per-doc MinHash signatures
             ("minhash_lsh_pairs", fn_registry.QUERIES["minhash_lsh_pairs"]),
+            # exact-substring span dedup via content-defined anchors —
+            # the df-capped equi-join shape that replaces suffix arrays
+            ("duplicate_spans", fn_registry.QUERIES["duplicate_spans"]),
         ):
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

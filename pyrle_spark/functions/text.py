@@ -756,9 +756,82 @@ GROUP BY tf.doc_id
 """
 
 
+# ------------------------------------------------------------- report card
+
+
+def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation report card: the one table a pipeline owner
+    reads before a training run — document counts, token budget,
+    quality/repetition/duplication exposure — composed from the
+    already-certified per-doc operators (quality_score,
+    token_count_bpe_ish, repetition_filter, span_dedup_frac).
+
+    All cross-row aggregates are integer counts/sums (associative →
+    parallelism-independent); per-doc operators that drop short/empty
+    docs re-enter through left joins with 0-defaults.  Scale shape:
+    four doc_id-keyed equi-joins (one shuffle key throughout, AQE
+    co-partitions) into one grouped rollup of O(#sources) rows."""
+    from pyrle_spark.functions.dedup import span_dedup_frac
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    t = token_count_bpe_ish(spark, sf_dir)
+    r = repetition_filter(spark, sf_dir).select(
+        "doc_id", F.col("too_repetitive").cast("long").alias("rep")
+    )
+    s = span_dedup_frac(spark, sf_dir).select("doc_id", "n_dup_anchors")
+    j = (
+        docs.join(q, "doc_id", "left")
+        .join(t, "doc_id", "left")
+        .join(r, "doc_id", "left")
+        .join(s, "doc_id", "left")
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce(F.col("n_tokens_bpe"), F.lit(0))).alias(
+            "n_tokens_bpe"
+        ),
+        F.sum((F.col("quality") == "good").cast("long")).alias("n_good"),
+        F.sum((F.col("quality") == "junk").cast("long")).alias("n_junk"),
+        F.sum(F.coalesce(F.col("rep"), F.lit(0))).alias("n_repetitive"),
+        F.sum(
+            (F.coalesce(F.col("n_dup_anchors"), F.lit(0)) >= 2).cast("long")
+        ).alias("n_dupey"),
+    )
+
+
+def _report_card_sql() -> str:
+    from pyrle_spark.functions.dedup import _SPAN_DEDUP_FRAC_SQL
+
+    return f"""
+WITH q AS ({_QUALITY_SCORE_SQL}),
+t AS ({_TOKEN_COUNT_BPE_SQL}),
+r AS ({_REPETITION_FILTER_SQL}),
+s AS ({_SPAN_DEDUP_FRAC_SQL})
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(coalesce(t.n_tokens_bpe, 0)) AS BIGINT) AS n_tokens_bpe,
+       CAST(sum(CASE WHEN q.quality = 'good' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_good,
+       CAST(sum(CASE WHEN q.quality = 'junk' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_junk,
+       CAST(sum(CASE WHEN r.too_repetitive THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repetitive,
+       CAST(sum(CASE WHEN coalesce(s.n_dup_anchors, 0) >= 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dupey
+FROM documents d
+LEFT JOIN q ON q.doc_id = d.doc_id
+LEFT JOIN t ON t.doc_id = d.doc_id
+LEFT JOIN r ON r.doc_id = d.doc_id
+LEFT JOIN s ON s.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "bm25_rank": bm25_rank,
+    "corpus_report_card": corpus_report_card,
     "html_text_extract": html_text_extract,
     "pii_redaction": pii_redaction,
     "token_count_bpe_ish": token_count_bpe_ish,
@@ -776,6 +849,7 @@ QUERIES = {
 ORACLE_SQL = {
     "text_stats": _TEXT_STATS_SQL,
     "bm25_rank": _BM25_RANK_SQL,
+    "corpus_report_card": _report_card_sql(),
     "html_text_extract": _HTML_TEXT_EXTRACT_SQL,
     "pii_redaction": _PII_REDACTION_SQL,
     "token_count_bpe_ish": _TOKEN_COUNT_BPE_SQL,
