@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyrle_spark.functions import (
     dedup,
     events,
+    lm,
     multimodal,
     quantize,
     similarity,
@@ -15,6 +16,6 @@ from pyrle_spark.functions import (
 
 QUERIES = {}
 ORACLE_SQL = {}
-for mod in (text, dedup, similarity, multimodal, sketch, quantize, web, events):
+for mod in (text, dedup, similarity, multimodal, sketch, quantize, web, events, lm):
     QUERIES.update(mod.QUERIES)
     ORACLE_SQL.update(mod.ORACLE_SQL)

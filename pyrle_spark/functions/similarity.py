@@ -596,7 +596,111 @@ GROUP BY d.lang
 """
 
 
+# ------------------------------------------------------------- SemDeDup
+
+# deterministic near-dup injection, mirroring functions/dedup.py: the
+# first N_SEM_DUP vectors reappear scaled ×2 under vec_id + SEM_DUP_OFFSET
+# (cosine(v, 2v) = 1.0, far above the natural max of ~0.53 in this corpus)
+SEM_DUP_OFFSET = 1_000_000
+N_SEM_DUP = 20
+SEM_TAU = 0.99
+
+
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding table with a
+    coarse quantizer, search for semantic near-duplicates only *within*
+    each cluster, and keep the lowest ``vec_id`` of every duplicate set.
+
+    Emits one row per vector: ``(vec_id, cid, kept)`` — the keep-list a
+    curation pass consumes.  A vector is dropped iff some same-cluster
+    vector with a smaller id has cosine ≥ ``SEM_TAU`` (the paper's
+    greedy one-per-neighbourhood rule, made deterministic by id order).
+
+    Scale shape: the pairwise search is scoped to a cluster, which is
+    the paper's own device for web scale — K grows with N so cluster
+    occupancy stays bounded, making the within-cluster join linear in
+    the table.  Centroids are the deterministic first-``N_CENTROIDS``
+    vectors (as in the IVF queries; k-means would converge from here
+    but its float reductions are oracle-unreplayable — see
+    ``ann_kmeans_recall`` for the k-means-quality evidence).
+    """
+    raw = _emb(spark, sf_dir).select("vec_id", _dvec("embedding").alias("v"))
+    dups = raw.filter(F.col("vec_id") < N_SEM_DUP).select(
+        (F.col("vec_id") + SEM_DUP_OFFSET).alias("vec_id"),
+        F.transform("v", lambda x: x * 2.0).alias("v"),
+    )
+    base = raw.unionByName(dups)
+    cents = raw.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    sims = base.join(F.broadcast(cents)).select(
+        "vec_id", "v", "cid", F.round(_cos(F.col("v"), F.col("cv")), 6).alias("sim")
+    )
+    wa = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    assigned = (
+        sims.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") > F.col("b.vec_id")),
+        )
+        .filter(F.round(_cos(F.col("a.v"), F.col("b.v")), 6) >= SEM_TAU)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.when(F.col("is_dropped").isNull(), 1).otherwise(0).alias("kept"),
+        )
+    )
+
+
+_SEMDEDUP_SQL = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + {SEM_DUP_OFFSET},
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)
+  FROM embeddings WHERE vec_id < {N_SEM_DUP}
+),
+c AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+sims AS (
+  SELECT base.vec_id, base.v, c.cid,
+         round({_cos_sql('base.v', 'c.cv')}, 6) AS sim
+  FROM base CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cid ASC) AS rn
+    FROM sims) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id > b.vec_id
+  WHERE round({_cos_sql('a.v', 'b.v')}, 6) >= {SEM_TAU}
+)
+SELECT a.vec_id, a.cid,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+"""
+
+
 QUERIES = {
+    "semdedup_keep": semdedup_keep,
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_norm_by_lang": embedding_norm_by_lang,
     "ann_lsh_buckets": ann_lsh_buckets,
@@ -607,6 +711,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "semdedup_keep": _SEMDEDUP_SQL,
     "ann_cosine_topk": _ANN_TOPK_SQL,
     "embedding_norm_by_lang": _EMB_NORM_SQL,
     "ann_lsh_buckets": _ann_lsh_sql(),

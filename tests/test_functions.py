@@ -465,3 +465,82 @@ def test_dataset_split_deterministic_and_proportional(spark):
     n_all = sum(totals.values())
     assert 0.7 <= totals["train"] / n_all <= 0.9
     assert totals["train"] + totals.get("val", 0) + totals.get("test", 0) == n_all
+
+
+def test_sequence_packing_offsets_contiguous(spark):
+    """Per lang, offsets are an exact exclusive prefix sum in doc_id
+    order (the bucketed two-pass scan equals the naive sequential one)
+    and chunk spans are consistent with the offsets."""
+    from pyrle_spark.functions.lm import CHUNK_TOKENS, sequence_packing
+
+    rows = sequence_packing(spark, SF_SMALL).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(rows) == 500
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        running = 0
+        for r in rs:
+            assert r["tok_offset"] == running, (lang, r["doc_id"])
+            assert r["first_chunk"] == r["tok_offset"] // CHUNK_TOKENS
+            assert (
+                r["last_chunk"] == (r["tok_offset"] + r["toks"] - 1) // CHUNK_TOKENS
+            )
+            assert r["n_chunks"] == r["last_chunk"] - r["first_chunk"] + 1 >= 1
+            running += r["toks"]
+
+
+def test_lm_novelty_bounds_and_split(spark):
+    """Novelty rows cover exactly the held-out split; unseen counts are
+    bounded by bigram counts; the terminal ratio matches the integers."""
+    from pyrle_spark.functions.lm import TRAIN_MOD, lm_bigram_novelty
+
+    rows = lm_bigram_novelty(spark, SF_SMALL).collect()
+    assert rows and all(r["doc_id"] % TRAIN_MOD == 0 for r in rows)
+    for r in rows:
+        assert 0 <= r["n_unseen"] <= r["n_bigrams"]
+        if r["n_bigrams"] == 0:
+            assert r["seen_frac"] is None
+        else:
+            assert r["seen_frac"] == pytest.approx(
+                (r["n_bigrams"] - r["n_unseen"]) / r["n_bigrams"]
+            )
+
+
+def test_semdedup_drops_exactly_injected(spark):
+    """The injected scaled duplicates (and only they) are dropped: the
+    natural corpus has no within-cluster pair above SEM_TAU, and the
+    keep-lowest rule keeps every original."""
+    from pyrle_spark.functions.similarity import (
+        N_SEM_DUP,
+        SEM_DUP_OFFSET,
+        semdedup_keep,
+    )
+
+    rows = semdedup_keep(spark, SF_SMALL).collect()
+    dropped = {r["vec_id"] for r in rows if r["kept"] == 0}
+    assert dropped == {SEM_DUP_OFFSET + i for i in range(N_SEM_DUP)}
+
+
+def test_bpe_pair_counts_matches_python(spark, ducks):
+    """Top-20 adjacent character pairs equal a pure-python recount."""
+    from collections import Counter
+
+    from pyrle_spark.functions.lm import TOP_PAIRS, bpe_pair_counts
+
+    texts = [
+        t
+        for (t,) in ducks.sql("SELECT text FROM documents").fetchall()
+    ]
+    counts = Counter()
+    for t in texts:
+        for w in t.strip().split():
+            for i in range(len(w) - 1):
+                counts[w[i : i + 2]] += 1
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_PAIRS]
+    got = sorted(
+        ((r["pair"], r["n"]) for r in bpe_pair_counts(spark, SF_SMALL).collect()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    assert got == expected
