@@ -766,7 +766,95 @@ GROUP BY a.doc_id
 """
 
 
+# ---------------------------------------------------------------- winnowing
+
+# Winnowing (Schleimer/Wilkerson/Aiken, MOSS): hash every WINNOW_K-word
+# gram, slide a WINNOW_W-gram window, keep each window's minimum hash.
+# Any exact shared run of ≥ WINNOW_K + WINNOW_W - 1 words is GUARANTEED
+# to yield a shared fingerprint (the detection floor the anchor-gram
+# scheme above lacks — hash%MOD selection can miss a span entirely);
+# the price is a denser fingerprint stream.  Both schemes are linear
+# per document and meet in the same df-capped equi-join.
+WINNOW_K = 4  # words per gram
+WINNOW_W = 3  # grams per window → guarantee floor = 6 shared words
+WINNOW_DF_CAP = 64  # skew guard, same rationale as ANCHOR_DF_CAP
+
+
+def _winnow_fps(spark, sf_dir) -> DataFrame:
+    """Distinct winnowing fingerprints per doc: (doc_id, fp)."""
+    docs = _docs(spark, sf_dir)
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    hs = F.transform(
+        _gram_idx(ws, WINNOW_K),
+        lambda i: _hash32(F.array_join(F.slice(ws, i, WINNOW_K), " ")),
+    )
+    d = docs.select("doc_id", hs.alias("hs"))
+    fps = F.transform(
+        _gram_idx(F.col("hs"), WINNOW_W),
+        lambda j: F.array_min(F.slice(F.col("hs"), j, WINNOW_W)),
+    )
+    return d.select("doc_id", F.explode(fps).alias("fp")).distinct()
+
+
+_WINNOW_FPS_SQL = rf"""
+  SELECT DISTINCT doc_id, fp
+  FROM (
+    SELECT doc_id,
+           list_transform(
+             generate_series(1, greatest(len(ws) - {WINNOW_K - 1}, 0)),
+             i -> CAST(('0x' || substr(md5(
+                    array_to_string(ws[i:i + {WINNOW_K - 1}], ' ')), 1, 8))
+                  AS BIGINT)) AS hs
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+          FROM documents)
+  ),
+  unnest(list_transform(
+    generate_series(1, greatest(len(hs) - {WINNOW_W - 1}, 0)),
+    j -> list_min(hs[j:j + {WINNOW_W - 1}]))) AS t(fp)
+"""
+
+
+def winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing winnowing fingerprints, with the shared
+    count as evidence strength.  One shared fingerprint already proves
+    an exact ≥ ``WINNOW_K``-word match (it is the min-hash of a window
+    of grams both documents contain verbatim), so the threshold is 1;
+    consumers gate on ``n_shared_fps`` for stricter cuts.  Scale shape
+    identical to ``duplicate_spans``: linear fingerprinting, df-capped
+    fingerprint equi-join, never doc×doc."""
+    f = _winnow_fps(spark, sf_dir)
+    ok = (
+        f.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WINNOW_DF_CAP)
+        .select("fp")
+    )
+    ff = f.join(ok, "fp")
+    return (
+        ff.alias("x")
+        .join(ff.alias("y"), "fp")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+
+
+_WINNOW_PAIRS_SQL = rf"""
+WITH fps AS ({_WINNOW_FPS_SQL}),
+ok AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {WINNOW_DF_CAP}
+)
+SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS n_shared_fps
+FROM fps x
+JOIN ok ON ok.fp = x.fp
+JOIN fps y ON y.fp = x.fp
+WHERE x.doc_id < y.doc_id
+GROUP BY x.doc_id, y.doc_id
+"""
+
+
 QUERIES = {
+    "winnow_dup_pairs": winnow_dup_pairs,
     "dedup_exact": dedup_exact,
     "dedup_keep_list": dedup_keep_list,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -782,6 +870,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "winnow_dup_pairs": _WINNOW_PAIRS_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_keep_list": _dedup_keep_list_sql(),
     "ngram_jaccard_pairs": _ngram_jaccard_sql(),

@@ -544,3 +544,30 @@ def test_bpe_pair_counts_matches_python(spark, ducks):
         key=lambda kv: (-kv[1], kv[0]),
     )
     assert got == expected
+
+
+def test_winnow_guarantee_floor(spark, tmp_path):
+    """Winnowing's detection guarantee: ANY exact shared run of
+    WINNOW_K + WINNOW_W - 1 = 6 words must yield a shared fingerprint
+    — even a minimal one the content-defined anchor scheme can miss —
+    and unrelated docs must not pair."""
+    from pyrle_spark.functions.dedup import winnow_dup_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta"  # exactly 6 words
+    d = str(tmp_path / "windocs")
+    spark.createDataFrame(
+        [
+            (0, "unrelated head words " + shared, "en", "web", 0),
+            (1, shared + " some different trailing words", "en", "web", 0),
+            (2, " ".join(f"other{i}" for i in range(40)), "en", "web", 0),
+            (3, "too tiny", "en", "web", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    pairs = {
+        (r["d1"], r["d2"]): r["n_shared_fps"]
+        for r in winnow_dup_pairs(spark, d).collect()
+    }
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)] >= 1
