@@ -287,3 +287,101 @@ ORACLE_SQL = {
     "lm_bigram_novelty": _LM_NOVELTY_SQL,
     "sequence_packing": _SEQ_PACK_SQL,
 }
+
+
+# ------------------------------------------------------- full BPE trainer
+
+
+def _merge_fold(sym_col, a: str, b: str):
+    """Apply one BPE merge (a, b) -> a+b to a symbol array, greedy
+    left-to-right, as a pure built-in fold (no Python in the plan)."""
+    merged = a + b
+    return F.aggregate(
+        sym_col,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_learn(spark: SparkSession, sf_dir: str, rounds: int = 4) -> list:
+    """Learn ``rounds`` BPE merges over the corpus, the scalable way:
+    ONE corpus pass builds the distinct-word frequency table, then every
+    merge round runs on that vocab-sized table only (the standard
+    trick of real BPE trainers — corpus size stops mattering after the
+    first pass).  Pair counts are weighted by word frequency; ties
+    break on lexicographic pair order so the result is deterministic at
+    any parallelism.  Returns ``[(a, b), ...]`` in merge order.
+
+    Per round: one partially-aggregated groupBy over the vocab and a
+    single-row driver collect (the argmax merge) — O(rounds) tiny jobs
+    after the one corpus scan.  The merge application is a built-in
+    ``aggregate`` fold, so no Python touches the hot path.
+    """
+    words = (
+        _docs(spark, sf_dir)
+        .select(F.explode(_words_col()).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    vocab = words.select(
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
+            "sym"
+        ),
+        "freq",
+    ).persist()
+    vocab.count()
+    merges: list = []
+    for _ in range(rounds):
+        pairs = (
+            vocab.filter(F.size("sym") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(sym) - 1),"
+                        " i -> struct(element_at(sym, i) AS a,"
+                        "             element_at(sym, i + 1) AS b))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        new_vocab = vocab.select(
+            _merge_fold(F.col("sym"), a, b).alias("sym"), "freq"
+        ).persist()
+        new_vocab.count()
+        vocab.unpersist()
+        vocab = new_vocab
+    vocab.unpersist()
+    return merges
+
+
+def bpe_apply(df: DataFrame, text_col: str, merges: list) -> DataFrame:
+    """Tokenize ``text_col`` with learned BPE merges: split to words,
+    split words to characters, apply every merge in order (chained
+    built-in folds — one map-side pass, no shuffle, no Python).
+    Adds ``tokens: array<string>`` and ``n_tokens``."""
+    # per-word character arrays (substring over a lambda var needs expr form)
+    sym = F.expr(
+        f"transform(split(trim({text_col}), '\\\\s+'),"
+        " w -> transform(sequence(1, length(w)), i -> substring(w, i, 1)))"
+    )
+    tokens = sym
+    for a, b in merges:
+        tokens = F.transform(tokens, lambda s: _merge_fold(s, a, b))
+    flat = F.flatten(tokens)
+    return df.withColumn("tokens", flat).withColumn("n_tokens", F.size(flat))

@@ -571,3 +571,50 @@ def test_winnow_guarantee_floor(spark, tmp_path):
     }
     assert set(pairs) == {(0, 1)}
     assert pairs[(0, 1)] >= 1
+
+
+def test_bpe_learn_and_apply_match_python(spark, ducks):
+    """Full BPE induction loop: 5 learned merges (vocab-table trainer,
+    frequency-weighted, lexicographic tie-break) and the fold-based
+    tokenizer both equal a pure-python BPE over the same corpus."""
+    from collections import Counter
+
+    from pyrle_spark.functions.lm import bpe_apply, bpe_learn
+
+    texts = [t for (t,) in ducks.sql("SELECT text FROM documents").fetchall()]
+    wfreq = Counter(w for t in texts for w in t.strip().split())
+
+    def py_merge(sym, a, b):
+        out = []
+        for s in sym:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        return out
+
+    vocab = {w: list(w) for w in wfreq}
+    ref = []
+    for _ in range(5):
+        pc = Counter()
+        for w, sym in vocab.items():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += wfreq[w]
+        if not pc:
+            break
+        top = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        ref.append(top)
+        vocab = {w: py_merge(sym, *top) for w, sym in vocab.items()}
+
+    merges = bpe_learn(spark, SF_SMALL, rounds=5)
+    assert merges == ref
+
+    df = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(8)
+    for r in bpe_apply(df, "text", merges).collect():
+        sym = []
+        for w in r["text"].strip().split():
+            s = list(w)
+            for a, b in merges:
+                s = py_merge(s, a, b)
+            sym.extend(s)
+        assert r["tokens"] == sym and r["n_tokens"] == len(sym)
