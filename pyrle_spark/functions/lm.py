@@ -375,13 +375,80 @@ def bpe_apply(df: DataFrame, text_col: str, merges: list) -> DataFrame:
     split words to characters, apply every merge in order (chained
     built-in folds — one map-side pass, no shuffle, no Python).
     Adds ``tokens: array<string>`` and ``n_tokens``."""
-    # per-word character arrays (substring over a lambda var needs expr form)
+    # per-word character arrays (substring over a lambda var needs expr
+    # form).  The length guard matters: Spark's sequence(1, 0) counts
+    # DOWN (see _gram_idx in functions/dedup.py), so a zero-length word
+    # must map to an empty array explicitly.
     sym = F.expr(
         f"transform(split(trim({text_col}), '\\\\s+'),"
-        " w -> transform(sequence(1, length(w)), i -> substring(w, i, 1)))"
+        " w -> CASE WHEN length(w) >= 1 THEN"
+        "   transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        "   ELSE CAST(array() AS array<string>) END)"
     )
     tokens = sym
     for a, b in merges:
         tokens = F.transform(tokens, lambda s: _merge_fold(s, a, b))
     flat = F.flatten(tokens)
     return df.withColumn("tokens", flat).withColumn("n_tokens", F.size(flat))
+
+
+# ----------------------------------------------- fixed-merge tokenization
+
+# A static merge table makes the tokenizer SQL-expressible, so the whole
+# bpe_apply plumbing gets an oracle twin (the *learned* merge loop is
+# differentially tested in pytest instead — its rules are data-dependent
+# and cannot appear in a static SQL string).  'th'→'the' chains two
+# rules through a produced token, exercising multi-level merging.
+FIXED_MERGES = [("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n")]
+_SEP = "\x1f"  # token separator for the duckdb string-fold twin
+
+
+def bpe_tokenize_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize every document with the FIXED_MERGES table via
+    ``bpe_apply`` (chained built-in folds, map-side only) and emit the
+    per-doc token count plus the space-joined token stream."""
+    out = bpe_apply(_docs(spark, sf_dir), "text", FIXED_MERGES)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join("tokens", " ").alias("token_str"),
+    )
+
+
+def _bpe_fixed_sql() -> str:
+    """duckdb twin: per word, fold characters into a SEP-joined token
+    string; a merge (a, b) fires when the accumulator's last token is
+    exactly ``a`` and the next symbol is ``b`` — concatenating without
+    the separator IS the merge, because BPE tokens are literal
+    concatenations of their parts."""
+    cur = (
+        "array_to_string(list_transform(generate_series(1, length(w)),"
+        f" i -> substring(w, i, 1)), '{_SEP}')"
+    )
+    for a, b in FIXED_MERGES:
+        lst = f"string_split({cur}, '{_SEP}')"
+        cur = (
+            f"list_reduce({lst}, (acc, s) -> CASE WHEN"
+            f" (acc = '{a}' OR acc LIKE '%{_SEP}{a}') AND s = '{b}'"
+            f" THEN acc || s ELSE acc || '{_SEP}' || s END)"
+        )
+    return rf"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       CAST(coalesce(list_sum(list_transform(ws,
+              w -> CASE WHEN length(w) >= 1
+                        THEN len(string_split({cur}, '{_SEP}'))
+                        ELSE 0 END)), 0) AS BIGINT) AS n_tokens,
+       array_to_string(list_transform(ws,
+         w -> CASE WHEN length(w) >= 1
+                   THEN replace({cur}, '{_SEP}', ' ')
+                   ELSE NULL END), ' ') AS token_str
+FROM d
+"""
+
+
+QUERIES["bpe_tokenize_fixed"] = bpe_tokenize_fixed
+ORACLE_SQL["bpe_tokenize_fixed"] = _bpe_fixed_sql()
