@@ -330,7 +330,63 @@ GROUP BY f.cohort_week, week_offset
 """
 
 
+
+def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-median anomaly scan: per event type, each day's count is
+    compared with the exact median of the previous 7 observed days
+    (ROWS frame, so crawl gaps compress instead of widening the frame).
+    A day is a spike at >= 2x the trailing median, a drop at <= half.
+    Exact `median` (not percentile_approx) keeps the twin bit-equal:
+    integer counts give .0/.5 medians both engines represent exactly.
+
+    Scale shape: the windowed scan runs on the per-(type, day) rollup —
+    #types x #days rows, metadata-sized next to the event stream — so
+    the only corpus-sized work is the partially-aggregated groupBy."""
+    ev = _events(spark, sf_dir).select(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d"),
+        "event_type",
+    )
+    daily = ev.groupBy("d", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
+    # F.median rejects window frames; percentile(·, 0.5) is the
+    # same exact ordered-set aggregate and accepts one
+    m = F.expr("percentile(n, 0.5)").over(w)
+    return (
+        daily.withColumn("trail_median", m)
+        .filter(F.col("trail_median").isNotNull())
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n",
+            "trail_median",
+            (F.col("n") >= 2 * F.col("trail_median")).cast("int").alias("is_spike"),
+            (F.col("n") * 2 <= F.col("trail_median")).cast("int").alias("is_drop"),
+        )
+    )
+
+
+_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+scan AS (
+  SELECT d, event_type, n,
+         median(n) OVER (PARTITION BY event_type ORDER BY d
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+           AS trail_median
+  FROM daily
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, event_type,
+       CAST(n AS BIGINT) AS n, trail_median,
+       CAST(n >= 2 * trail_median AS INT) AS is_spike,
+       CAST(n * 2 <= trail_median AS INT) AS is_drop
+FROM scan WHERE trail_median IS NOT NULL
+"""
+
+
 QUERIES = {
+    "events_anomaly_days": events_anomaly_days,
     "sessionize_events": sessionize_events,
     "asof_join_events": asof_join_events,
     "events_daily_rollup": events_daily_rollup,
@@ -340,6 +396,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_anomaly_days": _ANOMALY_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
     "asof_join_events": _ASOF_SQL,
     "events_daily_rollup": _DAILY_ROLLUP_SQL,
