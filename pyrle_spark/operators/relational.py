@@ -938,6 +938,89 @@ FROM documents GROUP BY block_id
 """
 
 
+def delta_encode_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta codec certified end-to-end (the last codec in the suite with
+    no dedicated oracle row — dict/FoR/bit-pack/FSST/BSS/selector are
+    covered).  Per (event_type, 4096-event block): sort the block's
+    timestamps, encode the microsecond sequence with the real
+    ``codecs.bitpack.DeltaCodec`` (diff → zigzag → bit-pack), decode, and
+    report exact integers the oracle recomputes from the raw table —
+    ``max_delta_us`` (largest gap in the sorted sequence), ``width``
+    (bits per zigzag delta; sorted ⇒ deltas ≥ 0 ⇒ zigzag = 2·delta),
+    ``packed_bytes`` (= ceil((n−1)·width / 8), pinning the pack layout)
+    — plus the Spark-side certification ``ok_rows`` (bit-identical
+    roundtrip count, must equal ``n``; the oracle asserts it does).
+
+    Scale shape: one ``applyInPandas`` over fixed-size blocks (the
+    production codec granularity), one shuffle on the block key, output
+    is O(#blocks) metadata.  Generalizes the reference's int64 runs
+    array (pyrle rle.py:146) into width-minimal delta storage for the
+    crawl-timestamp column of the north-rule webtext schema."""
+    from pyrle_spark.codecs.bitpack import DeltaCodec
+
+    B = 4096
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("event_id") / F.lit(B)).cast("long").alias("block_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+
+    def enc(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        us = np.sort(pdf["us"].to_numpy(np.int64))
+        meta, bufs = DeltaCodec.encode(us)
+        dec = DeltaCodec.decode(meta, bufs)
+        ok = np.array_equal(dec, us)
+        n = len(us)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "block_id": [int(pdf["block_id"].iloc[0])],
+                "n": [n],
+                "max_delta_us": [int(np.diff(us).max()) if n > 1 else 0],
+                "width": [int(meta["width"])],
+                "packed_bytes": [len(bufs["packed"])],
+                "ok_rows": [n if ok else 0],
+            }
+        )
+
+    return ev.groupBy("event_type", "block_id").applyInPandas(
+        enc,
+        "event_type string, block_id long, n long, max_delta_us long, "
+        "width long, packed_bytes long, ok_rows long",
+    )
+
+
+_DELTA_ENCODE_TS_SQL = """
+WITH base AS (
+  SELECT event_type, event_id // 4096 AS block_id, epoch_us(ts) AS us
+  FROM events
+),
+d AS (
+  SELECT event_type, block_id,
+         us - lag(us) OVER (PARTITION BY event_type, block_id ORDER BY us)
+           AS dlt
+  FROM base
+),
+agg AS (
+  SELECT event_type, block_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(max(dlt), 0) AS BIGINT) AS max_delta_us
+  FROM d GROUP BY event_type, block_id
+)
+SELECT event_type, block_id, n, max_delta_us,
+       CASE WHEN max_delta_us = 0 THEN 0
+            ELSE CAST(floor(log2(2 * max_delta_us)) + 1 AS BIGINT)
+       END AS width,
+       CAST(ceil((n - 1) * (CASE WHEN max_delta_us = 0 THEN 0
+                                 ELSE floor(log2(2 * max_delta_us)) + 1
+                            END) / 8.0) AS BIGINT) AS packed_bytes,
+       n AS ok_rows
+FROM agg
+"""
+
+
 def codec_selector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stats-driven codec auto-selector expressed relationally:
     per (source) group, cardinality / run ratio / avg length → rule table.
@@ -2926,6 +3009,7 @@ QUERIES = {
     "length_invariant": length_invariant,
     "dict_encode_lang": dict_encode_lang,
     "for_encode_ts": for_encode_ts,
+    "delta_encode_ts": delta_encode_ts,
     "bitpack_width_events": bitpack_width_events,
     "fsst_roundtrip_text": fsst_roundtrip_text,
     "codec_selector_stats": codec_selector_stats,
@@ -2987,6 +3071,7 @@ ORACLE_SQL = {
     "length_invariant": _LENGTH_INVARIANT_SQL,
     "dict_encode_lang": _DICT_ENCODE_LANG_SQL,
     "for_encode_ts": _FOR_ENCODE_TS_SQL,
+    "delta_encode_ts": _DELTA_ENCODE_TS_SQL,
     "bitpack_width_events": _BITPACK_WIDTH_EVENTS_SQL,
     "fsst_roundtrip_text": _FSST_ROUNDTRIP_TEXT_SQL,
     "codec_selector_stats": _CODEC_SELECTOR_STATS_SQL,
