@@ -23,6 +23,7 @@ from pyrle_spark.codecs.base import (
     str_to_type,
     type_to_str,
 )
+from pyrle_spark.codecs.alp import AlpCodec
 from pyrle_spark.codecs.bitpack import BitpackCodec, DeltaCodec, ForCodec
 from pyrle_spark.codecs.bss import BssCodec
 from pyrle_spark.codecs.dictionary import DictCodec
@@ -33,7 +34,7 @@ from pyrle_spark.codecs.selector import choose_fixed, choose_var, column_stats
 
 __all__ = ["encode_array", "encode_with", "decode_array", "Encoded", "CODEC_NAMES"]
 
-CODEC_NAMES = ["rle", "dict", "for", "delta", "bitpack", "bss", "fsst", "raw", "zstd"]
+CODEC_NAMES = ["rle", "dict", "for", "delta", "bitpack", "bss", "alp", "fsst", "raw", "zstd"]
 
 
 def _encode_payload(codec: str, kind: str, payload):
@@ -44,6 +45,7 @@ def _encode_payload(codec: str, kind: str, payload):
             "delta": DeltaCodec.encode,
             "bitpack": BitpackCodec.encode,
             "bss": BssCodec.encode,
+            "alp": AlpCodec.encode,
             "dict": DictCodec.encode_fixed,
             "raw": RawCodec.encode_fixed,
         }
@@ -69,6 +71,7 @@ def _decode_payload(codec: str, kind: str, meta: dict, buffers: dict):
             "delta": DeltaCodec.decode,
             "bitpack": BitpackCodec.decode,
             "bss": BssCodec.decode,
+            "alp": AlpCodec.decode,
             "dict": DictCodec.decode_fixed,
             "raw": RawCodec.decode_fixed,
         }
@@ -202,6 +205,15 @@ def encode_payload_auto(
             forms.append(("raw+zstd", mrz, brz, True))
             mbz, bbz = ZstdCodec.wrap(meta_b, bufs_b)
             forms.append(("bss+zstd", mbz, bbz, True))
+            if payload.dtype == np.float64:
+                # decimals in disguise: ALP's digits+exceptions form wins
+                # big on price/ratio-style doubles and the trial rejects
+                # it automatically when the exception rate is high
+                meta_a, bufs_a = _encode_payload("alp", kind, payload)
+                forms.append(("alp", meta_a, bufs_a, False))
+                if HAVE_ZSTD:
+                    maz, baz = ZstdCodec.wrap(meta_a, bufs_a)
+                    forms.append(("alp+zstd", maz, baz, True))
             if 0 < stats["distinct_est"] < min(len(payload), 4096):
                 # repeated-but-runless floats (a price/level column):
                 # dictionary on bit patterns beats any transform+entropy

@@ -1021,6 +1021,70 @@ FROM agg
 """
 
 
+def alp_roundtrip_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALP float compression certified end-to-end (``codecs/alp.py``, the
+    two-factor SIGMOD'24 scheme: digits = round(x·10^e·10^-f), exact
+    slots FoR-bit-packed, the rest raw exceptions — decode bit-exact for
+    EVERY input by construction).  Per 4096-orderkey block of
+    ``l_extendedprice``: encode, decode, and report ``ok_rows``
+    (bitwise-identical roundtrip count, must equal ``n``; the oracle
+    asserts it does), ``sum_cents`` recomputed **from the decoded
+    values** (the oracle recomputes it independently from the raw table
+    — a value-level proof the decode is right, not just self-consistent),
+    and ``alp_smaller`` (2-decimal prices pack at ~24 digit bits vs 64
+    raw, so the boolean has a >2× margin).
+
+    Scale shape: one ``applyInPandas`` over fixed-size blocks (the
+    production codec granularity), one shuffle on the block key, output
+    is O(#blocks) metadata."""
+    from pyrle_spark.codecs.alp import AlpCodec
+
+    B = 4096
+    li = load(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_orderkey") / F.lit(B)).cast("long").alias("block_id"),
+        F.col("l_extendedprice").alias("price"),
+    )
+
+    def enc(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        x = np.ascontiguousarray(pdf["price"].to_numpy(np.float64))
+        meta, bufs = AlpCodec.encode(x)
+        dec = AlpCodec.decode(meta, bufs)
+        ok = int((dec.view(np.uint64) == x.view(np.uint64)).sum())
+        comp = sum(len(b) for b in bufs.values())
+        cents = np.round(dec * 100.0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "block_id": [int(pdf["block_id"].iloc[0])],
+                "n": [len(x)],
+                "raw_bytes": [int(x.nbytes)],
+                "ok_rows": [ok],
+                "sum_cents": [int(cents.sum())],
+                "alp_smaller": [bool(comp < x.nbytes)],
+            }
+        )
+
+    return li.groupBy("block_id").applyInPandas(
+        enc,
+        "block_id long, n long, raw_bytes long, ok_rows long, "
+        "sum_cents long, alp_smaller boolean",
+    )
+
+
+_ALP_ROUNDTRIP_PRICE_SQL = """
+SELECT l_orderkey // 4096 AS block_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
+       CAST(count(*) AS BIGINT) AS ok_rows,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       true AS alp_smaller
+FROM lineitem GROUP BY block_id
+"""
+
+
 def codec_selector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stats-driven codec auto-selector expressed relationally:
     per (source) group, cardinality / run ratio / avg length → rule table.
@@ -3010,6 +3074,7 @@ QUERIES = {
     "dict_encode_lang": dict_encode_lang,
     "for_encode_ts": for_encode_ts,
     "delta_encode_ts": delta_encode_ts,
+    "alp_roundtrip_price": alp_roundtrip_price,
     "bitpack_width_events": bitpack_width_events,
     "fsst_roundtrip_text": fsst_roundtrip_text,
     "codec_selector_stats": codec_selector_stats,
@@ -3072,6 +3137,7 @@ ORACLE_SQL = {
     "dict_encode_lang": _DICT_ENCODE_LANG_SQL,
     "for_encode_ts": _FOR_ENCODE_TS_SQL,
     "delta_encode_ts": _DELTA_ENCODE_TS_SQL,
+    "alp_roundtrip_price": _ALP_ROUNDTRIP_PRICE_SQL,
     "bitpack_width_events": _BITPACK_WIDTH_EVENTS_SQL,
     "fsst_roundtrip_text": _FSST_ROUNDTRIP_TEXT_SQL,
     "codec_selector_stats": _CODEC_SELECTOR_STATS_SQL,

@@ -103,7 +103,7 @@ def test_runny_ints_pick_rle_and_compress(pairs):
 @given(floats)
 def test_float_codecs_roundtrip(xs):
     arr = pa.array(xs, type=pa.float64())
-    for codec in ["rle", "bss", "raw"]:
+    for codec in ["rle", "bss", "alp", "raw"]:
         roundtrip(encode_with(codec, arr), arr)
     roundtrip(encode_array(arr), arr)
 
@@ -139,6 +139,58 @@ def test_bss_selected_for_structured_floats():
     mask = rng.random(len(vals)) < 0.05
     nullable = pa.array(np.where(mask, 0, vals), mask=mask)
     roundtrip(encode_array(nullable), nullable)
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            # decimals in disguise (ALP's favourable shape) ...
+            st.decimals(
+                min_value=-10**6, max_value=10**6, places=4, allow_nan=False
+            ).map(float),
+            # ... salted with arbitrary bit patterns (the exception path)
+            st.floats(allow_nan=True, allow_infinity=True, width=64),
+        ),
+        max_size=150,
+    )
+)
+def test_alp_roundtrip_mixed(xs):
+    arr = pa.array(xs, type=pa.float64())
+    roundtrip(encode_with("alp", arr), arr)
+
+
+def test_alp_selected_for_decimal_doubles():
+    """Price-like doubles (2 decimal places) are decimals in disguise:
+    the auto trial must pick alp (digits fit ~24 bits vs 64 raw) with
+    zero exceptions, and stay bit-identical; -0.0 must come back as an
+    exception, not as +0.0."""
+    from pyrle_spark.codecs.alp import AlpCodec
+
+    rng = np.random.default_rng(11)
+    vals = np.round(rng.uniform(0, 1e5, 65536), 2)
+    arr = pa.array(vals, type=pa.float64())
+    enc = encode_array(arr)
+    assert enc.codec.startswith("alp"), enc.codec
+    assert enc.nbytes < len(vals) * 4  # better than 2x on 2-decimal data
+    roundtrip(enc, arr)
+    meta, _ = AlpCodec.encode(vals)
+    assert meta["n_exc"] == 0, meta
+    neg_zero = np.array([1.25, -0.0, 0.0, 7.5])
+    meta, bufs = AlpCodec.encode(neg_zero)
+    out = AlpCodec.decode(meta, bufs)
+    assert np.array_equal(out.view(np.uint64), neg_zero.view(np.uint64))
+
+
+def test_alp_rejected_for_random_floats():
+    """Uniform-random mantissas have no decimal structure: the raw-size
+    guard / trial must never ship an inflated alp chunk."""
+    rng = np.random.default_rng(13)
+    vals = rng.standard_normal(32768)
+    arr = pa.array(vals, type=pa.float64())
+    enc = encode_array(arr)
+    assert not enc.codec.startswith("alp"), enc.codec
+    roundtrip(enc, arr)
 
 
 @settings(max_examples=MAX_EXAMPLES, deadline=None)
