@@ -2195,6 +2195,174 @@ FROM ordered WHERE rk % 97 <> 0 GROUP BY lang
 """
 
 
+def schema_evolution_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Id-based schema evolution read through the table, oracle-checked:
+    snapshot 1 writes even-doc_id rows under schema (doc_id, lang,
+    chars, source); a metadata-only ``evolve_schema`` renames
+    chars → n_chars, adds a ``score`` column, and drops ``source``;
+    snapshot 2 appends odd-doc_id rows under the new schema.  The final
+    read must resolve the OLD files by field id — rename visible on
+    historical rows, dropped column gone, added column NULL exactly on
+    the pre-evolution rows — which the per-lang aggregate pins: the
+    oracle recomputes ``total_score``/``n_missing_score`` from doc_id
+    parity, so a green hash proves null-placement row-for-row.
+
+    Scale shape: evolution is one O(metadata) commit, no data I/O; the
+    evolved read plans one parquet relation per schema version
+    (O(#versions), not O(#files)) unioned by name."""
+    import tempfile
+
+    from pyrle_spark.sources.icetable import IceTable
+
+    docs = load(spark, sf_dir, "documents")
+    t = IceTable(tempfile.mkdtemp(prefix="schema_evo_"))
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", F.col("n_chars").alias("chars"), "source"
+    )
+    t.write_snapshot(v1)
+    t.evolve_schema(
+        renames={"chars": "n_chars"},
+        adds=[("score", "long")],
+        drops=["source"],
+    )
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars", (F.col("n_chars") % 7).alias("score")
+    )
+    t.write_snapshot(v2)
+    return (
+        t.read_table(spark)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("score").alias("total_score"),
+            F.sum(F.when(F.col("score").isNull(), 1).otherwise(0)).alias(
+                "n_missing_score"
+            ),
+        )
+    )
+
+
+_SCHEMA_EVOLUTION_AGG_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars % 7 END) AS BIGINT)
+         AS total_score,
+       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing_score
+FROM documents GROUP BY lang
+"""
+
+
+def _money_cents(col: str):
+    """2-decimal double → exact integer cents (both engines round the
+    near-integer product identically; no half-way cases exist)."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary in integer money arithmetic: cents,
+    cents·(100−disc_c) and cents·(100−disc_c)·(100+tax_c) keep every
+    cross-row sum integer-exact (float sum order differs between
+    engines; fixed-point doesn't).  Headroom: ≤1.1e11 per row, so int64
+    holds sums beyond sf100.
+
+    Scale shape: one scan → partial (map-side) aggregate on a 4-value
+    composite key; the only shuffle moves #groups rows."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    cents = _money_cents("l_extendedprice")
+    disc = 100 - _money_cents("l_discount")
+    tax = 100 + _money_cents("l_tax")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(cents).alias("sum_base_cents"),
+        F.sum(cents * disc).alias("sum_disc_e4"),
+        F.sum(cents * disc * tax).alias("sum_charge_e6"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+_TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+         AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+         AS sum_disc_e4,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))
+                * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT)
+         AS sum_charge_e6,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping-priority top-10 by revenue: the customer dim is
+    filtered then BROADCAST (segment is 1/5 of an already-small dim);
+    orders and lineitem carry their date filters into the scan
+    (predicate pushdown), the big join shuffles on orderkey only.
+    Revenue in integer 10^-4 units; top-k totally ordered (revenue
+    desc, orderkey) so the row set is deterministic under ties.
+
+    Scale shape: broadcast hash join on the dim, one shuffle on the
+    fact key, global top-10 via ordered limit (takeOrdered — no full
+    sort materialization)."""
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = (_money_cents("l_extendedprice")
+           * (100 - _money_cents("l_discount")))
+    return (
+        li.select(F.col("l_orderkey"), rev.alias("rev"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum("rev").alias("revenue_e4"))
+        .select(
+            "l_orderkey",
+            "revenue_e4",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue_e4"), "l_orderkey")
+        .limit(10)
+    )
+
+
+_TPCH_Q3_SQL = """
+SELECT l_orderkey,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+         AS revenue_e4,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_e4 DESC, l_orderkey
+LIMIT 10
+"""
+
+
 def compressed_distinct_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT answered from dictionary buffers alone
     (``plans.compressed.distinct_values``): a dict block's dictionary
@@ -3030,6 +3198,9 @@ QUERIES = {
     "layout_rewrite_runs": layout_rewrite_runs,
     "incremental_scan_agg": incremental_scan_agg,
     "time_travel_agg": time_travel_agg,
+    "schema_evolution_agg": schema_evolution_agg,
+    "tpch_q1_pricing": tpch_q1_pricing,
+    "tpch_q3_shipping": tpch_q3_shipping,
     "point_lookup_rows": point_lookup_rows,
     "compressed_distinct_source": compressed_distinct_source,
     "layout_prune_synergy": layout_prune_synergy,
@@ -3113,6 +3284,9 @@ ORACLE_SQL = {
     "layout_rewrite_runs": _LAYOUT_REWRITE_RUNS_SQL,
     "incremental_scan_agg": _INCREMENTAL_SCAN_AGG_SQL,
     "time_travel_agg": _TIME_TRAVEL_AGG_SQL,
+    "schema_evolution_agg": _SCHEMA_EVOLUTION_AGG_SQL,
+    "tpch_q1_pricing": _TPCH_Q1_SQL,
+    "tpch_q3_shipping": _TPCH_Q3_SQL,
     "point_lookup_rows": _POINT_LOOKUP_ROWS_SQL,
     "compressed_distinct_source": _COMPRESSED_DISTINCT_SQL,
     "layout_prune_synergy": _LAYOUT_PRUNE_SYNERGY_SQL,

@@ -226,6 +226,41 @@ class IceTable:
             raise ValueError("stage (publish=False) applies to main only")
         with commit_lock(self.path):
             meta = self._read_meta()
+            # id-based field registry (Iceberg schema-evolution model):
+            # every top-level column gets a stable integer id on first
+            # sight; each file entry records the {name: id} mapping it was
+            # written under, so a later rename stays a metadata-only
+            # operation and old files are resolved by id at read time.
+            sch_fields = json.loads(schema_json)["fields"]
+            fields = meta.get("fields")
+            if fields is None:
+                fields = [
+                    {"id": i + 1, "name": f["name"], "type": f["type"]}
+                    for i, f in enumerate(sch_fields)
+                ]
+            else:
+                known = {f["name"] for f in fields}
+                # never reuse a retired id: a column dropped then re-added
+                # must NOT resolve old files' bytes under the old id
+                nid = max(
+                    meta.get("last_field_id", 0),
+                    max((f["id"] for f in fields), default=0),
+                ) + 1
+                for f in sch_fields:
+                    if f["name"] not in known:
+                        fields.append(
+                            {"id": nid, "name": f["name"], "type": f["type"]}
+                        )
+                        nid += 1
+            meta["fields"] = fields
+            meta["last_field_id"] = max(
+                meta.get("last_field_id", 0),
+                max((f["id"] for f in fields), default=0),
+            )
+            fid = {f["name"]: f["id"] for f in fields}
+            file_ids = {f["name"]: fid[f["name"]] for f in sch_fields}
+            for fentry in files:
+                fentry.setdefault("field_ids", file_ids)
             if branch is not None:
                 ref = meta.get("refs", {}).get(branch)
                 if ref is None or ref["type"] != "branch":
@@ -242,6 +277,7 @@ class IceTable:
                 "timestamp_ms": _next_ts(meta["snapshots"]),
                 "mode": mode,
                 "schema": schema_json,
+                "field_ids": file_ids,
                 "properties": properties or {},
                 "files": prev_files + files,
                 "added_files": len(files),
@@ -464,6 +500,116 @@ class IceTable:
             os.replace(tmp, self._meta_path)
         return snap_id
 
+    def evolve_schema(
+        self,
+        renames: dict | None = None,
+        adds: list | None = None,
+        drops: list | None = None,
+        properties: dict | None = None,
+    ) -> str:
+        """Metadata-only schema evolution (Iceberg's id-based model):
+        rename / add / drop top-level columns without touching a data
+        file.  ``renames`` maps old → new name; ``adds`` is a list of
+        ``(name, spark_json_type)`` pairs (e.g. ``("score", "long")``) —
+        added columns read as typed NULL for rows written before the
+        add; ``drops`` lists names to remove (their field ids retire and
+        are never reused, so an old file's column of that id is simply
+        not projected).
+
+        Old files keep their written column names; :meth:`read_table`
+        resolves them through each file's recorded ``field_ids``, so a
+        rename is visible on ALL rows — historical and future — while
+        time travel to a pre-evolution snapshot still sees the old
+        names.  Applies to main (commit branches carry data, not schema
+        changes)."""
+        renames, adds, drops = renames or {}, adds or [], drops or []
+        with commit_lock(self.path):
+            meta = self._read_meta()
+            cur = meta["current_snapshot_id"]
+            if cur is None:
+                raise FileNotFoundError(f"no snapshot in {self.path}")
+            parent = self._manifest(cur)
+            sch = json.loads(parent["schema"])
+            fields = meta.get("fields") or [
+                {"id": i + 1, "name": f["name"], "type": f["type"]}
+                for i, f in enumerate(sch["fields"])
+            ]
+            # high-water mark BEFORE drops, so a retired id is never reused
+            max_seen = max(
+                meta.get("last_field_id", 0),
+                max((f["id"] for f in fields), default=0),
+            )
+            sf_by_name = {f["name"]: dict(f) for f in sch["fields"]}
+            by_name = {f["name"]: f for f in fields}
+            for name in drops:
+                if name not in by_name:
+                    raise KeyError(f"drop: no column {name!r}")
+                fields = [f for f in fields if f["name"] != name]
+                by_name.pop(name)
+                sf_by_name.pop(name, None)
+            for old, new in renames.items():
+                if old not in by_name:
+                    raise KeyError(f"rename: no column {old!r}")
+                if new in by_name:
+                    raise ValueError(f"rename: column {new!r} already exists")
+                f = by_name.pop(old)
+                f["name"] = new
+                by_name[new] = f
+                if old in sf_by_name:
+                    sf = sf_by_name.pop(old)
+                    sf["name"] = new
+                    sf_by_name[new] = sf
+            # ids retire with their column — a fresh add must never shadow
+            # a dropped id, so allocate past the highest id EVER assigned
+            nid = max_seen + 1
+            for name, jtype in adds:
+                if name in by_name:
+                    raise ValueError(f"add: column {name!r} already exists")
+                nf = {"id": nid, "name": name, "type": jtype}
+                fields.append(nf)
+                by_name[name] = nf
+                sf_by_name[name] = {
+                    "name": name, "type": jtype, "nullable": True, "metadata": {},
+                }
+                nid += 1
+            new_sch = {
+                "type": "struct",
+                "fields": [sf_by_name[f["name"]] for f in fields],
+            }
+            schema_json = json.dumps(new_sch)
+            field_ids = {f["name"]: f["id"] for f in fields}
+            snap_id = self.new_snapshot_id()
+            manifest = {
+                "snapshot_id": snap_id,
+                "parent": cur,
+                "timestamp_ms": _next_ts(meta["snapshots"]),
+                "mode": "evolve",
+                "schema": schema_json,
+                "field_ids": field_ids,
+                "properties": properties or parent.get("properties", {}),
+                "files": parent["files"],
+                "added_files": 0,
+                "added_bytes": 0,
+            }
+            snap_path = os.path.join(self.path, "metadata", f"snap-{snap_id}.json")
+            with open(snap_path, "w") as f:
+                json.dump(manifest, f)
+            meta["snapshots"].append(
+                {"id": snap_id, "timestamp_ms": manifest["timestamp_ms"],
+                 "mode": "evolve"}
+            )
+            meta["current_snapshot_id"] = snap_id
+            meta["schema"] = schema_json
+            meta["fields"] = fields
+            meta["last_field_id"] = max(
+                max_seen, max((f["id"] for f in fields), default=0)
+            )
+            tmp = self._meta_path + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, self._meta_path)
+        return snap_id
+
     # ------------------------------------------------------------------- read
 
     def _manifest(self, snapshot_id: str) -> dict:
@@ -500,7 +646,47 @@ class IceTable:
             return spark.createDataFrame(
                 [], schema=StructType.fromJson(json.loads(manifest["schema"]))
             )
-        return spark.read.parquet(*paths)
+        target_ids = manifest.get("field_ids")
+        evolved = target_ids is not None and any(
+            fe.get("field_ids") is not None and fe["field_ids"] != target_ids
+            for fe in manifest["files"]
+        )
+        if not evolved:
+            return spark.read.parquet(*paths)
+        # schema-evolved read: files written under older schemas are
+        # resolved BY FIELD ID against this snapshot's mapping — a rename
+        # aliases the file's old column name, a dropped id is not
+        # projected, a column added later reads as typed NULL.  One
+        # parquet relation per distinct historical mapping (O(#schema
+        # versions), metadata-sized planning), unioned by name.
+        from collections import defaultdict
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        id_to_name = {v: k for k, v in target_ids.items()}
+        groups = defaultdict(list)
+        for fe in manifest["files"]:
+            key = tuple(sorted((fe.get("field_ids") or target_ids).items()))
+            groups[key].append(fe["path"])
+        parts = []
+        for key, gpaths in groups.items():
+            df = spark.read.parquet(*gpaths)
+            sel = [
+                F.col(name).alias(id_to_name[fid])
+                for name, fid in key
+                if fid in id_to_name and name in df.columns
+            ]
+            parts.append(df.select(*sel))
+        out = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+        )
+        target_schema = StructType.fromJson(json.loads(manifest["schema"]))
+        for f in target_schema.fields:
+            if f.name not in out.columns:
+                out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return out.select([f.name for f in target_schema.fields])
 
     def properties(self, snapshot_id: str | None = None) -> dict:
         snap = self.resolve_ref(snapshot_id) if snapshot_id else self.current_snapshot_id()

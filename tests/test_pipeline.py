@@ -2205,3 +2205,33 @@ def test_encode_decode_roundtrip_multilingual_nulls(spark, tmp_path):
     assert bad == 0
     assert dec.count() == 64
     assert verify_checksums(spark, out)["bad"] == 0
+
+
+def test_schema_evolution_rename_add_drop(spark, tmp_path):
+    """Id-based schema evolution: rename + add + drop are metadata-only;
+    old files resolve by field id (rename visible on historical rows,
+    added column reads as typed NULL there), and time travel to a
+    pre-evolution snapshot still sees the old names."""
+    t = IceTable(str(tmp_path / "evo"))
+    v1 = spark.range(10).select(
+        "id", (F.col("id") * 2).alias("chars"), F.lit("en").alias("lang")
+    )
+    t.write_snapshot(v1)
+    pre = t.current_snapshot_id()
+    t.evolve_schema(
+        renames={"chars": "n_chars"}, adds=[("score", "long")], drops=["lang"]
+    )
+    v2 = spark.range(10, 15).select(
+        "id", (F.col("id") * 2).alias("n_chars"), (F.col("id") % 7).alias("score")
+    )
+    t.write_snapshot(v2)
+    cur = t.read_table(spark)
+    assert cur.columns == ["id", "n_chars", "score"]
+    rows = {r["id"]: r for r in cur.collect()}
+    assert len(rows) == 15
+    assert all(rows[i]["n_chars"] == 2 * i for i in range(15))
+    assert all(rows[i]["score"] is None for i in range(10))
+    assert all(rows[i]["score"] == i % 7 for i in range(10, 15))
+    old = t.read_table(spark, snapshot_id=pre)
+    assert old.columns == ["id", "chars", "lang"]
+    assert old.count() == 10
