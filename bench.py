@@ -305,6 +305,11 @@ def main() -> None:
             # exact-substring span dedup via content-defined anchors —
             # the df-capped equi-join shape that replaces suffix arrays
             ("duplicate_spans", fn_registry.QUERIES["duplicate_spans"]),
+            # ALP float codec end-to-end over lineitem prices (encode +
+            # bit-exact decode + value-level audit per block)
+            ("alp_roundtrip_price", relational.QUERIES["alp_roundtrip_price"]),
+            # broadcast-dim star join + ordered top-k (TPC-H Q3 shape)
+            ("tpch_q3_shipping", relational.QUERIES["tpch_q3_shipping"]),
         ):
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
