@@ -130,12 +130,67 @@ GROUP BY 1
 """
 
 
+def url_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-crawl URL dedup — the recrawl pattern: the same URL
+    appears once per crawl snapshot and only the newest capture is kept.
+    URLs derived deterministically (source + doc_id%1000 → ~1000 urls
+    per source, each crawled many times; doc_id is the monotone crawl
+    order).  Per source: distinct urls, total captures, superseded
+    captures, and ``sum_keep_ids`` — the sum of the kept doc_ids, which
+    pins the exact per-url argmax row set, not just the counts.
+
+    Scale shape: two partial-aggregate groupBys (url, then source) —
+    max/count combine map-side, the shuffle carries one row per url; no
+    window, no sort, no row ever compared pairwise."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    url = F.concat(
+        F.col("source"), F.lit("/"), (F.col("doc_id") % 1000).cast("string")
+    )
+    per_url = (
+        docs.select("source", url.alias("url"), "doc_id")
+        .groupBy("source", "url")
+        .agg(
+            F.max("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_crawls"),
+        )
+    )
+    return per_url.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum("n_crawls").alias("n_captures"),
+        (F.sum("n_crawls") - F.count(F.lit(1))).alias("n_superseded"),
+        F.sum("keep_doc_id").alias("sum_keep_ids"),
+    )
+
+
+_URL_DEDUP_LATEST_SQL = """
+WITH per_url AS (
+  SELECT source,
+         source || '/' || CAST(doc_id % 1000 AS VARCHAR) AS url,
+         max(doc_id) AS keep_doc_id,
+         count(*) AS n_crawls
+  FROM documents
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(n_crawls) AS BIGINT) AS n_captures,
+       CAST(sum(n_crawls) - count(*) AS BIGINT) AS n_superseded,
+       CAST(sum(keep_doc_id) AS BIGINT) AS sum_keep_ids
+FROM per_url
+GROUP BY source
+"""
+
+
 QUERIES = {
     "json_props_agg": json_props_agg,
     "url_canonicalize": url_canonicalize,
+    "url_dedup_latest": url_dedup_latest,
 }
 
 ORACLE_SQL = {
     "json_props_agg": _JSON_PROPS_SQL,
     "url_canonicalize": _URL_CANON_SQL,
+    "url_dedup_latest": _URL_DEDUP_LATEST_SQL,
 }
