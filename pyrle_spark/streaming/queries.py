@@ -127,11 +127,18 @@ SELECT doc_id, lang, source, text FROM documents
 """
 
 
+from pyrle_spark.streaming.interval_join import (  # noqa: E402
+    _STREAM_INTERVAL_JOIN_SQL,
+    stream_interval_join,
+)
+
 QUERIES = {
     "stream_windowed_counts": stream_windowed_counts,
     "stream_mirror_roundtrip": stream_mirror_roundtrip,
+    "stream_interval_join": stream_interval_join,
 }
 ORACLE_SQL = {
     "stream_windowed_counts": _STREAM_WINDOWED_SQL,
     "stream_mirror_roundtrip": _STREAM_MIRROR_SQL,
+    "stream_interval_join": _STREAM_INTERVAL_JOIN_SQL,
 }
