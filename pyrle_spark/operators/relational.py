@@ -1604,6 +1604,72 @@ FROM documents GROUP BY lang
 """
 
 
+def compressed_sum_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level FILTER pushed below decode
+    (``plans.compressed.filtered_numeric_agg``): rle blocks evaluate the
+    range predicate on run VALUES and fold matching runs without
+    expansion, fixed dict blocks evaluate it on the DICTIONARY and
+    histogram the codes, other codecs decode only the one column.  The
+    fixture encodes three numeric columns picked to land on three
+    different codecs — ``n_chars`` (high-entropy → FoR/raw),
+    ``nc16 = n_chars % 16`` (16 distinct, runless → dict),
+    ``lang_len = length(lang)`` on a lang-sorted order (long runs →
+    rle) — and runs one BETWEEN aggregate per column; the oracle is the
+    row-level WHERE.
+
+    Scale shape: one mapInArrow over the manifest per column, partial
+    (n, sum) per block, O(#blocks) rows shuffled."""
+    import tempfile
+
+    from pyrle_spark.plans.compressed import filtered_numeric_agg
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "nc16", F.col("n_chars") % 16
+    ).withColumn("lang_len", F.length("lang").cast("long"))
+    ordered = _fixture_ordered(
+        docs, ["n_chars", "nc16", "lang_len"], key_cols=("lang",)
+    )
+    out_dir = tempfile.mkdtemp(prefix="compressed_where_")
+    encode_table(
+        spark,
+        ordered,
+        out_dir,
+        EncodeConfig(
+            columns=["n_chars", "nc16", "lang_len"],
+            order_col="_seq",
+            block_rows=64,
+        ),
+    )
+    parts = []
+    for col, lo, hi in (
+        ("n_chars", 200, 800),
+        ("nc16", 3, 9),
+        ("lang_len", 2, 2),
+    ):
+        parts.append(
+            filtered_numeric_agg(spark, out_dir, col, lo, hi).select(
+                F.lit(col).alias("col"),
+                "n_match",
+                F.col("sum_match").cast("long").alias("sum_match"),
+            )
+        )
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+
+_COMPRESSED_SUM_WHERE_SQL = """
+SELECT 'n_chars' AS col, count(*) AS n_match,
+       CAST(sum(n_chars) AS BIGINT) AS sum_match
+FROM documents WHERE n_chars BETWEEN 200 AND 800
+UNION ALL
+SELECT 'nc16', count(*), CAST(sum(n_chars % 16) AS BIGINT)
+FROM documents WHERE n_chars % 16 BETWEEN 3 AND 9
+UNION ALL
+SELECT 'lang_len', count(*), CAST(sum(length(lang)) AS BIGINT)
+FROM documents WHERE length(lang) = 2
+"""
+
+
 # lang → script dim: 'es' deliberately absent (inner join must drop those
 # fact rows), 'ru' deliberately factless (must contribute nothing)
 _SCRIPT_DIM = [
@@ -3246,6 +3312,7 @@ QUERIES = {
     "for_encode_ts": for_encode_ts,
     "delta_encode_ts": delta_encode_ts,
     "alp_roundtrip_price": alp_roundtrip_price,
+    "compressed_sum_where": compressed_sum_where,
     "bitpack_width_events": bitpack_width_events,
     "fsst_roundtrip_text": fsst_roundtrip_text,
     "codec_selector_stats": codec_selector_stats,
@@ -3312,6 +3379,7 @@ ORACLE_SQL = {
     "for_encode_ts": _FOR_ENCODE_TS_SQL,
     "delta_encode_ts": _DELTA_ENCODE_TS_SQL,
     "alp_roundtrip_price": _ALP_ROUNDTRIP_PRICE_SQL,
+    "compressed_sum_where": _COMPRESSED_SUM_WHERE_SQL,
     "bitpack_width_events": _BITPACK_WIDTH_EVENTS_SQL,
     "fsst_roundtrip_text": _FSST_ROUNDTRIP_TEXT_SQL,
     "codec_selector_stats": _CODEC_SELECTOR_STATS_SQL,

@@ -286,6 +286,127 @@ def numeric_stats(
     )
 
 
+def _block_filtered_stats(
+    enc: Encoded, lo, hi, kill: np.ndarray | None = None
+):
+    """(n_match, total_match) of one block's rows with ``lo <= v <= hi``
+    (None = unbounded) — row-level FILTER below decode:
+
+    - **rle**: the predicate evaluates on the run VALUES (O(#runs)) and
+      matching runs fold as runs×values — the rows never expand;
+    - **fixed dict**: the predicate evaluates on the DICTIONARY
+      (O(#distinct)), matching codes histogram via one bincount — the
+      values never materialize;
+    - everything else decodes the single column and masks.
+
+    Nulls are excluded (SQL comparison semantics), and NaN never matches
+    a range predicate on any path.  ``kill``: deleted in-block offsets →
+    exact decode-and-mask fallback."""
+    from pyrle_spark.codecs import decode_array
+    from pyrle_spark.codecs.bitpack import ForCodec
+
+    lo_ = -np.inf if lo is None else lo
+    hi_ = np.inf if hi is None else hi
+    if kill is not None and len(kill):
+        arr = decode_array(enc)
+        arr = arr.filter(pa.array(_keep_mask(len(arr), kill)))
+    else:
+        meta, codec, buffers = enc.meta, enc.codec, enc.buffers
+        if codec.endswith("+zstd"):
+            codec = codec[: -len("+zstd")]
+            meta, buffers = ZstdCodec.unwrap(meta, buffers)
+        if (
+            codec == "rle"
+            and meta.get("kind") == "fixed"
+            and not meta.get("has_validity")
+        ):
+            runs = ForCodec.decode(meta["runs_meta"], {"packed": buffers["runs"]})
+            if meta["vals_mode"] == "for":
+                vals = ForCodec.decode(
+                    meta["vals_meta"], {"packed": buffers["values"]}
+                )
+            else:
+                vals = np.frombuffer(
+                    buffers["values"], dtype=np.dtype(meta["vals_meta"]["dtype"])
+                )
+            m = (vals >= lo_) & (vals <= hi_)
+            n = int(runs[m].sum())
+            total = float(
+                np.sum(runs[m].astype(np.float64) * vals[m].astype(np.float64))
+            )
+            return n, total
+        if (
+            codec == "dict"
+            and meta.get("kind") == "fixed"
+            and not meta.get("has_validity")
+        ):
+            from pyrle_spark.codecs.dictionary import _decode_codes
+
+            cbuf = {
+                k[len("codes_") :]: v
+                for k, v in buffers.items()
+                if k.startswith("codes_")
+            }
+            codes = _decode_codes(meta["codes_mode"], meta["codes_meta"], cbuf)
+            uniques = np.frombuffer(
+                buffers["dict_data"], dtype=np.dtype(meta["dict_dtype"])
+            )
+            if meta.get("orig_dtype"):
+                uniques = uniques.view(np.dtype(meta["orig_dtype"]))
+            m = (uniques >= lo_) & (uniques <= hi_)
+            counts = np.bincount(
+                np.asarray(codes, dtype=np.int64), minlength=meta["n_dict"]
+            ).astype(np.int64)
+            n = int(counts[m].sum())
+            total = float(np.sum(counts[m] * uniques[m].astype(np.float64)))
+            return n, total
+        arr = decode_array(enc)
+    a = np.asarray(arr.drop_null(), dtype=np.float64)
+    m = (a >= lo_) & (a <= hi_)
+    return int(m.sum()), float(a[m].sum())
+
+
+def filtered_numeric_agg(
+    spark: SparkSession,
+    table_dir: str,
+    column: str,
+    lo=None,
+    hi=None,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """``SELECT count(*), sum(col) WHERE lo <= col <= hi`` from the
+    encoded blocks, with the predicate pushed BELOW decode: rle blocks
+    filter on run values and fold, fixed dict blocks filter on the
+    dictionary and histogram the codes, everything else decodes only
+    the one column.  One row out; nulls excluded; same float64
+    accumulation caveat as :func:`numeric_stats`."""
+    table = IceTable(table_dir)
+    column = physical_column(table, column, snapshot_id)
+    block_rows = int(table.properties(snapshot_id)["block_rows"])
+    dmap = _delete_map(table_dir, snapshot_id, block_rows)
+    enc = table.read_table(spark, snapshot_id).filter(F.col("column") == column)
+    enc = dedup_blocks(enc)
+
+    def _partials(batches):
+        for batch in batches:
+            ns, ts = [], []
+            for row in batch.to_pylist():
+                n, t = _block_filtered_stats(
+                    Encoded.from_row(row), lo, hi, dmap.get(row["block_id"])
+                )
+                ns.append(n)
+                ts.append(t)
+            yield pa.RecordBatch.from_pydict(
+                {"n": ns, "total": ts},
+                schema=pa.schema([("n", pa.int64()), ("total", pa.float64())]),
+            )
+
+    partial = enc.mapInArrow(_partials, "n long, total double")
+    return partial.agg(
+        F.sum("n").alias("n_match"), F.sum("total").alias("sum_match")
+    )
+
+
 def _dict_codes_and_values(enc: Encoded):
     """(codes int array, values list, valid bool array | None) of a
     var-width dict block — the group column never materializes rows."""

@@ -2235,3 +2235,37 @@ def test_schema_evolution_rename_add_drop(spark, tmp_path):
     old = t.read_table(spark, snapshot_id=pre)
     assert old.columns == ["id", "chars", "lang"]
     assert old.count() == 10
+
+
+def test_filtered_stats_below_decode():
+    """_block_filtered_stats must equal the naive decode-and-mask sum on
+    every codec path — rle folds runs, fixed dict histograms codes, the
+    rest decode — across open/closed/empty bounds, without Spark."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyrle_spark.codecs import encode_with
+    from pyrle_spark.plans.compressed import _block_filtered_stats
+
+    rng = np.random.default_rng(5)
+    runny = np.repeat(
+        rng.integers(0, 50, 40), rng.integers(1, 30, 40)
+    ).astype(np.int64)
+    dicty = (rng.integers(0, 16, 5000) * 3).astype(np.int64)
+    floaty = np.round(rng.uniform(0, 100, 3000), 2)
+    for codec, data in [
+        ("rle", runny),
+        ("dict", dicty),
+        ("alp", floaty),
+        ("raw", floaty),
+        ("rle", floaty),  # float rle: NaN-free values path
+    ]:
+        t = pa.int64() if data.dtype.kind == "i" else pa.float64()
+        enc = encode_with(codec, pa.array(data, type=t))
+        for lo, hi in [(None, None), (10, 40), (None, 25), (33, None), (1000, 2000)]:
+            n, tot = _block_filtered_stats(enc, lo, hi)
+            lo_ = -np.inf if lo is None else lo
+            hi_ = np.inf if hi is None else hi
+            m = (data >= lo_) & (data <= hi_)
+            assert n == int(m.sum()), (codec, lo, hi)
+            assert abs(tot - float(data[m].sum())) < 1e-6, (codec, lo, hi)
