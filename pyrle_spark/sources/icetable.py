@@ -259,8 +259,10 @@ class IceTable:
             )
             fid = {f["name"]: f["id"] for f in fields}
             file_ids = {f["name"]: fid[f["name"]] for f in sch_fields}
+            file_types = {f["name"]: f["type"] for f in sch_fields}
             for fentry in files:
                 fentry.setdefault("field_ids", file_ids)
+                fentry.setdefault("types", file_types)
             if branch is not None:
                 ref = meta.get("refs", {}).get(branch)
                 if ref is None or ref["type"] != "branch":
@@ -500,11 +502,14 @@ class IceTable:
             os.replace(tmp, self._meta_path)
         return snap_id
 
+    _WIDENINGS = {("integer", "long"), ("float", "double")}
+
     def evolve_schema(
         self,
         renames: dict | None = None,
         adds: list | None = None,
         drops: list | None = None,
+        widens: dict | None = None,
         properties: dict | None = None,
     ) -> str:
         """Metadata-only schema evolution (Iceberg's id-based model):
@@ -520,9 +525,13 @@ class IceTable:
         resolves them through each file's recorded ``field_ids``, so a
         rename is visible on ALL rows — historical and future — while
         time travel to a pre-evolution snapshot still sees the old
-        names.  Applies to main (commit branches carry data, not schema
+        names.  ``widens`` maps name → wider type using Iceberg's
+        lossless promotions only (integer→long, float→double); old files
+        keep their narrow physical type and the evolved read casts them
+        up.  Applies to main (commit branches carry data, not schema
         changes)."""
         renames, adds, drops = renames or {}, adds or [], drops or []
+        widens = widens or {}
         with commit_lock(self.path):
             meta = self._read_meta()
             cur = meta["current_snapshot_id"]
@@ -559,6 +568,18 @@ class IceTable:
                     sf = sf_by_name.pop(old)
                     sf["name"] = new
                     sf_by_name[new] = sf
+            for name, new_type in widens.items():
+                if name not in by_name:
+                    raise KeyError(f"widen: no column {name!r}")
+                old_type = by_name[name]["type"]
+                if (old_type, new_type) not in self._WIDENINGS:
+                    raise ValueError(
+                        f"widen: {old_type!r} -> {new_type!r} is not a "
+                        f"lossless promotion (allowed: {sorted(self._WIDENINGS)})"
+                    )
+                by_name[name]["type"] = new_type
+                if name in sf_by_name:
+                    sf_by_name[name]["type"] = new_type
             # ids retire with their column — a fresh add must never shadow
             # a dropped id, so allocate past the highest id EVER assigned
             nid = max_seen + 1
@@ -647,42 +668,65 @@ class IceTable:
                 [], schema=StructType.fromJson(json.loads(manifest["schema"]))
             )
         target_ids = manifest.get("field_ids")
+        sch_fields = json.loads(manifest["schema"])["fields"]
+        target_types = {f["name"]: f["type"] for f in sch_fields}
+        id_to_name = {v: k for k, v in (target_ids or {}).items()}
+
+        def _file_evolved(fe) -> bool:
+            ids = fe.get("field_ids")
+            if ids is None:
+                return False
+            if ids != target_ids:
+                return True
+            ftypes = fe.get("types") or {}
+            # same names, but a column was type-widened after this file
+            # was written → its physical type is narrower than the schema
+            return any(
+                name in ftypes and ftypes[name] != target_types.get(name)
+                for name in ids
+            )
+
         evolved = target_ids is not None and any(
-            fe.get("field_ids") is not None and fe["field_ids"] != target_ids
-            for fe in manifest["files"]
+            _file_evolved(fe) for fe in manifest["files"]
         )
         if not evolved:
             return spark.read.parquet(*paths)
         # schema-evolved read: files written under older schemas are
         # resolved BY FIELD ID against this snapshot's mapping — a rename
         # aliases the file's old column name, a dropped id is not
-        # projected, a column added later reads as typed NULL.  One
-        # parquet relation per distinct historical mapping (O(#schema
-        # versions), metadata-sized planning), unioned by name.
+        # projected, a widened column casts up from its narrow physical
+        # type, a column added later reads as typed NULL.  One parquet
+        # relation per distinct historical mapping (O(#schema versions),
+        # metadata-sized planning), unioned by name.
         from collections import defaultdict
         from functools import reduce
 
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
-        id_to_name = {v: k for k, v in target_ids.items()}
+        target_schema = StructType.fromJson(json.loads(manifest["schema"]))
+        tmap = {f.name: f.dataType for f in target_schema.fields}
         groups = defaultdict(list)
         for fe in manifest["files"]:
-            key = tuple(sorted((fe.get("field_ids") or target_ids).items()))
-            groups[key].append(fe["path"])
+            ids = tuple(sorted((fe.get("field_ids") or target_ids).items()))
+            # the PHYSICAL type is part of the group identity: one parquet
+            # relation must not mix int32 and int64 files of a widened
+            # column (the scan would reject the narrow files); json-encode
+            # because complex type descriptors are unhashable dicts
+            types = json.dumps(fe.get("types") or {}, sort_keys=True)
+            groups[(ids, types)].append(fe["path"])
         parts = []
-        for key, gpaths in groups.items():
+        for (ids, _types), gpaths in groups.items():
             df = spark.read.parquet(*gpaths)
             sel = [
-                F.col(name).alias(id_to_name[fid])
-                for name, fid in key
+                F.col(name).cast(tmap[id_to_name[fid]]).alias(id_to_name[fid])
+                for name, fid in ids
                 if fid in id_to_name and name in df.columns
             ]
             parts.append(df.select(*sel))
         out = reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
         )
-        target_schema = StructType.fromJson(json.loads(manifest["schema"]))
         for f in target_schema.fields:
             if f.name not in out.columns:
                 out = out.withColumn(f.name, F.lit(None).cast(f.dataType))

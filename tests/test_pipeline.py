@@ -2269,3 +2269,96 @@ def test_filtered_stats_below_decode():
             m = (data >= lo_) & (data <= hi_)
             assert n == int(m.sum()), (codec, lo, hi)
             assert abs(tot - float(data[m].sum())) < 1e-6, (codec, lo, hi)
+
+
+def test_schema_evolution_type_widening(spark, tmp_path):
+    """Iceberg's lossless type promotion: int→long widening is
+    metadata-only; old files keep their narrow physical type and the
+    evolved read casts them up; non-lossless promotions are rejected."""
+    from pyspark.sql.types import IntegerType, LongType
+
+    t = IceTable(str(tmp_path / "widen"))
+    v1 = spark.range(6).select(
+        F.col("id").cast(IntegerType()).alias("id"),
+        F.lit("x").alias("tag"),
+    )
+    t.write_snapshot(v1)
+    t.evolve_schema(widens={"id": "long"})
+    v2 = spark.range(6, 9).select(
+        F.col("id").cast(LongType()).alias("id"), F.lit("y").alias("tag")
+    )
+    t.write_snapshot(v2)
+    cur = t.read_table(spark)
+    assert dict(cur.dtypes)["id"] == "bigint"
+    assert sorted(r["id"] for r in cur.collect()) == list(range(9))
+    with pytest.raises(ValueError):
+        t.evolve_schema(widens={"id": "integer"})  # narrowing refused
+
+
+def test_schema_evolution_random_histories(spark, tmp_path):
+    """Randomized evolution histories (append / rename / add / drop /
+    widen interleaved) must always read back equal to a driver-side
+    replay of the same operations — the id-resolution invariants hold
+    under composition, not just for one scripted sequence."""
+    import random
+
+    import pandas as pd
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        t = IceTable(str(tmp_path / f"hist{seed}"))
+        cols = {"a": "long", "b": "long"}  # name -> current type
+        expected = pd.DataFrame({"a": [0, 1], "b": [10, 11]})
+        t.write_snapshot(spark.createDataFrame(expected))
+        next_id = 100
+        for _ in range(6):
+            op = rng.choice(["append", "rename", "add", "drop", "widen"])
+            if op == "append":
+                rows = {
+                    c: [next_id + i * 7 + j for i in range(3)]
+                    for j, c in enumerate(cols)
+                }
+                next_id += 50
+                pdf = pd.DataFrame(rows)
+                for c, ty in cols.items():
+                    pdf[c] = pdf[c].astype(
+                        "int32" if ty == "integer" else "int64"
+                    )
+                t.write_snapshot(spark.createDataFrame(pdf))
+                expected = pd.concat([expected, pdf], ignore_index=True)
+            elif op == "rename" and cols:
+                old = rng.choice(sorted(cols))
+                new = f"{old}_r{next_id}"
+                t.evolve_schema(renames={old: new})
+                cols[new] = cols.pop(old)
+                expected = expected.rename(columns={old: new})
+            elif op == "add":
+                name = f"c{next_id}"
+                t.evolve_schema(adds=[(name, "long")])
+                cols[name] = "long"
+                expected[name] = pd.array([None] * len(expected), dtype="Int64")
+            elif op == "drop" and len(cols) > 1:
+                name = rng.choice(sorted(cols))
+                t.evolve_schema(drops=[name])
+                cols.pop(name)
+                expected = expected.drop(columns=[name])
+            elif op == "widen":
+                longs = [c for c, ty in cols.items() if ty == "long"]
+                # nothing narrow to widen in this toy schema; exercise the
+                # rejection path instead
+                if longs:
+                    with pytest.raises(ValueError):
+                        t.evolve_schema(widens={longs[0]: "long"})
+        got = (
+            t.read_table(spark)
+            .toPandas()
+            .astype("Int64")
+            .sort_values(sorted(cols))
+            .reset_index(drop=True)[sorted(cols)]
+        )
+        exp = (
+            expected.astype("Int64")
+            .sort_values(sorted(cols))
+            .reset_index(drop=True)[sorted(cols)]
+        )
+        pd.testing.assert_frame_equal(got, exp)
