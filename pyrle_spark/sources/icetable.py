@@ -799,6 +799,31 @@ class IceTable:
             "encode_mb_per_s double",
         )
 
+    def files_df(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
+        """The ``table$files`` metadata relation: one row per live data
+        file in the snapshot's manifest — path, size, and the
+        schema-version stamps (field ids + physical types) the evolved
+        read resolves against.  Driver-side metadata only, O(#files)."""
+        snap = (
+            self.resolve_ref(snapshot_id)
+            if snapshot_id
+            else self.current_snapshot_id()
+        )
+        if snap is None:
+            raise FileNotFoundError(f"no snapshot in {self.path}")
+        manifest = self._manifest(snap)
+        schema = "path string, bytes long, field_ids string, types string"
+        rows = [
+            (
+                fe["path"],
+                int(fe["bytes"]),
+                json.dumps(fe.get("field_ids") or {}, sort_keys=True),
+                json.dumps(fe.get("types") or {}, sort_keys=True),
+            )
+            for fe in manifest["files"]
+        ]
+        return spark.createDataFrame(rows, schema)
+
     def codecs_df(self, spark: SparkSession) -> DataFrame:
         """The ``table$codecs`` relation: one row per (snapshot, column,
         codec) — which codec the auto-selector chose where, with sizes

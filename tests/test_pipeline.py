@@ -2362,3 +2362,23 @@ def test_schema_evolution_random_histories(spark, tmp_path):
             .reset_index(drop=True)[sorted(cols)]
         )
         pd.testing.assert_frame_equal(got, exp)
+
+
+def test_files_metadata_relation(spark, tmp_path):
+    """table$files: one row per live file with real sizes and the
+    schema-version stamps; time travel scopes it to the old manifest."""
+    import json as _json
+    import os as _os
+
+    t = IceTable(str(tmp_path / "files"))
+    t.write_snapshot(spark.range(4).select("id"))
+    first = t.current_snapshot_id()
+    t.write_snapshot(spark.range(4, 6).select("id"))
+    rows = t.files_df(spark).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["bytes"] == _os.path.getsize(r["path"])
+        assert _json.loads(r["field_ids"]) == {"id": 1}
+        assert _json.loads(r["types"]) == {"id": "long"}
+    old = t.files_df(spark, snapshot_id=first).collect()
+    assert len(old) < len(rows)
