@@ -193,18 +193,21 @@ def encode_payload_auto(
     if kind == "fixed":
         codec = choose_fixed(stats, np.asarray(payload).dtype.kind)
         raw_size = len(payload) * payload.dtype.itemsize
-        if codec == "raw" and payload.dtype.kind == "f" and HAVE_ZSTD and len(payload):
+        if codec == "raw" and payload.dtype.kind == "f" and len(payload):
             # float columns with no run structure: trial byte-stream-split
             # + zstd against raw + zstd and plain raw (full column — floats
             # are ≤ 8·block_rows bytes, the trial is ~memcpy + small zstd).
             # BSS alone is size-neutral, so it's only ever taken with zstd.
+            # ALP needs no entropy coder to win, so it is trialed even
+            # without the zstd package.
             meta_r, bufs_r = _encode_payload("raw", kind, payload)
-            meta_b, bufs_b = _encode_payload("bss", kind, payload)
             forms = [("raw", meta_r, bufs_r, False)]
-            mrz, brz = ZstdCodec.wrap(meta_r, bufs_r)
-            forms.append(("raw+zstd", mrz, brz, True))
-            mbz, bbz = ZstdCodec.wrap(meta_b, bufs_b)
-            forms.append(("bss+zstd", mbz, bbz, True))
+            if HAVE_ZSTD:
+                meta_b, bufs_b = _encode_payload("bss", kind, payload)
+                mrz, brz = ZstdCodec.wrap(meta_r, bufs_r)
+                forms.append(("raw+zstd", mrz, brz, True))
+                mbz, bbz = ZstdCodec.wrap(meta_b, bufs_b)
+                forms.append(("bss+zstd", mbz, bbz, True))
             if payload.dtype == np.float64:
                 # decimals in disguise: ALP's digits+exceptions form wins
                 # big on price/ratio-style doubles and the trial rejects

@@ -548,7 +548,24 @@ class IceTable:
                 meta.get("last_field_id", 0),
                 max((f["id"] for f in fields), default=0),
             )
+            if any("field_ids" not in fe for fe in parent["files"]):
+                raise ValueError(
+                    "schema evolution requires every live data file to "
+                    "carry its field-id stamp; this table has pre-upgrade "
+                    "files — rewrite them (compaction / overwrite) first, "
+                    "or evolution would silently mis-resolve their columns"
+                )
             sf_by_name = {f["name"]: dict(f) for f in sch["fields"]}
+            # the registry can hold columns absent from the PARENT commit's
+            # schema (a narrower append shrinks manifest schema but never
+            # the registry); synthesize their struct-field json so the
+            # evolved schema stays total over the registry
+            for f in fields:
+                sf_by_name.setdefault(
+                    f["name"],
+                    {"name": f["name"], "type": f["type"], "nullable": True,
+                     "metadata": {}},
+                )
             by_name = {f["name"]: f for f in fields}
             for name in drops:
                 if name not in by_name:

@@ -323,3 +323,14 @@ def test_for_codec_uint64_full_range():
         assert (back == a).all() and back.dtype == a.dtype
     arr = pa.array(vals.tolist(), type=pa.uint64())
     assert decode_array(encode_with("for", arr)).equals(arr)
+
+
+def test_alp_trialed_without_zstd(monkeypatch):
+    """ALP needs no entropy coder: with the zstd package absent the
+    auto trial must still consider (and here pick) plain alp."""
+    monkeypatch.setattr(codecs, "HAVE_ZSTD", False)
+    vals = np.round(np.random.default_rng(17).uniform(0, 1e4, 16384), 2)
+    arr = pa.array(vals, type=pa.float64())
+    enc = encode_array(arr)
+    assert enc.codec == "alp", enc.codec
+    roundtrip(enc, arr)

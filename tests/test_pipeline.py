@@ -2382,3 +2382,18 @@ def test_files_metadata_relation(spark, tmp_path):
         assert _json.loads(r["types"]) == {"id": "long"}
     old = t.files_df(spark, snapshot_id=first).collect()
     assert len(old) < len(rows)
+
+
+def test_schema_evolution_after_narrow_append(spark, tmp_path):
+    """A narrower append shrinks the manifest schema but not the field
+    registry; evolution must still work (review finding: KeyError)."""
+    t = IceTable(str(tmp_path / "narrow"))
+    t.write_snapshot(
+        spark.range(3).select("id", (F.col("id") * 2).alias("b"))
+    )
+    t.write_snapshot(spark.range(3, 5).select("id"))  # no column b
+    t.evolve_schema(renames={"id": "z"})
+    cur = t.read_table(spark)
+    assert set(cur.columns) == {"z", "b"}
+    rows = {r["z"]: r["b"] for r in cur.collect()}
+    assert rows == {0: 0, 1: 2, 2: 4, 3: None, 4: None}
