@@ -1604,6 +1604,91 @@ FROM documents GROUP BY lang
 """
 
 
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier revenue: the nation/region dims broadcast,
+    the customer↔supplier same-nation constraint rides the joins, and
+    the two fact joins shuffle on their keys.  Revenue in integer 10^-4
+    units (exact cross-engine sums).
+
+    Scale shape: region→nation→supplier chain is broadcast all the way;
+    lineitem⋈orders is the one big shuffle pair; the aggregate key is
+    tiny (#nations)."""
+    cutoff_lo = F.lit("1996-01-01").cast("timestamp")
+    cutoff_hi = F.lit("1997-01-01").cast("timestamp")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    supplier = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= cutoff_lo) & (F.col("o_orderdate") < cutoff_hi))
+        .select("o_orderkey", "o_custkey")
+    )
+    rev = _money_cents("l_extendedprice") * (100 - _money_cents("l_discount"))
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", rev.alias("rev")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("rev").alias("revenue_e4"))
+    )
+
+
+_TPCH_Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+         AS revenue_e4
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting-revenue-change: pure scan-filter-aggregate —
+    every predicate reaches the parquet scan (PushedFilters), no join,
+    no Python.  Both engines compare against identical binary double
+    literals, so the BETWEEN on the 2-decimal discount column is
+    engine-stable; revenue in integer 10^-4 units."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = _money_cents("l_extendedprice") * _money_cents("l_discount")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum(rev).alias("revenue_e4")
+    )
+
+
+_TPCH_Q6_SQL = """
+SELECT count(*) AS n_rows,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT)
+         AS revenue_e4
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 def compressed_sum_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level FILTER pushed below decode
     (``plans.compressed.filtered_numeric_agg``): rle blocks evaluate the
@@ -3267,6 +3352,8 @@ QUERIES = {
     "schema_evolution_agg": schema_evolution_agg,
     "tpch_q1_pricing": tpch_q1_pricing,
     "tpch_q3_shipping": tpch_q3_shipping,
+    "tpch_q5_local_supplier": tpch_q5_local_supplier,
+    "tpch_q6_forecast": tpch_q6_forecast,
     "point_lookup_rows": point_lookup_rows,
     "compressed_distinct_source": compressed_distinct_source,
     "layout_prune_synergy": layout_prune_synergy,
@@ -3354,6 +3441,8 @@ ORACLE_SQL = {
     "schema_evolution_agg": _SCHEMA_EVOLUTION_AGG_SQL,
     "tpch_q1_pricing": _TPCH_Q1_SQL,
     "tpch_q3_shipping": _TPCH_Q3_SQL,
+    "tpch_q5_local_supplier": _TPCH_Q5_SQL,
+    "tpch_q6_forecast": _TPCH_Q6_SQL,
     "point_lookup_rows": _POINT_LOOKUP_ROWS_SQL,
     "compressed_distinct_source": _COMPRESSED_DISTINCT_SQL,
     "layout_prune_synergy": _LAYOUT_PRUNE_SYNERGY_SQL,
