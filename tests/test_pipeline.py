@@ -2397,3 +2397,34 @@ def test_schema_evolution_after_narrow_append(spark, tmp_path):
     assert set(cur.columns) == {"z", "b"}
     rows = {r["z"]: r["b"] for r in cur.collect()}
     assert rows == {0: 0, 1: 2, 2: 4, 3: None, 4: None}
+
+
+def test_filtered_agg_respects_mor_deletes(spark, tmp_path):
+    """filtered_numeric_agg must exclude position-deleted rows — the
+    delete map forces the exact decode-and-mask fallback per affected
+    block and the result equals the row-level oracle."""
+    from pyrle_spark.plans.compressed import filtered_numeric_agg
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        delete_rows,
+        encode_table,
+    )
+
+    n = 500
+    df = spark.range(n).select(
+        F.col("id").alias("_seq"), (F.col("id") * 3 % 97).alias("v")
+    )
+    out = str(tmp_path / "fa")
+    encode_table(
+        spark, df, out,
+        EncodeConfig(columns=["v"], order_col="_seq", block_rows=64),
+    )
+    delete_rows(
+        spark, out,
+        df.filter(F.col("_seq") % 11 == 0).select(F.col("_seq").alias("_order")),
+    )
+    got = filtered_numeric_agg(spark, out, "v", 10, 60).collect()[0]
+    vals = [(i * 3) % 97 for i in range(n) if i % 11 != 0]
+    keep = [v for v in vals if 10 <= v <= 60]
+    assert got["n_match"] == len(keep)
+    assert int(got["sum_match"]) == sum(keep)
