@@ -1689,6 +1689,111 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: part is the small side and
+    broadcasts, lineitem's date filter reaches the scan, and the promo
+    share is conditional aggregation — no second pass over the fact.
+    Both revenue sums stay in integer 10^-4 units; the percentage is
+    ONE terminal division of two exact int64s, so both engines produce
+    the identical IEEE double.
+
+    Scale shape: one broadcast hash join, one scalar aggregate; zero
+    shuffles of lineitem beyond the final single-row reduce."""
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_type").startswith("PROMO").alias("is_promo")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = _money_cents("l_extendedprice") * (100 - _money_cents("l_discount"))
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        F.sum(F.when(F.col("is_promo"), rev).otherwise(F.lit(0))).alias(
+            "promo_revenue_e4"
+        ),
+        F.sum(rev).alias("total_revenue_e4"),
+    ).select(
+        "promo_revenue_e4",
+        "total_revenue_e4",
+        (
+            F.lit(100.0)
+            * F.col("promo_revenue_e4")
+            / F.col("total_revenue_e4")
+        ).alias("promo_pct"),
+    )
+
+
+_TPCH_Q14_SQL = """
+WITH j AS (
+  SELECT CAST(round(l_extendedprice*100) AS BIGINT)
+         * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev,
+         p_type LIKE 'PROMO%' AS is_promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+)
+SELECT CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END) AS BIGINT)
+         AS promo_revenue_e4,
+       CAST(sum(rev) AS BIGINT) AS total_revenue_e4,
+       100.0 * CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END) AS BIGINT)
+             / CAST(sum(rev) AS BIGINT) AS promo_pct
+FROM j
+"""
+
+
+def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting (columns reduced to the
+    testdata's customer schema): one quarter of orders, returnflag 'R'
+    lineitems, revenue per customer, top 20.  The nation dim broadcasts;
+    customer⋈(orders⋈lineitem) shuffles on the integer keys; the LIMIT
+    carries an explicit (revenue DESC, c_custkey) tiebreak so the row
+    set is deterministic in both engines.  Revenue in integer 10^-4
+    units.
+
+    Scale shape: facts shuffle once each on their join key, the
+    group-by key is c_custkey (no skew — one group per customer), and
+    top-20 is a partial TakeOrdered, not a global sort."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    rev = _money_cents("l_extendedprice") * (100 - _money_cents("l_discount"))
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", rev.alias("rev"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum("rev").alias("revenue_e4"))
+        .orderBy(F.col("revenue_e4").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_TPCH_Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+         AS revenue_e4
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue_e4 DESC, c_custkey LIMIT 20
+"""
+
+
 def compressed_sum_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level FILTER pushed below decode
     (``plans.compressed.filtered_numeric_agg``): rle blocks evaluate the
@@ -1752,6 +1857,105 @@ FROM documents WHERE n_chars % 16 BETWEEN 3 AND 9
 UNION ALL
 SELECT 'lang_len', count(*), CAST(sum(length(lang)) AS BIGINT)
 FROM documents WHERE length(lang) = 2
+"""
+
+
+def compressed_topk_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k by ``n_chars`` (doc_id tiebreak) answered with block
+    decode gated by manifest zone maps
+    (``plans.compressed.topk_below_decode``): a greedy zmax-descending
+    cover supplies candidates, the observed k-th value proves every
+    remaining block with ``zmax < v_k`` irrelevant, and only the
+    survivors ever decode — late materialization, the compressed-domain
+    dual of ``zonemap_prune_agg``'s scan pruning.  The oracle is the
+    naive full-table ORDER BY ... LIMIT k, so equality shows the prune
+    invents and loses nothing, ties included.
+
+    Scale shape: pass 1 is an O(#blocks) manifest scan; decode cost is
+    O(blocks overlapping the top), independent of table size."""
+    import tempfile
+
+    from pyrle_spark.plans.compressed import topk_below_decode
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+
+    docs = load(spark, sf_dir, "documents")
+    ordered = _fixture_ordered(docs, ["doc_id", "n_chars"])
+    out_dir = tempfile.mkdtemp(prefix="compressed_topk_")
+    encode_table(
+        spark,
+        ordered,
+        out_dir,
+        EncodeConfig(columns=["doc_id", "n_chars"], order_col="_seq", block_rows=64),
+    )
+    return topk_below_decode(spark, out_dir, "n_chars", "doc_id", k=15)
+
+
+_COMPRESSED_TOPK_SQL = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT 15
+"""
+
+
+def compressed_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles (p25/p50/p75) of a low-cardinality
+    dict-encoded column computed from per-block CODE HISTOGRAMS — the
+    value payload never re-materializes rows
+    (``plans.compressed.count_by_value``; dict blocks scatter-add their
+    code stream, rle blocks fold runs).  The quantile definition is the
+    pure-integer form ``min v : 100·cum(v) >= pct·n`` in BOTH engines,
+    so no float seam exists; the oracle computes the same histogram
+    row-level.
+
+    Scale shape: one mapInArrow manifest pass emits O(#blocks ×
+    distinct) partials; everything after the histogram shuffle is
+    O(distinct) = 16 rows.  The cumulative count is a broadcast
+    triangular self-join over those 16 rows (O(distinct²) pairs), so no
+    partitionless window exists anywhere in the plan."""
+    import tempfile
+
+    from pyrle_spark.plans.compressed import count_by_value
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "nc16", F.col("n_chars") % 16
+    )
+    ordered = _fixture_ordered(docs, ["nc16"])
+    out_dir = tempfile.mkdtemp(prefix="compressed_quantile_")
+    encode_table(
+        spark,
+        ordered,
+        out_dir,
+        EncodeConfig(columns=["nc16"], order_col="_seq", block_rows=64),
+    )
+    hist = count_by_value(spark, out_dir, "nc16").select(
+        F.col("value").cast("long").alias("v"), F.col("n_rows").alias("c")
+    )
+    total = hist.agg(F.sum("c").alias("n"))
+    lower = hist.select(F.col("v").alias("v2"), F.col("c").alias("c2"))
+    cum = (
+        hist.join(F.broadcast(lower), F.col("v2") <= F.col("v"))
+        .groupBy("v")
+        .agg(F.sum("c2").alias("cum"))
+        .crossJoin(F.broadcast(total))
+    )
+    pcts = spark.createDataFrame([(25,), (50,), (75,)], "pct int")
+    return (
+        F.broadcast(pcts)
+        .join(cum, 100 * F.col("cum") >= F.col("pct") * F.col("n"))
+        .groupBy("pct")
+        .agg(F.min("v").alias("v"))
+    )
+
+
+_COMPRESSED_QUANTILE_SQL = """
+WITH h AS (
+  SELECT n_chars % 16 AS v, count(*) AS c FROM documents GROUP BY 1
+), cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n FROM h
+), p AS (SELECT unnest([25, 50, 75]) AS pct)
+SELECT pct, min(v) AS v
+FROM p JOIN cum ON 100 * cum >= pct * n
+GROUP BY pct
 """
 
 
@@ -3354,7 +3558,11 @@ QUERIES = {
     "tpch_q3_shipping": tpch_q3_shipping,
     "tpch_q5_local_supplier": tpch_q5_local_supplier,
     "tpch_q6_forecast": tpch_q6_forecast,
+    "tpch_q10_returns": tpch_q10_returns,
+    "tpch_q14_promo": tpch_q14_promo,
     "point_lookup_rows": point_lookup_rows,
+    "compressed_topk_zonemap": compressed_topk_zonemap,
+    "compressed_quantile_hist": compressed_quantile_hist,
     "compressed_distinct_source": compressed_distinct_source,
     "layout_prune_synergy": layout_prune_synergy,
     "update_where_agg": update_where_agg,
@@ -3443,6 +3651,10 @@ ORACLE_SQL = {
     "tpch_q3_shipping": _TPCH_Q3_SQL,
     "tpch_q5_local_supplier": _TPCH_Q5_SQL,
     "tpch_q6_forecast": _TPCH_Q6_SQL,
+    "tpch_q10_returns": _TPCH_Q10_SQL,
+    "tpch_q14_promo": _TPCH_Q14_SQL,
+    "compressed_topk_zonemap": _COMPRESSED_TOPK_SQL,
+    "compressed_quantile_hist": _COMPRESSED_QUANTILE_SQL,
     "point_lookup_rows": _POINT_LOOKUP_ROWS_SQL,
     "compressed_distinct_source": _COMPRESSED_DISTINCT_SQL,
     "layout_prune_synergy": _LAYOUT_PRUNE_SYNERGY_SQL,

@@ -39,6 +39,7 @@ __all__ = [
     "distinct_values",
     "numeric_stats",
     "sum_by_value",
+    "topk_below_decode",
 ]
 
 _NULL_SENTINEL = None  # null slots aggregate into a NULL value row
@@ -405,6 +406,96 @@ def filtered_numeric_agg(
     return partial.agg(
         F.sum("n").alias("n_match"), F.sum("total").alias("sum_match")
     )
+
+
+def topk_below_decode(
+    spark: SparkSession,
+    table_dir: str,
+    value_col: str,
+    id_col: str,
+    k: int,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """Exact ``ORDER BY value_col DESC, id_col LIMIT k`` with block
+    decode gated by the manifest zone maps — the late-materialization
+    top-k of classic column stores (the generalization of pyrle's
+    run-level shortcuts: answer from structure first, touch payload
+    last; reference ``pyrle/rle.py:931-959`` computes stats from runs
+    the same way).
+
+    Two manifest-guided passes, both exact:
+
+    1. Zone scan (driver-resident, O(#blocks) like the other bounded
+       collects): per-block ``zmax`` of ``value_col``.  A greedy cover
+       by descending ``zmax`` picks the fewest blocks whose LIVE row
+       count can reach ``k``; only those decode.
+    2. Refinement: with ``v_k`` = the k-th value of pass 1 (ties broken
+       by ``id_col``), any undecoded block with ``zmax >= v_k`` (or no
+       zone — conservative) could still hold a winner, so exactly those
+       decode too.  Blocks with ``zmax < v_k`` are proven irrelevant.
+
+    Merge-on-read deletes apply inside :func:`decode_table`, so a
+    deleted former maximum can't win; a stale (pre-delete) ``zmax``
+    only widens the candidate set, never narrows it.  At 10^12 rows the
+    zone scan is a manifest pass and decode cost is O(blocks near the
+    top), not O(table)."""
+    import math
+
+    from pyrle_spark.plans.encode_job import decode_table
+
+    table = IceTable(table_dir)
+    phys = physical_column(table, value_col, snapshot_id)
+    enc = dedup_blocks(
+        table.read_table(spark, snapshot_id).filter(F.col("column") == phys)
+    )
+    zones = [
+        (
+            int(r["block_id"]),
+            float(r["zmax"]) if r["zmax"] is not None else math.inf,
+            int(r["n_rows"]),
+        )
+        for r in enc.select("block_id", "zmax", "n_rows").collect()
+    ]
+    # greedy cover: highest-zmax blocks first until >= k rows are in play
+    zones.sort(key=lambda t: (-t[1], t[0]))
+    cover, cum = [], 0
+    for bid, _zmax, n in zones:
+        if cum >= k:
+            break
+        cover.append(bid)
+        cum += n
+    rest = {bid: zmax for bid, zmax, _n in zones[len(cover) :]}
+
+    def _decode(block_ids: list) -> DataFrame:
+        blocks = spark.createDataFrame(
+            [(int(b),) for b in block_ids], "block_id long"
+        )
+        return decode_table(
+            spark,
+            table_dir,
+            columns=sorted({value_col, id_col}),
+            snapshot_id=snapshot_id,
+            blocks=blocks,
+        ).select(id_col, value_col)
+
+    head = _decode(cover) if cover else None
+    vk = -math.inf
+    if head is not None:
+        kth = (
+            head.orderBy(F.col(value_col).desc(), F.col(id_col))
+            .limit(k)
+            .collect()
+        )  # bounded: <= k rows
+        if len(kth) == k:
+            vk = float(kth[-1][value_col])
+    extra = [bid for bid, zmax in rest.items() if zmax >= vk]
+    parts = [p for p in (head, _decode(extra) if extra else None) if p is not None]
+    if not parts:
+        return spark.createDataFrame([], f"{id_col} long, {value_col} long")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy(F.col(value_col).desc(), F.col(id_col)).limit(k)
 
 
 def _dict_codes_and_values(enc: Encoded):

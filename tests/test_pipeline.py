@@ -2428,3 +2428,44 @@ def test_filtered_agg_respects_mor_deletes(spark, tmp_path):
     keep = [v for v in vals if 10 <= v <= 60]
     assert got["n_match"] == len(keep)
     assert int(got["sum_match"]) == sum(keep)
+
+
+def test_topk_below_decode_deletes_and_ties(spark, tmp_path):
+    """topk_below_decode must stay exact when (a) position deletes have
+    erased former block maxima — the stale zmax may only widen the
+    candidate set — and (b) the k-th value ties across blocks, where the
+    refinement pass must pull every block whose zmax EQUALS v_k so a
+    tied row with a smaller id can still win."""
+    from pyrle_spark.plans.compressed import topk_below_decode
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        delete_rows,
+        encode_table,
+    )
+
+    n, k = 600, 12
+    # v = id*7 % 101 → ties everywhere; block_rows=64 spreads each value
+    # across many blocks
+    vals = [(i * 7) % 101 for i in range(n)]
+    df = spark.range(n).select(
+        F.col("id").alias("_seq"),
+        F.col("id").alias("rid"),
+        (F.col("id") * 7 % 101).alias("v"),
+    )
+    out = str(tmp_path / "topk")
+    encode_table(
+        spark, df, out,
+        EncodeConfig(columns=["rid", "v"], order_col="_seq", block_rows=64),
+    )
+    # delete every row holding the global max (v=100) in the first half:
+    # those blocks' zmax is now stale-high
+    dead = [i for i in range(n // 2) if vals[i] == 100]
+    assert dead, "fixture must delete at least one block maximum"
+    delete_rows(spark, out, dead)
+    got = [
+        (r["rid"], r["v"])
+        for r in topk_below_decode(spark, out, "v", "rid", k).collect()
+    ]
+    live = [(v, i) for i, v in enumerate(vals) if i not in set(dead)]
+    live.sort(key=lambda t: (-t[0], t[1]))
+    assert got == [(i, v) for v, i in live[:k]]
