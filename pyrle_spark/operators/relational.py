@@ -1860,6 +1860,77 @@ FROM documents WHERE length(lang) = 2
 """
 
 
+def compressed_eq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality predicates evaluated in the compressed domain end-to-end
+    (``plans.compressed.count_where_eq``): bloom digests prune blocks
+    that never saw the probe, DICT blocks count the probe's code, and
+    FSST blocks compare ENCODED spans against the probe encoded with
+    each block's own symbol table — greedy FSST encode is canonical per
+    string, so equal rows stored exactly those bytes (pinned by
+    ``test_fsst_eq_probe_canonical``).  The fixture pins the
+    high-cardinality ``probe_str`` column to fsst via
+    ``EncodeConfig.codec_overrides`` (the per-column codec pin), lets
+    ``lang`` auto-select dict, and routes ``n_chars`` through the
+    decode fallback; the oracle is the row-level WHERE for all four
+    probes, hit and miss.
+
+    Scale shape: O(#blocks) manifest prune + one mapInArrow emitting one
+    int per surviving block; no full-column decode on any fast path."""
+    import tempfile
+
+    from pyrle_spark.plans.compressed import count_where_eq
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "probe_str",
+        F.concat_ws("-", F.col("source"), (F.col("n_chars") % 50).cast("string")),
+    )
+    ordered = _fixture_ordered(docs, ["probe_str", "lang", "n_chars"])
+    out_dir = tempfile.mkdtemp(prefix="compressed_eq_")
+    encode_table(
+        spark,
+        ordered,
+        out_dir,
+        EncodeConfig(
+            columns=["probe_str", "lang", "n_chars"],
+            order_col="_seq",
+            block_rows=64,
+            codec_overrides={"probe_str": "fsst"},
+        ),
+    )
+    parts = []
+    for col, probe in (
+        ("probe_str", "src3-17"),
+        ("probe_str", "nope-999"),
+        ("lang", "es"),
+        ("n_chars", 300),
+    ):
+        parts.append(
+            count_where_eq(spark, out_dir, col, probe).select(
+                F.lit(col).alias("col"),
+                F.lit(str(probe)).alias("probe"),
+                "n_match",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_COMPRESSED_EQ_PROBE_SQL = """
+SELECT 'probe_str' AS col, 'src3-17' AS probe, count(*) AS n_match
+FROM documents WHERE source || '-' || CAST(n_chars % 50 AS VARCHAR) = 'src3-17'
+UNION ALL
+SELECT 'probe_str', 'nope-999', count(*)
+FROM documents WHERE source || '-' || CAST(n_chars % 50 AS VARCHAR) = 'nope-999'
+UNION ALL
+SELECT 'lang', 'es', count(*) FROM documents WHERE lang = 'es'
+UNION ALL
+SELECT 'n_chars', '300', count(*) FROM documents WHERE n_chars = 300
+"""
+
+
 def compressed_topk_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k by ``n_chars`` (doc_id tiebreak) answered with block
     decode gated by manifest zone maps
@@ -3563,6 +3634,7 @@ QUERIES = {
     "point_lookup_rows": point_lookup_rows,
     "compressed_topk_zonemap": compressed_topk_zonemap,
     "compressed_quantile_hist": compressed_quantile_hist,
+    "compressed_eq_probe": compressed_eq_probe,
     "compressed_distinct_source": compressed_distinct_source,
     "layout_prune_synergy": layout_prune_synergy,
     "update_where_agg": update_where_agg,
@@ -3655,6 +3727,7 @@ ORACLE_SQL = {
     "tpch_q14_promo": _TPCH_Q14_SQL,
     "compressed_topk_zonemap": _COMPRESSED_TOPK_SQL,
     "compressed_quantile_hist": _COMPRESSED_QUANTILE_SQL,
+    "compressed_eq_probe": _COMPRESSED_EQ_PROBE_SQL,
     "point_lookup_rows": _POINT_LOOKUP_ROWS_SQL,
     "compressed_distinct_source": _COMPRESSED_DISTINCT_SQL,
     "layout_prune_synergy": _LAYOUT_PRUNE_SYNERGY_SQL,

@@ -28,6 +28,7 @@ from pyrle_spark.codecs.rawcodec import ZstdCodec
 from pyrle_spark.plans.encode_job import (
     dedup_blocks,
     physical_column,
+    prune_blocks_eq,
     prune_blocks_in,
 )
 from pyrle_spark.sources.icetable import IceTable
@@ -35,6 +36,7 @@ from pyrle_spark.sources.icetable import IceTable
 __all__ = [
     "agg_join_dim",
     "count_by_value",
+    "count_where_eq",
     "count_where_in",
     "distinct_values",
     "numeric_stats",
@@ -749,6 +751,131 @@ def count_where_in(
     )
     hist = count_by_value(spark, table_dir, column, snapshot_id, blocks=live)
     return hist.filter(F.col("value").isin([str(v) for v in values]))
+
+
+def _fsst_eq_mask(meta: dict, buffers: dict, value: str, n_rows: int):
+    """Per-row equality mask of an (unwrapped) fsst block against a
+    string literal WITHOUT decoding: greedy longest-match FSST encode is
+    canonical per string (pair matches never cross string boundaries and
+    the in-run parity selection depends only on the string's own bytes),
+    so encoding the probe with the block's stored symbol table yields
+    exactly the bytes an equal row stored.  The compare is then a
+    vectorized length filter + span gather over the COMPRESSED buffer —
+    ~compression_ratio× fewer bytes touched than decode-then-compare."""
+    from pyrle_spark.codecs.bitpack import DeltaCodec
+    from pyrle_spark.codecs.fsst import encode_buffer
+
+    syms = np.frombuffer(buffers["symbols"], dtype=np.uint8)
+    table = {
+        "sym_len": syms[:256],
+        "sym_first": syms[256:512],
+        "sym_second": syms[512:768],
+    }
+    probe = np.frombuffer(value.encode("utf-8"), dtype=np.uint8)
+    penc, _ = encode_buffer(
+        probe, np.array([0, len(probe)], dtype=np.int64), table
+    )
+    enc_off = DeltaCodec.decode(
+        meta["offsets_meta"], {"packed": buffers["offsets"]}
+    )
+    data = np.frombuffer(buffers["data"], dtype=np.uint8)
+    mask = np.zeros(n_rows, dtype=bool)
+    cand = np.flatnonzero(np.diff(enc_off) == len(penc))
+    if len(cand):
+        if len(penc):
+            idx = enc_off[cand][:, None] + np.arange(len(penc))
+            mask[cand[(data[idx] == penc).all(axis=1)]] = True
+        else:
+            mask[cand] = True
+    return mask
+
+
+def _block_eq_count(enc: Encoded, value, kill: np.ndarray | None) -> int:
+    """Rows equal to ``value`` in one block, compressed-domain where the
+    codec allows: fsst compares encoded spans (:func:`_fsst_eq_mask`),
+    dict counts the value's code, delete-affected blocks take the exact
+    decode-and-mask path."""
+    import pyarrow.compute as pc
+
+    from pyrle_spark.codecs import decode_array
+
+    if kill is None or not len(kill):
+        meta, buffers = enc.meta, enc.buffers
+        codec = enc.codec
+        if codec.endswith("+zstd"):
+            codec = codec[: -len("+zstd")]
+            meta, buffers = ZstdCodec.unwrap(meta, buffers)
+        if codec == "fsst" and isinstance(value, str):
+            mask = _fsst_eq_mask(meta, buffers, value, enc.n_rows)
+            if meta.get("has_validity") or "validity" in enc.buffers:
+                vbuf = enc.buffers.get("validity") or buffers.get("validity")
+                if vbuf is not None:
+                    valid = np.unpackbits(
+                        np.frombuffer(vbuf, dtype=np.uint8), count=enc.n_rows
+                    ).astype(bool)
+                    mask &= valid
+            return int(mask.sum())
+        packed = _dict_codes_and_values(enc)
+        if packed is not None:
+            codes, values, valid = packed
+            try:
+                code = values.index(str(value))
+            except ValueError:
+                return 0
+            if valid is not None:
+                codes = codes[valid]
+            return int((codes == code).sum())
+    arr = decode_array(enc)
+    if kill is not None and len(kill):
+        arr = arr.filter(pa.array(_keep_mask(len(arr), kill)))
+    return int(
+        pc.sum(pc.equal(arr, pa.scalar(value, type=arr.type))).as_py() or 0
+    )
+
+
+def count_where_eq(
+    spark: SparkSession,
+    table_dir: str,
+    column: str,
+    value,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """``SELECT count(*) WHERE column = value`` with the predicate kept
+    in the compressed domain end-to-end: bloom digests prune blocks that
+    never saw the value, dict blocks count the value's code, and fsst
+    blocks compare ENCODED spans against the probe encoded with each
+    block's own symbol table — the full column never decodes on any
+    fast path.  One ``n_match`` row out.
+
+    Scale shape: the bloom prune is an O(#blocks) manifest scan; one
+    mapInArrow pass over survivors emits one int per block; at 10^12
+    rows only delete-affected or exotic-codec blocks ever decode."""
+    table = IceTable(table_dir)
+    phys = physical_column(table, column, snapshot_id)
+    block_rows = int(table.properties(snapshot_id)["block_rows"])
+    dmap = _delete_map(table_dir, snapshot_id, block_rows)
+    enc = table.read_table(spark, snapshot_id)
+    live = prune_blocks_eq(enc, phys, value)
+    enc = dedup_blocks(
+        enc.filter(F.col("column") == phys).join(
+            F.broadcast(live), "block_id", "left_semi"
+        )
+    )
+
+    def _partials(batches):
+        for batch in batches:
+            ns = [
+                _block_eq_count(
+                    Encoded.from_row(row), value, dmap.get(row["block_id"])
+                )
+                for row in batch.to_pylist()
+            ]
+            yield pa.RecordBatch.from_pydict(
+                {"n": ns}, schema=pa.schema([("n", pa.int64())])
+            )
+
+    partial = enc.mapInArrow(_partials, "n long")
+    return partial.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_match"))
 
 
 def agg_join_dim(

@@ -239,6 +239,10 @@ class EncodeConfig:
     # the executors; set this to ~one block-file size to get one task per
     # block.  At 100 TB file sizes the default is already right.
     scan_split_bytes: int | None = None
+    # {column: codec} pins — skip auto-selection for these columns (the
+    # per-column analog of Parquet's compression option; "name+zstd"
+    # wraps the pinned codec's buffers).  Stats still run for lineage.
+    codec_overrides: dict = field(default_factory=dict)
     properties: dict = field(default_factory=dict)
 
 
@@ -273,9 +277,16 @@ def _payload_nbytes(kind, payload, validity, n: int) -> int:
     return nb
 
 
-def _flush_block(block_id: int, cols: dict, part_id: int, zstd_threshold: float):
-    from pyrle_spark.codecs import encode_payload_auto
+def _flush_block(
+    block_id: int,
+    cols: dict,
+    part_id: int,
+    zstd_threshold: float,
+    overrides: dict | None = None,
+):
+    from pyrle_spark.codecs import encode_payload, encode_payload_auto
     from pyrle_spark.codecs.base import type_to_str
+    from pyrle_spark.codecs.selector import column_stats
 
     rows = {k: [] for k in _ENCODED_PA_SCHEMA.names}
     for colname, chunks in cols.items():
@@ -284,9 +295,28 @@ def _flush_block(block_id: int, cols: dict, part_id: int, zstd_threshold: float)
         # extract the payload exactly once (zero-copy views), reuse it for
         # encoding, checksum, and size accounting
         kind, payload, validity = arrow_to_payload(arr)
-        enc = encode_payload_auto(
-            kind, payload, validity, type_to_str(arr.type), len(arr)
-        )
+        forced = (overrides or {}).get(colname)
+        if forced:
+            # user-pinned codec (EncodeConfig.codec_overrides) — the
+            # per-column analog of Parquet's column compression option.
+            # Stats still run so the lineage manifest stays complete;
+            # "name+zstd" wraps the forced codec's buffers.
+            stats = column_stats(kind, payload)
+            stats["selected_by"] = "override"
+            enc = encode_payload(
+                forced.split("+")[0],
+                kind,
+                payload,
+                validity,
+                type_to_str(arr.type),
+                len(arr),
+                zstd=forced.endswith("+zstd"),
+                stats=stats,
+            )
+        else:
+            enc = encode_payload_auto(
+                kind, payload, validity, type_to_str(arr.type), len(arr)
+            )
         dt = time.perf_counter_ns() - t0
         stats = enc.meta.get("stats", {})
         zmin, zmax = _zone_bounds(arr)
@@ -316,7 +346,12 @@ def _flush_block(block_id: int, cols: dict, part_id: int, zstd_threshold: float)
     return pa.RecordBatch.from_pydict(rows, schema=_ENCODED_PA_SCHEMA)
 
 
-def _make_encode_fn(columns: list, zstd_threshold: float, verify_order: bool = False):
+def _make_encode_fn(
+    columns: list,
+    zstd_threshold: float,
+    verify_order: bool = False,
+    overrides: dict | None = None,
+):
     """Arrow-stream encode kernel.  With ``verify_order`` (the
     sort-was-skipped path, EncodeConfig.input_presorted) every block
     segment is checked for strictly increasing ``_order`` — including
@@ -343,7 +378,7 @@ def _make_encode_fn(columns: list, zstd_threshold: float, verify_order: bool = F
                 bid = int(bids[s])
                 if bid != cur_bid:
                     if cur_bid is not None:
-                        yield _flush_block(cur_bid, acc, part_id, zstd_threshold)
+                        yield _flush_block(cur_bid, acc, part_id, zstd_threshold, overrides)
                     cur_bid = bid
                     last_ord = None
                     acc = {c: [] for c in columns}
@@ -361,7 +396,7 @@ def _make_encode_fn(columns: list, zstd_threshold: float, verify_order: bool = F
                 for c in columns:
                     acc[c].append(batch.column(c).slice(int(s), int(e - s)))
         if cur_bid is not None:
-            yield _flush_block(cur_bid, acc, part_id, zstd_threshold)
+            yield _flush_block(cur_bid, acc, part_id, zstd_threshold, overrides)
 
     return encode_stream
 
@@ -535,7 +570,12 @@ def _encode_pass_inner(
     if not skip_sort:
         work = work.sortWithinPartitions("_block_id", "_order")
     encoded = work.mapInArrow(
-        _make_encode_fn(cols, config.zstd_threshold, verify_order=skip_sort),
+        _make_encode_fn(
+            cols,
+            config.zstd_threshold,
+            verify_order=skip_sort,
+            overrides=dict(config.codec_overrides) or None,
+        ),
         ENCODED_SPARK_SCHEMA,
     )
     src_schema_json = {c: base.schema[c].dataType.jsonValue() for c in cols}

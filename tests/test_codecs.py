@@ -334,3 +334,26 @@ def test_alp_trialed_without_zstd(monkeypatch):
     enc = encode_array(arr)
     assert enc.codec == "alp", enc.codec
     roundtrip(enc, arr)
+
+
+def test_fsst_eq_probe_canonical():
+    """Greedy FSST encode is canonical per string: probing a block with
+    a literal encoded via the block's own symbol table must match
+    exactly the rows equal to it — including empty strings, multi-byte
+    UTF-8, and prefix near-misses (the claim _fsst_eq_mask rests on)."""
+    from pyrle_spark.codecs.fsst import FsstCodec
+    from pyrle_spark.plans.compressed import _fsst_eq_mask
+
+    rng = np.random.default_rng(7)
+    words = ["the", "cat", "sat", "http://", "www", "com", "zebra", "", "Ωmega"]
+    strs = ["".join(rng.choice(words, rng.integers(0, 6))) for _ in range(500)]
+    strs += ["", "the", "thecat"]
+    bts = [s.encode("utf-8") for s in strs]
+    data = np.frombuffer(b"".join(bts), dtype=np.uint8)
+    offs = np.zeros(len(bts) + 1, dtype=np.int64)
+    offs[1:] = np.cumsum([len(b) for b in bts])
+    meta, bufs = FsstCodec.encode(offs, data)
+    for probe in ["", "the", "thecat", "zebra", "absent", "Ωmega", "thecatsat"]:
+        mask = _fsst_eq_mask(meta, bufs, probe, len(strs))
+        naive = np.array([s == probe for s in strs])
+        assert (mask == naive).all(), probe

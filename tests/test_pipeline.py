@@ -2469,3 +2469,54 @@ def test_topk_below_decode_deletes_and_ties(spark, tmp_path):
     live = [(v, i) for i, v in enumerate(vals) if i not in set(dead)]
     live.sort(key=lambda t: (-t[0], t[1]))
     assert got == [(i, v) for v, i in live[:k]]
+
+
+def test_count_where_eq_fsst_dict_deletes(spark, tmp_path):
+    """count_where_eq across codec paths: a codec_overrides-pinned fsst
+    column takes the encoded-span probe, a dict column counts codes, a
+    numeric column takes the decode fallback — and merge-on-read
+    deletes force the exact masked path on affected blocks."""
+    from pyrle_spark.plans.compressed import count_where_eq
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        delete_rows,
+        encode_table,
+    )
+
+    n = 400
+    svals = [f"w{i % 37}-{i % 11}" for i in range(n)]
+    df = spark.createDataFrame(
+        [(i, svals[i], f"L{i % 3}", i % 23) for i in range(n)],
+        "_seq long, s string, g string, v long",
+    )
+    out = str(tmp_path / "eq")
+    encode_table(
+        spark, df, out,
+        EncodeConfig(
+            columns=["s", "g", "v"],
+            order_col="_seq",
+            block_rows=64,
+            codec_overrides={"s": "fsst"},
+        ),
+    )
+    from pyrle_spark.sources.icetable import IceTable
+    codecs_used = {
+        r["column"]: r["codec"]
+        for r in IceTable(out).read_table(spark).select("column", "codec").collect()
+    }
+    assert codecs_used["s"].startswith("fsst"), codecs_used
+
+    def naive(col, val, dead=()):
+        vals = {"s": svals, "g": [f"L{i % 3}" for i in range(n)],
+                "v": [i % 23 for i in range(n)]}[col]
+        return sum(1 for i in range(n) if i not in set(dead) and vals[i] == val)
+
+    for col, val in [("s", "w5-5"), ("s", "absent"), ("g", "L1"), ("v", 7)]:
+        got = count_where_eq(spark, out, col, val).collect()[0]["n_match"]
+        assert got == naive(col, val), (col, val, got)
+
+    dead = [i for i in range(0, n, 10)]
+    delete_rows(spark, out, dead)
+    for col, val in [("s", "w5-5"), ("g", "L1"), ("v", 7)]:
+        got = count_where_eq(spark, out, col, val).collect()[0]["n_match"]
+        assert got == naive(col, val, dead), (col, val, got)
