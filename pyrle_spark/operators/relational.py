@@ -1860,6 +1860,54 @@ FROM documents WHERE length(lang) = 2
 """
 
 
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: the HAVING subquery is a
+    map-side-combinable groupBy of lineitem alone; its survivor list
+    (orders whose quantity sum clears the bar) is small and BROADCASTS
+    back as a semi-join, so the fact table shuffles once on l_orderkey
+    and never again.  Quantities are integral, so the sums are exact
+    int64; prices in integer cents; top-50 with an o_orderkey tiebreak.
+
+    Scale shape: one shuffle for the having-aggregate, broadcast
+    semi-joins after; customer join only on surviving orders."""
+    qty = F.col("l_quantity").cast("long")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", qty.alias("qty"))
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        _money_cents("o_totalprice").alias("o_totalprice_c"),
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice_c", "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice_c").desc(), F.col("o_orderkey"))
+        .limit(50)
+    )
+
+
+_TPCH_Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       CAST(round(o_totalprice*100) AS BIGINT) AS o_totalprice_c,
+       sum_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+) b ON o_orderkey = b.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice_c DESC, o_orderkey LIMIT 50
+"""
+
+
 def compressed_eq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equality predicates evaluated in the compressed domain end-to-end
     (``plans.compressed.count_where_eq``): bloom digests prune blocks
@@ -3631,6 +3679,7 @@ QUERIES = {
     "tpch_q6_forecast": tpch_q6_forecast,
     "tpch_q10_returns": tpch_q10_returns,
     "tpch_q14_promo": tpch_q14_promo,
+    "tpch_q18_large_orders": tpch_q18_large_orders,
     "point_lookup_rows": point_lookup_rows,
     "compressed_topk_zonemap": compressed_topk_zonemap,
     "compressed_quantile_hist": compressed_quantile_hist,
@@ -3725,6 +3774,7 @@ ORACLE_SQL = {
     "tpch_q6_forecast": _TPCH_Q6_SQL,
     "tpch_q10_returns": _TPCH_Q10_SQL,
     "tpch_q14_promo": _TPCH_Q14_SQL,
+    "tpch_q18_large_orders": _TPCH_Q18_SQL,
     "compressed_topk_zonemap": _COMPRESSED_TOPK_SQL,
     "compressed_quantile_hist": _COMPRESSED_QUANTILE_SQL,
     "compressed_eq_probe": _COMPRESSED_EQ_PROBE_SQL,
