@@ -825,6 +825,27 @@ def _block_eq_count(enc: Encoded, value, kill: np.ndarray | None) -> int:
             if valid is not None:
                 codes = codes[valid]
             return int((codes == code).sum())
+        if (
+            codec == "rle"
+            and meta["kind"] == "fixed"
+            and not meta.get("has_validity")
+            and isinstance(value, (int, float))
+            and not isinstance(value, bool)
+        ):
+            # run fold: sum the lengths of runs whose value equals the
+            # probe — O(runs), never expands to positions
+            from pyrle_spark.codecs.bitpack import ForCodec
+
+            runs = ForCodec.decode(meta["runs_meta"], {"packed": buffers["runs"]})
+            if meta["vals_mode"] == "for":
+                vals = ForCodec.decode(
+                    meta["vals_meta"], {"packed": buffers["values"]}
+                )
+            else:
+                vals = np.frombuffer(
+                    buffers["values"], dtype=np.dtype(meta["vals_meta"]["dtype"])
+                )
+            return int(runs[vals == value].sum())
     arr = decode_array(enc)
     if kill is not None and len(kill):
         arr = arr.filter(pa.array(_keep_mask(len(arr), kill)))

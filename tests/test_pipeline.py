@@ -2486,17 +2486,17 @@ def test_count_where_eq_fsst_dict_deletes(spark, tmp_path):
     n = 400
     svals = [f"w{i % 37}-{i % 11}" for i in range(n)]
     df = spark.createDataFrame(
-        [(i, svals[i], f"L{i % 3}", i % 23) for i in range(n)],
-        "_seq long, s string, g string, v long",
+        [(i, svals[i], f"L{i % 3}", i % 23, i // 50) for i in range(n)],
+        "_seq long, s string, g string, v long, r long",
     )
     out = str(tmp_path / "eq")
     encode_table(
         spark, df, out,
         EncodeConfig(
-            columns=["s", "g", "v"],
+            columns=["s", "g", "v", "r"],
             order_col="_seq",
             block_rows=64,
-            codec_overrides={"s": "fsst"},
+            codec_overrides={"s": "fsst", "r": "rle"},
         ),
     )
     from pyrle_spark.sources.icetable import IceTable
@@ -2505,18 +2505,22 @@ def test_count_where_eq_fsst_dict_deletes(spark, tmp_path):
         for r in IceTable(out).read_table(spark).select("column", "codec").collect()
     }
     assert codecs_used["s"].startswith("fsst"), codecs_used
+    assert codecs_used["r"].startswith("rle"), codecs_used
 
     def naive(col, val, dead=()):
         vals = {"s": svals, "g": [f"L{i % 3}" for i in range(n)],
-                "v": [i % 23 for i in range(n)]}[col]
+                "v": [i % 23 for i in range(n)],
+                "r": [i // 50 for i in range(n)]}[col]
         return sum(1 for i in range(n) if i not in set(dead) and vals[i] == val)
 
-    for col, val in [("s", "w5-5"), ("s", "absent"), ("g", "L1"), ("v", 7)]:
+    probes = [("s", "w5-5"), ("s", "absent"), ("g", "L1"), ("v", 7),
+              ("r", 3), ("r", 99)]
+    for col, val in probes:
         got = count_where_eq(spark, out, col, val).collect()[0]["n_match"]
         assert got == naive(col, val), (col, val, got)
 
     dead = [i for i in range(0, n, 10)]
     delete_rows(spark, out, dead)
-    for col, val in [("s", "w5-5"), ("g", "L1"), ("v", 7)]:
+    for col, val in [("s", "w5-5"), ("g", "L1"), ("v", 7), ("r", 3)]:
         got = count_where_eq(spark, out, col, val).collect()[0]["n_match"]
         assert got == naive(col, val, dead), (col, val, got)
