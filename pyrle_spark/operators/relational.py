@@ -1908,6 +1908,468 @@ ORDER BY o_totalprice_c DESC, o_orderkey LIMIT 50
 """
 
 
+def tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking, adapted to the reduced schema
+    (no ``l_commitdate``/``l_receiptdate``): an order counts when SOME
+    lineitem shipped more than 60 days after the order date.  The
+    EXISTS is a LEFT SEMI join with the lateness predicate as a join
+    condition, so lineitem is never widened and each order is counted
+    once no matter how many late lines it has.
+
+    Scale shape: one shuffle pair on the orderkey for the semi-join;
+    the date filter on orders reaches the scan; the aggregate key is
+    five priorities."""
+    lo = F.lit("1996-07-01").cast("timestamp")
+    hi = F.lit("1996-10-01").cast("timestamp")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+_TPCH_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping between two nations: the nation dim
+    broadcasts into supplier and customer, the (supp, cust) nation-pair
+    disjunction rides the fact joins, and revenue stays in integer
+    10^-4 units so cross-engine sums are exact.  Ship year via
+    ``year()`` — identical integers on both engines.
+
+    Scale shape: supplier (nation-filtered) broadcasts; customer keeps
+    its shuffle join on ``c_custkey`` (at scale the customer side is
+    fact-sized); lineitem⋈orders is the one big shuffle pair."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    nation = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rev = _money_cents("l_extendedprice") * (100 - _money_cents("l_discount"))
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .select(
+            "l_orderkey", "l_suppkey",
+            F.year("l_shipdate").alias("l_year"), rev.alias("rev"),
+        )
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("rev").alias("revenue_e4"))
+    )
+
+
+_TPCH_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(rev) AS BIGINT) AS revenue_e4
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey
+    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+    AND n1.n_name IN ('NATION_3','NATION_7')
+    AND n2.n_name IN ('NATION_3','NATION_7')
+    AND n1.n_name <> n2.n_name
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share (p_type reduced to the single-word
+    domain): NATION_5's share of ECONOMY-part revenue sold to AMERICA
+    customers, by order year.  Both sums stay int64 10^-4; the share is
+    ONE terminal division of two exact integers, so both engines emit
+    the identical IEEE double.
+
+    Scale shape: part (type-filtered) and supplier⋈nation broadcast;
+    lineitem⋈orders shuffles on the orderkey; customer⋈nation(region)
+    shuffles on the custkey; aggregate key is #years."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust_nat = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    )
+    rev = _money_cents("l_extendedprice") * (100 - _money_cents("l_discount"))
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", rev.alias("rev")
+    )
+    vol = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", F.col("rev")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("nation_volume_e4"),
+            F.sum("rev").alias("total_volume_e4"),
+        )
+        .select(
+            "o_year", "nation_volume_e4", "total_volume_e4",
+            (F.col("nation_volume_e4") / F.col("total_volume_e4")).alias(
+                "mkt_share"
+            ),
+        )
+    )
+
+
+_TPCH_Q8_SQL = """
+WITH vol AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev,
+         n2.n_name AS supp_nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2,
+       region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND p_type = 'ECONOMY'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev ELSE 0 END)
+            AS BIGINT) AS nation_volume_e4,
+       CAST(sum(rev) AS BIGINT) AS total_volume_e4,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev ELSE 0 END)
+            AS BIGINT) * 1.0 / CAST(sum(rev) AS BIGINT) AS mkt_share
+FROM vol GROUP BY o_year
+"""
+
+
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer-order-count distribution, adapted to the
+    reduced schema (no ``o_comment``; the exclusion filter is the
+    ``1-URGENT`` priority class instead): LEFT join customer→orders so
+    zero-order customers land in the ``c_count = 0`` bucket, then a
+    second tiny aggregate over counts.
+
+    Scale shape: one shuffle pair on the custkey, one map-side-
+    combinable reaggregate whose key domain is O(max orders/customer)."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_TPCH_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: quarterly revenue per supplier in integer
+    10^-4 units, then suppliers matching the exact integer maximum.
+    The max is a single-row aggregate broadcast back as an equi-join —
+    no global window, no second scan of lineitem.
+
+    Scale shape: one shuffle on the suppkey for the revenue aggregate;
+    the single-row max broadcasts; supplier dim broadcasts into the
+    tiny winner set."""
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-04-01").cast("timestamp")
+    rev = _money_cents("l_extendedprice") * (100 - _money_cents("l_discount"))
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .select("l_suppkey", rev.alias("rev"))
+    )
+    per_supp = li.groupBy("l_suppkey").agg(F.sum("rev").alias("total_revenue_e4"))
+    best = per_supp.agg(F.max("total_revenue_e4").alias("max_rev"))
+    winners = per_supp.join(
+        F.broadcast(best), F.col("total_revenue_e4") == F.col("max_rev")
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return winners.join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name", "total_revenue_e4")
+
+
+_TPCH_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+           AS total_revenue_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue_e4
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue_e4 = (SELECT max(total_revenue_e4) FROM revenue)
+"""
+
+
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue, adapted (no
+    ``p_container``; the part filter is brand + size band).  The
+    correlated ``0.2 * avg(l_quantity)`` is decided by the exact
+    integer rule ``5 * qty * cnt < sum_qty`` — quantities are integral,
+    so no float division ever happens and both engines agree bit-for-
+    bit.  ``avg_yearly`` is ONE terminal division of an exact cents sum.
+
+    Scale shape: part filter broadcasts; the per-part avg is one
+    map-side-combinable aggregate of the (already part-filtered)
+    lineitem, broadcast back — lineitem shuffles once on l_partkey."""
+    part = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 15))
+        .select("p_partkey")
+    )
+    qty = F.col("l_quantity").cast("long")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey", qty.alias("qty"),
+            _money_cents("l_extendedprice").alias("price_c"),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    stats = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    ).select(F.col("l_partkey").alias("s_partkey"), "sum_qty", "cnt")
+    small = li.join(
+        F.broadcast(stats), F.col("l_partkey") == F.col("s_partkey")
+    ).filter(F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sum_qty"))
+    return small.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price_c").alias("sum_price_c"),
+    ).select(
+        "n_rows", "sum_price_c",
+        (F.col("sum_price_c") / F.lit(700.0)).alias("avg_yearly"),
+    )
+
+
+_TPCH_Q17_SQL = """
+WITH li AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_extendedprice*100) AS BIGINT) AS price_c
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#3' AND p_size <= 15
+), stats AS (
+  SELECT l_partkey AS s_partkey,
+         CAST(sum(qty) AS BIGINT) AS sum_qty,
+         count(*) AS cnt
+  FROM li GROUP BY l_partkey
+)
+SELECT count(*) AS n_rows,
+       CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+       CAST(sum(price_c) AS BIGINT) / 700.0 AS avg_yearly
+FROM li JOIN stats ON l_partkey = s_partkey
+WHERE 5 * qty * cnt < sum_qty
+"""
+
+
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue, adapted (no ``l_shipmode``/
+    ``l_shipinstruct``; the disjunction is three (brand, size band,
+    quantity band) triples).  The OR-of-ANDs stays a single Catalyst
+    filter after one equi-join on the partkey; the join itself never
+    multiplies rows, and the shared quantity envelope (1..35) is pushed
+    to the lineitem scan.
+
+    Scale shape: part broadcasts; one pass over lineitem; scalar
+    aggregate."""
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty = F.col("l_quantity").cast("long")
+    rev = _money_cents("l_extendedprice") * (100 - _money_cents("l_discount"))
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity").between(1, 35))
+        .select("l_partkey", qty.alias("qty"), rev.alias("rev"))
+    )
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("qty").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(11, 25)
+            & F.col("qty").between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 40)
+            & F.col("qty").between(20, 35)
+        )
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("rev").alias("revenue_e4")
+    )
+
+
+_TPCH_Q19_SQL = """
+SELECT count(*) AS n_rows,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+         AS revenue_e4
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND CAST(l_quantity AS BIGINT) BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25
+       AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40
+       AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 35)
+"""
+
+
+def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity, adapted (no ``c_phone``; the
+    grouping key is the customer's nation).  Per-nation average of
+    POSITIVE account balances, customers strictly above their nation's
+    average with no RECENT orders (none since 1999-01-01 — the
+    reduced-schema stand-in for Q22's "no orders for 7 years"), counted
+    per nation.  The above-average test uses the exact integer rule
+    ``cents * n_pos > sum_pos_cents`` — no float average is ever
+    materialized.
+
+    Scale shape: the per-nation (sum, count) aggregate is 25 rows and
+    broadcasts back; the no-orders test is a LEFT ANTI join shuffling
+    on the custkey; final aggregate key is #nations."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", _money_cents("c_acctbal").alias("bal_c")
+    )
+    pos = (
+        cust.filter(F.col("bal_c") > 0)
+        .groupBy(F.col("c_nationkey").alias("p_nationkey"))
+        .agg(F.sum("bal_c").alias("sum_pos_c"), F.count(F.lit(1)).alias("n_pos"))
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = (
+        cust.join(
+            F.broadcast(pos), F.col("c_nationkey") == F.col("p_nationkey")
+        )
+        .filter(F.col("bal_c") * F.col("n_pos") > F.col("sum_pos_c"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return rich.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("bal_c").alias("totacctbal_c"),
+    )
+
+
+_TPCH_Q22_SQL = """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal*100) AS BIGINT) AS bal_c
+  FROM customer
+), pos AS (
+  SELECT c_nationkey AS p_nationkey,
+         CAST(sum(bal_c) AS BIGINT) AS sum_pos_c,
+         count(*) AS n_pos
+  FROM cust WHERE bal_c > 0 GROUP BY c_nationkey
+)
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+FROM cust JOIN pos ON c_nationkey = p_nationkey
+WHERE bal_c * n_pos > sum_pos_c
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_nationkey
+"""
+
+
 def compressed_eq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equality predicates evaluated in the compressed domain end-to-end
     (``plans.compressed.count_where_eq``): bloom digests prune blocks
@@ -3680,6 +4142,14 @@ QUERIES = {
     "tpch_q10_returns": tpch_q10_returns,
     "tpch_q14_promo": tpch_q14_promo,
     "tpch_q18_large_orders": tpch_q18_large_orders,
+    "tpch_q4_priority": tpch_q4_priority,
+    "tpch_q7_volume_shipping": tpch_q7_volume_shipping,
+    "tpch_q8_market_share": tpch_q8_market_share,
+    "tpch_q13_order_distribution": tpch_q13_order_distribution,
+    "tpch_q15_top_supplier": tpch_q15_top_supplier,
+    "tpch_q17_small_quantity": tpch_q17_small_quantity,
+    "tpch_q19_discounted_revenue": tpch_q19_discounted_revenue,
+    "tpch_q22_global_sales": tpch_q22_global_sales,
     "point_lookup_rows": point_lookup_rows,
     "compressed_topk_zonemap": compressed_topk_zonemap,
     "compressed_quantile_hist": compressed_quantile_hist,
@@ -3775,6 +4245,14 @@ ORACLE_SQL = {
     "tpch_q10_returns": _TPCH_Q10_SQL,
     "tpch_q14_promo": _TPCH_Q14_SQL,
     "tpch_q18_large_orders": _TPCH_Q18_SQL,
+    "tpch_q4_priority": _TPCH_Q4_SQL,
+    "tpch_q7_volume_shipping": _TPCH_Q7_SQL,
+    "tpch_q8_market_share": _TPCH_Q8_SQL,
+    "tpch_q13_order_distribution": _TPCH_Q13_SQL,
+    "tpch_q15_top_supplier": _TPCH_Q15_SQL,
+    "tpch_q17_small_quantity": _TPCH_Q17_SQL,
+    "tpch_q19_discounted_revenue": _TPCH_Q19_SQL,
+    "tpch_q22_global_sales": _TPCH_Q22_SQL,
     "compressed_topk_zonemap": _COMPRESSED_TOPK_SQL,
     "compressed_quantile_hist": _COMPRESSED_QUANTILE_SQL,
     "compressed_eq_probe": _COMPRESSED_EQ_PROBE_SQL,
