@@ -2370,6 +2370,100 @@ GROUP BY c_nationkey
 """
 
 
+def compressed_groupby_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-column GROUP BY answered below decode
+    (``plans.compressed.group_count_pair``): events encode ordered by
+    ``ym = year*100 + month`` so the pinned-rle ``ym`` column carries
+    long runs, ``event_type`` auto-selects dict, and each block emits
+    its joint code histogram — rle runs pair with dict codes without a
+    single per-row value materializing; rle×rle pairs would zip at run
+    boundaries (``_pair_hist``, pinned by the unit suite).  The oracle
+    is the plain row-level two-key GROUP BY.
+
+    Scale shape: ONE hash shuffle of compressed buffers on block_id
+    (the zip-join move), O(#distinct pairs) rows per block out, final
+    aggregate key = pair cardinality."""
+    import tempfile
+
+    from pyrle_spark.plans.compressed import group_count_pair
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        assign_row_order,
+        encode_table,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        (F.year("ts").cast("long") * 100 + F.month("ts")).alias("ym"),
+        "event_type",
+        "event_id",
+    )
+    ordered = assign_row_order(ev, ["ym"], tiebreak="event_id", out_col="_seq")
+    out_dir = tempfile.mkdtemp(prefix="compressed_pair_")
+    encode_table(
+        spark,
+        ordered.select("_seq", "ym", "event_type"),
+        out_dir,
+        EncodeConfig(
+            columns=["ym", "event_type"],
+            order_col="_seq",
+            block_rows=64,
+            codec_overrides={"ym": "rle"},
+        ),
+    )
+    return group_count_pair(spark, out_dir, "ym", "event_type").select(
+        F.col("value_a").alias("ym"),
+        F.col("value_b").alias("event_type"),
+        "n_rows",
+    )
+
+
+_COMPRESSED_GROUPBY_PAIR_SQL = """
+SELECT CAST(CAST(EXTRACT(year FROM ts) AS BIGINT) * 100
+            + CAST(EXTRACT(month FROM ts) AS BIGINT) AS VARCHAR) AS ym,
+       event_type, count(*) AS n_rows
+FROM events GROUP BY 1, 2
+"""
+
+
+def compressed_prefix_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE-'prefix%' counts answered with string-zonemap block pruning
+    (``plans.compressed.count_where_prefix``): the source-clustered
+    layout means the ``src1%`` probe touches only the blocks whose
+    [zmin, zmax] window can hold it, and surviving dict blocks test the
+    DICTIONARY (O(#distinct) startswith) while fsst text blocks decode
+    only themselves.  The oracle is the row-level LIKE on both columns.
+
+    Scale shape: O(#blocks) manifest prune, one mapInArrow emitting one
+    int per surviving block, two single-row aggregates joined."""
+    import tempfile
+
+    from pyrle_spark.plans.compressed import count_where_prefix
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+
+    docs = load(spark, sf_dir, "documents")
+    ordered = _fixture_ordered(docs, ["text", "source"], key_cols=("source",))
+    out_dir = tempfile.mkdtemp(prefix="compressed_prefix_")
+    encode_table(
+        spark,
+        ordered,
+        out_dir,
+        EncodeConfig(columns=["text", "source"], order_col="_seq", block_rows=64),
+    )
+    n_text = count_where_prefix(spark, out_dir, "text", "the").select(
+        F.col("n_match").alias("n_text")
+    )
+    n_source = count_where_prefix(spark, out_dir, "source", "src1").select(
+        F.col("n_match").alias("n_source")
+    )
+    return n_text.crossJoin(n_source)
+
+
+_COMPRESSED_PREFIX_SQL = """
+SELECT (SELECT count(*) FROM documents WHERE text LIKE 'the%') AS n_text,
+       (SELECT count(*) FROM documents WHERE source LIKE 'src1%') AS n_source
+"""
+
+
 def compressed_eq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equality predicates evaluated in the compressed domain end-to-end
     (``plans.compressed.count_where_eq``): bloom digests prune blocks
@@ -4154,6 +4248,8 @@ QUERIES = {
     "compressed_topk_zonemap": compressed_topk_zonemap,
     "compressed_quantile_hist": compressed_quantile_hist,
     "compressed_eq_probe": compressed_eq_probe,
+    "compressed_groupby_pair": compressed_groupby_pair,
+    "compressed_prefix_count": compressed_prefix_count,
     "compressed_distinct_source": compressed_distinct_source,
     "layout_prune_synergy": layout_prune_synergy,
     "update_where_agg": update_where_agg,
@@ -4256,6 +4352,8 @@ ORACLE_SQL = {
     "compressed_topk_zonemap": _COMPRESSED_TOPK_SQL,
     "compressed_quantile_hist": _COMPRESSED_QUANTILE_SQL,
     "compressed_eq_probe": _COMPRESSED_EQ_PROBE_SQL,
+    "compressed_groupby_pair": _COMPRESSED_GROUPBY_PAIR_SQL,
+    "compressed_prefix_count": _COMPRESSED_PREFIX_SQL,
     "point_lookup_rows": _POINT_LOOKUP_ROWS_SQL,
     "compressed_distinct_source": _COMPRESSED_DISTINCT_SQL,
     "layout_prune_synergy": _LAYOUT_PRUNE_SYNERGY_SQL,

@@ -38,7 +38,9 @@ __all__ = [
     "count_by_value",
     "count_where_eq",
     "count_where_in",
+    "count_where_prefix",
     "distinct_values",
+    "group_count_pair",
     "numeric_stats",
     "sum_by_value",
     "topk_below_decode",
@@ -888,6 +890,279 @@ def count_where_eq(
             ns = [
                 _block_eq_count(
                     Encoded.from_row(row), value, dmap.get(row["block_id"])
+                )
+                for row in batch.to_pylist()
+            ]
+            yield pa.RecordBatch.from_pydict(
+                {"n": ns}, schema=pa.schema([("n", pa.int64())])
+            )
+
+    partial = enc.mapInArrow(_partials, "n long")
+    return partial.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_match"))
+
+
+def _rle_runs_codes(meta: dict, buffers: dict):
+    """(runs, vals) of an (unwrapped) fixed no-validity rle block, or
+    None when the layout doesn't apply — shared by the pair-group-by
+    run-zip fast path."""
+    from pyrle_spark.codecs.bitpack import ForCodec
+
+    if meta.get("kind") != "fixed" or meta.get("has_validity"):
+        return None
+    runs = ForCodec.decode(meta["runs_meta"], {"packed": buffers["runs"]})
+    if meta["vals_mode"] == "for":
+        vals = ForCodec.decode(meta["vals_meta"], {"packed": buffers["values"]})
+    else:
+        vals = np.frombuffer(
+            buffers["values"], dtype=np.dtype(meta["vals_meta"]["dtype"])
+        )
+    return runs.astype(np.int64), vals
+
+
+def _block_factorize(enc: Encoded, kill: np.ndarray | None = None):
+    """One block's column as (codes int64[n_live], values list) — a
+    row-aligned factorized view with ``-1`` = null.  Dict blocks reuse
+    the stored code stream, rle blocks expand run indices (int ops only
+    — the VALUES never materialize per row), everything else decodes the
+    single column and dictionary-encodes it.  ``kill``: delete-affected
+    blocks take the exact decode-and-mask path."""
+    from pyrle_spark.codecs import decode_array
+
+    if kill is not None and len(kill):
+        arr = decode_array(enc).filter(pa.array(_keep_mask(enc.n_rows, kill)))
+        denc = arr.dictionary_encode()
+        codes = np.asarray(denc.indices.fill_null(-1), dtype=np.int64)
+        return codes, denc.dictionary.to_pylist()
+
+    packed = _dict_codes_and_values(enc)
+    if packed is not None:
+        codes, values, valid = packed
+        codes = np.asarray(codes, dtype=np.int64)
+        if valid is not None:
+            codes = np.where(valid, codes, -1)
+        return codes, values
+
+    meta, buffers = enc.meta, enc.buffers
+    codec = enc.codec
+    if codec.endswith("+zstd"):
+        codec = codec[: -len("+zstd")]
+        meta, buffers = ZstdCodec.unwrap(meta, buffers)
+    if codec == "rle":
+        rv = _rle_runs_codes(meta, buffers)
+        if rv is not None:
+            runs, vals = rv
+            uniq, inv = np.unique(vals, return_inverse=True)
+            return np.repeat(inv.astype(np.int64), runs), [
+                x.item() for x in uniq
+            ]
+    arr = decode_array(enc)
+    denc = arr.dictionary_encode()
+    codes = np.asarray(denc.indices.fill_null(-1), dtype=np.int64)
+    return codes, denc.dictionary.to_pylist()
+
+
+def _pair_hist(enc_a: Encoded, enc_b: Encoded, kill: np.ndarray | None):
+    """Joint (value_a, value_b, n) histogram of two row-aligned blocks
+    of the SAME table block, computed on codes.  When BOTH columns are
+    clean rle blocks the runs are zipped at their boundary union —
+    O(runs_a + runs_b), no per-row array at all; otherwise factorized
+    int codes pair up via one bincount."""
+
+    def _clean_rle(enc):
+        if kill is not None and len(kill):
+            return None
+        meta, buffers, codec = enc.meta, enc.buffers, enc.codec
+        if codec.endswith("+zstd"):
+            codec = codec[: -len("+zstd")]
+            meta, buffers = ZstdCodec.unwrap(meta, buffers)
+        return _rle_runs_codes(meta, buffers) if codec == "rle" else None
+
+    ra, rb = _clean_rle(enc_a), _clean_rle(enc_b)
+    if ra is not None and rb is not None:
+        runs_a, vals_a = ra
+        runs_b, vals_b = rb
+        # boundary union: each zipped segment lies inside exactly one
+        # run per side, so its (code_a, code_b) pair is constant
+        ca, cb = np.cumsum(runs_a), np.cumsum(runs_b)
+        bounds = np.union1d(ca, cb)
+        segs = np.diff(np.concatenate(([0], bounds)))
+        ia = np.searchsorted(ca, bounds, side="left")
+        ib = np.searchsorted(cb, bounds, side="left")
+        ua, inv_a = np.unique(vals_a, return_inverse=True)
+        ub, inv_b = np.unique(vals_b, return_inverse=True)
+        codes_a, codes_b = inv_a[ia].astype(np.int64), inv_b[ib].astype(np.int64)
+        pair = codes_a * len(ub) + codes_b
+        uniq_pair, pinv = np.unique(pair, return_inverse=True)
+        n = np.zeros(len(uniq_pair), dtype=np.int64)
+        np.add.at(n, pinv, segs)
+        va = [ua[p // len(ub)].item() for p in uniq_pair]
+        vb = [ub[p % len(ub)].item() for p in uniq_pair]
+        return va, vb, n
+
+    codes_a, vals_a = _block_factorize(enc_a, kill)
+    codes_b, vals_b = _block_factorize(enc_b, kill)
+    if len(codes_a) != len(codes_b):
+        raise ValueError(
+            f"pair group-by misalignment: {len(codes_a)} vs {len(codes_b)} "
+            "rows in one block — columns of one table must be row-aligned"
+        )
+    nb = len(vals_b) + 1
+    pair = (codes_a + 1) * nb + (codes_b + 1)
+    counts = np.bincount(pair, minlength=(len(vals_a) + 1) * nb)
+    nz = np.flatnonzero(counts)
+    va = [None if p // nb == 0 else vals_a[p // nb - 1] for p in nz]
+    vb = [None if p % nb == 0 else vals_b[p % nb - 1] for p in nz]
+    return va, vb, counts[nz]
+
+
+def group_count_pair(
+    spark: SparkSession,
+    table_dir: str,
+    col_a: str,
+    col_b: str,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """``SELECT a, b, count(*) GROUP BY a, b`` answered below decode:
+    both columns' blocks co-locate with ONE hash shuffle of compressed
+    buffers on ``block_id`` (the zip-join move, zipjoin.py), each block
+    contributes its joint code histogram — rle×rle pairs zip at run
+    boundaries without expanding, dict codes pair via one bincount, and
+    string values materialize only once per (block, distinct pair) —
+    then a tiny groupBy folds the per-block histograms.
+
+    Returns (value_a string, value_b string, n_rows long); null slots
+    group as NULL, like SQL GROUP BY.  Merge-on-read deletes apply.
+
+    Scale shape: the shuffle moves compressed blocks, not rows; the
+    Arrow pass emits O(#distinct pairs) per block; the final aggregate
+    key domain is the pair cardinality."""
+    table = IceTable(table_dir)
+    pa_col = physical_column(table, col_a, snapshot_id)
+    pb_col = physical_column(table, col_b, snapshot_id)
+    block_rows = int(table.properties(snapshot_id)["block_rows"])
+    dmap = _delete_map(table_dir, snapshot_id, block_rows)
+    enc = dedup_blocks(
+        table.read_table(spark, snapshot_id).filter(
+            F.col("column").isin(pa_col, pb_col)
+        )
+    )
+    tagged = enc.repartition("block_id").sortWithinPartitions(
+        "block_id", "column"
+    )
+
+    def _pairs(batches):
+        cur, pending = None, {}
+
+        def flush(bid, rows):
+            if set(rows) != {pa_col, pb_col}:
+                raise ValueError(
+                    f"block {bid}: expected columns {pa_col!r}+{pb_col!r}, "
+                    f"got {sorted(rows)}"
+                )
+            va, vb, ns = _pair_hist(rows[pa_col], rows[pb_col], dmap.get(bid))
+            return pa.RecordBatch.from_pydict(
+                {
+                    "value_a": [None if v is None else str(v) for v in va],
+                    "value_b": [None if v is None else str(v) for v in vb],
+                    "n_rows": [int(n) for n in ns],
+                },
+                schema=pa.schema(
+                    [
+                        ("value_a", pa.string()),
+                        ("value_b", pa.string()),
+                        ("n_rows", pa.int64()),
+                    ]
+                ),
+            )
+
+        for batch in batches:
+            for row in batch.to_pylist():
+                bid = row["block_id"]
+                if bid != cur:
+                    if cur is not None and pending:
+                        yield flush(cur, pending)
+                    cur, pending = bid, {}
+                pending[row["column"]] = Encoded.from_row(row)
+        if cur is not None and pending:
+            yield flush(cur, pending)
+
+    partial = tagged.mapInArrow(
+        _pairs, "value_a string, value_b string, n_rows long"
+    )
+    return partial.groupBy("value_a", "value_b").agg(
+        F.sum("n_rows").alias("n_rows")
+    )
+
+
+def _block_prefix_count(enc: Encoded, prefix: str, kill) -> int:
+    """Rows starting with ``prefix`` in one block: dict blocks test the
+    DICTIONARY (O(#distinct) startswith, counts off the code stream);
+    everything else decodes the single column.  Delete-affected blocks
+    decode-and-mask."""
+    import pyarrow.compute as pc
+
+    from pyrle_spark.codecs import decode_array
+
+    if kill is None or not len(kill):
+        packed = _dict_codes_and_values(enc)
+        if packed is not None:
+            codes, values, valid = packed
+            hit = np.array(
+                [isinstance(v, str) and v.startswith(prefix) for v in values],
+                dtype=bool,
+            )
+            if not hit.any():
+                return 0
+            codes = np.asarray(codes, dtype=np.int64)
+            if valid is not None:
+                codes = codes[valid]
+            counts = np.bincount(codes, minlength=len(values))
+            return int(counts[hit].sum())
+    arr = decode_array(enc)
+    if kill is not None and len(kill):
+        arr = arr.filter(pa.array(_keep_mask(len(arr), kill)))
+    return int(
+        pc.sum(pc.starts_with(arr.drop_null(), prefix)).as_py() or 0
+    )
+
+
+def count_where_prefix(
+    spark: SparkSession,
+    table_dir: str,
+    column: str,
+    prefix: str,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """``SELECT count(*) WHERE column LIKE 'prefix%'`` with string
+    zonemap pruning on the manifest: a block can hold a match only if
+    ``zmax >= prefix`` and ``zmin < prefix⁺`` (prefix with its last
+    code point incremented), so on prefix-clustered layouts almost no
+    block is touched.  Survivors count in the compressed domain where
+    the codec allows (dictionary startswith, codes never decode to
+    strings) and decode only otherwise.  One ``n_match`` row out.
+
+    Pruning is a true superset filter: zonemaps predate deletes and
+    deletes only shrink matches."""
+    table = IceTable(table_dir)
+    phys = physical_column(table, column, snapshot_id)
+    block_rows = int(table.properties(snapshot_id)["block_rows"])
+    dmap = _delete_map(table_dir, snapshot_id, block_rows)
+    enc = dedup_blocks(
+        table.read_table(spark, snapshot_id).filter(F.col("column") == phys)
+    )
+    if prefix:
+        keep = F.col("zmax").isNull() | (F.col("zmax") >= F.lit(prefix))
+        last = prefix[-1]
+        if ord(last) < 0x10FFFF:
+            upper = prefix[:-1] + chr(ord(last) + 1)
+            keep = keep & (F.col("zmin").isNull() | (F.col("zmin") < F.lit(upper)))
+        enc = enc.filter(keep)
+
+    def _partials(batches):
+        for batch in batches:
+            ns = [
+                _block_prefix_count(
+                    Encoded.from_row(row), prefix, dmap.get(row["block_id"])
                 )
                 for row in batch.to_pylist()
             ]

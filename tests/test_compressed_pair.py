@@ -1,0 +1,134 @@
+"""Unit coverage for the decode-late pair group-by and prefix probe
+(`plans/compressed.py`): the rle×rle run-zip fast path against a naive
+expanded histogram, mixed-codec factorization, null grouping, and the
+prefix count's dict fast path / delete fallback / zonemap-prune superset
+contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyrle_spark.codecs import encode_array, encode_with
+from pyrle_spark.plans.compressed import (
+    _block_prefix_count,
+    _pair_hist,
+)
+
+
+def naive_hist(a: list, b: list):
+    out: dict = {}
+    for x, y in zip(a, b):
+        out[(x, y)] = out.get((x, y), 0) + 1
+    return out
+
+
+def as_dict(va, vb, ns):
+    return {(a, b): int(n) for a, b, n in zip(va, vb, ns)}
+
+
+run_sets = st.lists(
+    st.tuples(st.integers(1, 9), st.integers(-3, 3)), min_size=1, max_size=12
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(run_sets, run_sets)
+def test_pair_hist_rle_zip_matches_naive(runs_a, runs_b):
+    a = [v for n, v in runs_a for _ in range(n)]
+    b = [v for n, v in runs_b for _ in range(n)]
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    enc_a = encode_with("rle", pa.array(np.array(a, dtype=np.int64)))
+    enc_b = encode_with("rle", pa.array(np.array(b, dtype=np.int64)))
+    assert enc_a.codec.startswith("rle") and enc_b.codec.startswith("rle")
+    va, vb, ns = _pair_hist(enc_a, enc_b, None)
+    assert as_dict(va, vb, ns) == naive_hist(a, b)
+    assert sum(ns) == n
+
+
+def test_pair_hist_mixed_codecs_and_nulls():
+    a = ["x", "y", None, "x", "x", "y", None, "x"] * 8  # dict w/ validity
+    b = [1, 1, 1, 2, 2, None, 3, 3] * 8
+    enc_a = encode_array(pa.array(a))
+    enc_b = encode_array(pa.array(b, type=pa.int64()))
+    va, vb, ns = _pair_hist(enc_a, enc_b, None)
+    assert as_dict(va, vb, ns) == naive_hist(a, b)
+
+
+def test_pair_hist_delete_mask():
+    a = ["p", "p", "q", "q", "q", "p"]
+    b = [10, 10, 10, 20, 20, 20]
+    enc_a, enc_b = encode_array(pa.array(a)), encode_array(
+        pa.array(b, type=pa.int64())
+    )
+    kill = np.array([1, 4], dtype=np.int64)
+    keep = [i for i in range(6) if i not in (1, 4)]
+    va, vb, ns = _pair_hist(enc_a, enc_b, kill)
+    assert as_dict(va, vb, ns) == naive_hist(
+        [a[i] for i in keep], [b[i] for i in keep]
+    )
+
+
+def test_pair_hist_misaligned_blocks_raise():
+    enc_a = encode_array(pa.array(["x"] * 4))
+    enc_b = encode_array(pa.array([1, 2, 3], type=pa.int64()))
+    with pytest.raises(ValueError, match="misalign"):
+        _pair_hist(enc_a, enc_b, None)
+
+
+def test_block_prefix_count_dict_path_and_fallback():
+    vals = ["src1", "src10", "src2", "src19", None, "other", "src1"] * 10
+    enc = encode_array(pa.array(vals))
+    want = sum(1 for v in vals if v is not None and v.startswith("src1"))
+    assert _block_prefix_count(enc, "src1", None) == want
+    # empty prefix matches every non-null row
+    assert _block_prefix_count(enc, "", None) == sum(
+        1 for v in vals if v is not None
+    )
+
+
+def test_block_prefix_count_delete_fallback():
+    vals = ["aa", "ab", "ba", "ab"]
+    enc = encode_array(pa.array(vals))
+    kill = np.array([1], dtype=np.int64)
+    assert _block_prefix_count(enc, "a", kill) == 2  # "aa" and idx-3 "ab"
+
+
+def test_count_where_prefix_prunes_and_matches(spark, tmp_path):
+    """End-to-end on a source-clustered table: the pruned count equals
+    the naive scan and the zonemap filter keeps a SUPERSET of matching
+    blocks (prune never drops a hit)."""
+    import pyspark.sql.functions as F
+
+    from pyrle_spark.plans.compressed import count_where_prefix
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+    from pyrle_spark.sources.icetable import IceTable
+
+    rows = [(i, f"src{i % 17}") for i in range(512)]
+    df = (
+        spark.createDataFrame(rows, "i long, source string")
+        .orderBy("source", "i")
+        .selectExpr("row_number() OVER (ORDER BY source, i) - 1 AS _seq", "source")
+    )
+    out = str(tmp_path / "pref")
+    encode_table(
+        spark,
+        df,
+        out,
+        EncodeConfig(columns=["source"], order_col="_seq", block_rows=32),
+    )
+    got = count_where_prefix(spark, out, "source", "src1").first()["n_match"]
+    want = sum(1 for _, s in rows if s.startswith("src1"))
+    assert got == want
+    # the clustered layout must actually prune: fewer blocks survive the
+    # zonemap window than exist
+    enc = IceTable(out).read_table(spark, None)
+    n_blocks = enc.select("block_id").distinct().count()
+    survivors = enc.filter(
+        (F.col("zmax") >= "src1") & (F.col("zmin") < "src2")
+    ).select("block_id").distinct().count()
+    assert 0 < survivors < n_blocks
