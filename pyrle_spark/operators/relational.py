@@ -2425,6 +2425,53 @@ FROM events GROUP BY 1, 2
 """
 
 
+def compressed_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-key GROUP BY with an integer-sum measure answered below row
+    decode (``plans.compressed.group_sum_pair``): documents encode
+    (lang, source)-clustered, both dict key columns pair on codes, and
+    ``n_chars`` folds into the joint histogram with one ``np.add.at``
+    per block — int64 end-to-end, so the row-level oracle matches
+    bit-for-bit.  This is ``SELECT lang, source, count(*), sum(n_chars)``
+    with no row-shaped record anywhere in the plan.
+
+    Scale shape: one block_id shuffle of compressed buffers,
+    O(#distinct pairs) per block out, final aggregate key = pair
+    cardinality."""
+    import tempfile
+
+    from pyrle_spark.plans.compressed import group_sum_pair
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+
+    docs = load(spark, sf_dir, "documents")
+    ordered = _fixture_ordered(
+        docs, ["lang", "source", "n_chars"], key_cols=("lang", "source")
+    )
+    out_dir = tempfile.mkdtemp(prefix="compressed_pairsum_")
+    encode_table(
+        spark,
+        ordered,
+        out_dir,
+        EncodeConfig(
+            columns=["lang", "source", "n_chars"],
+            order_col="_seq",
+            block_rows=64,
+        ),
+    )
+    return group_sum_pair(spark, out_dir, "lang", "source", "n_chars").select(
+        F.col("value_a").alias("lang"),
+        F.col("value_b").alias("source"),
+        "n_rows",
+        "sum_m",
+    )
+
+
+_COMPRESSED_GROUPBY_SUM_SQL = """
+SELECT lang, source, count(*) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_m
+FROM documents GROUP BY lang, source
+"""
+
+
 def compressed_prefix_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIKE-'prefix%' counts answered with string-zonemap block pruning
     (``plans.compressed.count_where_prefix``): the source-clustered
@@ -4249,6 +4296,7 @@ QUERIES = {
     "compressed_quantile_hist": compressed_quantile_hist,
     "compressed_eq_probe": compressed_eq_probe,
     "compressed_groupby_pair": compressed_groupby_pair,
+    "compressed_groupby_sum": compressed_groupby_sum,
     "compressed_prefix_count": compressed_prefix_count,
     "compressed_distinct_source": compressed_distinct_source,
     "layout_prune_synergy": layout_prune_synergy,
@@ -4353,6 +4401,7 @@ ORACLE_SQL = {
     "compressed_quantile_hist": _COMPRESSED_QUANTILE_SQL,
     "compressed_eq_probe": _COMPRESSED_EQ_PROBE_SQL,
     "compressed_groupby_pair": _COMPRESSED_GROUPBY_PAIR_SQL,
+    "compressed_groupby_sum": _COMPRESSED_GROUPBY_SUM_SQL,
     "compressed_prefix_count": _COMPRESSED_PREFIX_SQL,
     "point_lookup_rows": _POINT_LOOKUP_ROWS_SQL,
     "compressed_distinct_source": _COMPRESSED_DISTINCT_SQL,

@@ -41,6 +41,7 @@ __all__ = [
     "count_where_prefix",
     "distinct_values",
     "group_count_pair",
+    "group_sum_pair",
     "numeric_stats",
     "sum_by_value",
     "topk_below_decode",
@@ -1015,6 +1016,34 @@ def _pair_hist(enc_a: Encoded, enc_b: Encoded, kill: np.ndarray | None):
     return va, vb, counts[nz]
 
 
+def _grouped_blocks(batches, expect: set):
+    """Stream (block_id, {column: Encoded}) groups out of a mapInArrow
+    input sorted by (block_id, column) — the shared gather for the
+    multi-column below-decode passes.  Raises when a block is missing
+    one of ``expect`` (columns of one table must be block-complete)."""
+    cur, pending = None, {}
+
+    def check(bid, rows):
+        if set(rows) != expect:
+            raise ValueError(
+                f"block {bid}: expected columns {sorted(expect)}, "
+                f"got {sorted(rows)} — columns of one table must be "
+                "row-aligned and block-complete"
+            )
+        return bid, rows
+
+    for batch in batches:
+        for row in batch.to_pylist():
+            bid = row["block_id"]
+            if bid != cur:
+                if cur is not None and pending:
+                    yield check(cur, pending)
+                cur, pending = bid, {}
+            pending[row["column"]] = Encoded.from_row(row)
+    if cur is not None and pending:
+        yield check(cur, pending)
+
+
 def group_count_pair(
     spark: SparkSession,
     table_dir: str,
@@ -1051,16 +1080,9 @@ def group_count_pair(
     )
 
     def _pairs(batches):
-        cur, pending = None, {}
-
-        def flush(bid, rows):
-            if set(rows) != {pa_col, pb_col}:
-                raise ValueError(
-                    f"block {bid}: expected columns {pa_col!r}+{pb_col!r}, "
-                    f"got {sorted(rows)}"
-                )
+        for bid, rows in _grouped_blocks(batches, {pa_col, pb_col}):
             va, vb, ns = _pair_hist(rows[pa_col], rows[pb_col], dmap.get(bid))
-            return pa.RecordBatch.from_pydict(
+            yield pa.RecordBatch.from_pydict(
                 {
                     "value_a": [None if v is None else str(v) for v in va],
                     "value_b": [None if v is None else str(v) for v in vb],
@@ -1075,22 +1097,111 @@ def group_count_pair(
                 ),
             )
 
-        for batch in batches:
-            for row in batch.to_pylist():
-                bid = row["block_id"]
-                if bid != cur:
-                    if cur is not None and pending:
-                        yield flush(cur, pending)
-                    cur, pending = bid, {}
-                pending[row["column"]] = Encoded.from_row(row)
-        if cur is not None and pending:
-            yield flush(cur, pending)
-
     partial = tagged.mapInArrow(
         _pairs, "value_a string, value_b string, n_rows long"
     )
     return partial.groupBy("value_a", "value_b").agg(
         F.sum("n_rows").alias("n_rows")
+    )
+
+
+def group_sum_pair(
+    spark: SparkSession,
+    table_dir: str,
+    col_a: str,
+    col_b: str,
+    measure: str,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """``SELECT a, b, count(*), sum(m) GROUP BY a, b`` below row decode:
+    the two key columns never materialize values (codes pair exactly as
+    in :func:`group_count_pair`), and the INTEGER measure column decodes
+    to one numpy array per block that folds into the pair histogram via
+    a single ``np.add.at`` — no row-shaped record ever exists.  Sums
+    accumulate in int64 end-to-end (the repo's cross-engine exactness
+    rule); a float measure block raises — route floats through
+    :func:`filtered_numeric_agg`-style tolerance checks instead.
+
+    Returns (value_a string, value_b string, n_rows long, sum_m long);
+    measure NULLs contribute 0 to the sum and still count in ``n_rows``
+    (= SQL ``sum(coalesce(m, 0))`` + ``count(*)``).  Merge-on-read
+    deletes apply to keys and measure alike.
+
+    Scale shape: ONE hash shuffle of compressed buffers on block_id;
+    O(#distinct pairs) rows per block out; final aggregate key = pair
+    cardinality."""
+    from pyrle_spark.codecs import decode_array
+
+    table = IceTable(table_dir)
+    pa_col = physical_column(table, col_a, snapshot_id)
+    pb_col = physical_column(table, col_b, snapshot_id)
+    pm_col = physical_column(table, measure, snapshot_id)
+    block_rows = int(table.properties(snapshot_id)["block_rows"])
+    dmap = _delete_map(table_dir, snapshot_id, block_rows)
+    enc = dedup_blocks(
+        table.read_table(spark, snapshot_id).filter(
+            F.col("column").isin(pa_col, pb_col, pm_col)
+        )
+    )
+    tagged = enc.repartition("block_id").sortWithinPartitions(
+        "block_id", "column"
+    )
+
+    def _partials(batches):
+        for bid, rows in _grouped_blocks(batches, {pa_col, pb_col, pm_col}):
+            kill = dmap.get(bid)
+            codes_a, vals_a = _block_factorize(rows[pa_col], kill)
+            codes_b, vals_b = _block_factorize(rows[pb_col], kill)
+            m_enc = rows[pm_col]
+            arr = decode_array(m_enc)
+            if not pa.types.is_integer(arr.type):
+                raise TypeError(
+                    f"group_sum_pair needs an integer measure; "
+                    f"{measure!r} blocks are {arr.type}"
+                )
+            if kill is not None and len(kill):
+                arr = arr.filter(pa.array(_keep_mask(m_enc.n_rows, kill)))
+            m = np.asarray(arr.fill_null(0), dtype=np.int64)
+            if not (len(codes_a) == len(codes_b) == len(m)):
+                raise ValueError(
+                    f"pair group-by misalignment in block {bid}: "
+                    f"{len(codes_a)}/{len(codes_b)}/{len(m)} rows"
+                )
+            nb = len(vals_b) + 1
+            pair = (codes_a + 1) * nb + (codes_b + 1)
+            size = (len(vals_a) + 1) * nb
+            counts = np.bincount(pair, minlength=size)
+            sums = np.zeros(size, dtype=np.int64)
+            np.add.at(sums, pair, m)
+            nz = np.flatnonzero(counts)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "value_a": [
+                        None if p // nb == 0 else str(vals_a[p // nb - 1])
+                        for p in nz
+                    ],
+                    "value_b": [
+                        None if p % nb == 0 else str(vals_b[p % nb - 1])
+                        for p in nz
+                    ],
+                    "n_rows": [int(c) for c in counts[nz]],
+                    "sum_m": [int(s) for s in sums[nz]],
+                },
+                schema=pa.schema(
+                    [
+                        ("value_a", pa.string()),
+                        ("value_b", pa.string()),
+                        ("n_rows", pa.int64()),
+                        ("sum_m", pa.int64()),
+                    ]
+                ),
+            )
+
+    partial = tagged.mapInArrow(
+        _partials, "value_a string, value_b string, n_rows long, sum_m long"
+    )
+    return partial.groupBy("value_a", "value_b").agg(
+        F.sum("n_rows").alias("n_rows"), F.sum("sum_m").alias("sum_m")
     )
 
 

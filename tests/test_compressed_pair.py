@@ -132,3 +132,51 @@ def test_count_where_prefix_prunes_and_matches(spark, tmp_path):
         (F.col("zmax") >= "src1") & (F.col("zmin") < "src2")
     ).select("block_id").distinct().count()
     assert 0 < survivors < n_blocks
+
+
+def test_group_sum_pair_end_to_end_with_deletes(spark, tmp_path):
+    """Keys pair on codes, measure folds below decode, MoR deletes
+    apply to keys and measure alike, float measures raise."""
+    import pyspark.sql.functions as F
+
+    from pyrle_spark.plans.compressed import group_sum_pair
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        delete_rows,
+        encode_table,
+    )
+
+    rows = [(i, f"k{i % 3}", f"g{i % 2}", i * 10) for i in range(200)]
+    df = spark.createDataFrame(rows, "_seq long, a string, b string, m long")
+    out = str(tmp_path / "pairsum")
+    encode_table(
+        spark,
+        df,
+        out,
+        EncodeConfig(columns=["a", "b", "m"], order_col="_seq", block_rows=32),
+    )
+    delete_rows(spark, out, [5, 6, 7, 100])
+    got = {
+        (r["value_a"], r["value_b"]): (r["n_rows"], r["sum_m"])
+        for r in group_sum_pair(spark, out, "a", "b", "m").collect()
+    }
+    keep = [r for r in rows if r[0] not in (5, 6, 7, 100)]
+    want: dict = {}
+    for _seq, a, b, m in keep:
+        n, s = want.get((a, b), (0, 0))
+        want[(a, b)] = (n + 1, s + m)
+    assert got == want
+
+    # float measure refuses loudly (exactness contract)
+    df_f = df.withColumn("m", F.col("m").cast("double"))
+    out_f = str(tmp_path / "pairsum_f")
+    encode_table(
+        spark,
+        df_f,
+        out_f,
+        EncodeConfig(columns=["a", "b", "m"], order_col="_seq", block_rows=32),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="integer measure"):
+        group_sum_pair(spark, out_f, "a", "b", "m").collect()
