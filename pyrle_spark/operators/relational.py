@@ -4122,6 +4122,114 @@ FROM allc GROUP BY _change_type
 """
 
 
+def incremental_view_maint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance from the CDC changelog
+    — the engine feature that keeps a 100 TB rollup fresh without
+    recomputing it.  Materialize a per-lang ``(count, sum)`` view at
+    snapshot S0, mutate the table (a MoR ``UPDATE`` bumping every
+    ``de`` row's ``n_chars``, then position deletes of every 37th
+    ORIGINAL position), and refresh by FOLDING ``table_changes(S0 →
+    latest)`` into the stored aggregate: inserts add ``(+1,
+    +n_chars)``, deletes subtract their pre-images.  The oracle
+    recomputes the view from the FINAL state directly, so any wrong
+    fold — a missed pre-image, a double-counted update pair, a
+    resurrection through the update's append+delete ordering —
+    hash-mismatches.
+
+    Window-anchoring subtlety this query pins: ``delete_rows`` commits
+    no snapshot — it tags its delete file with the CURRENT snapshot id,
+    and a delete tagged S0 is visible AT S0 (time travel to S0 sees
+    it), hence outside the (S0, latest] CDC window.  The DML sequence
+    therefore opens with the UPDATE, whose append commits a fresh
+    snapshot that both delete vectors then tag — a delete-first
+    sequence would silently vanish from the changelog.  Consequence of
+    deleting ORIGINAL positions after the update: a ``de`` row on a
+    %37 position was already position-deleted by the update, so the
+    re-delete is a no-op and its updated tail copy SURVIVES — the
+    oracle keeps every ``de`` row for exactly that reason, and the
+    changelog's position-set semantics (each deleted position appears
+    once in the pre-image stream) make the fold land on the same
+    answer.
+
+    Scale shape: the refresh reads O(changed rows) — the insert stream
+    plans only appended files, the delete stream decodes ≤ one block per
+    deleted position — joined full-outer against the O(distinct lang)
+    stored view; nothing rescans the unchanged majority.  An UPDATE
+    arrives as the standard delete(pre-image) + insert(post-image) pair,
+    so the same two-rule fold maintains the view under all three DML
+    verbs.  V0 is read through a PINNED snapshot id, so the lazy plan
+    time-travels correctly even though the mutations commit before the
+    aggregate executes."""
+    import tempfile
+
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        delete_rows,
+        encode_table,
+        scan_encoded,
+        table_changes,
+        update_where,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("_seq"), "lang", "n_chars"
+    )
+    n = docs.count()
+    out_dir = tempfile.mkdtemp(prefix="ivm_")
+    cfg = EncodeConfig(
+        columns=["lang", "n_chars"],
+        order_col="_seq",
+        block_rows=64,
+        shuffle_partitions=16,
+    )
+    s0 = encode_table(spark, docs, out_dir, cfg)
+    v0 = (
+        scan_encoded(spark, out_dir, snapshot_id=s0["snapshot_id"])
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    # UPDATE first: its append snapshot anchors the CDC window so the
+    # delete vectors (which tag the current snapshot, committing none
+    # of their own) land strictly after S0 — see docstring
+    update_where(spark, out_dir, "lang", ["de"], {"n_chars": "n_chars + 1000"})
+    delete_rows(spark, out_dir, range(0, n, 37))
+    ch = table_changes(spark, out_dir, s0["snapshot_id"])
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    delta = ch.groupBy("lang").agg(
+        F.sum(sign).alias("d_docs"),
+        F.sum(sign * F.col("n_chars")).alias("d_chars"),
+    )
+    return (
+        v0.join(delta, "lang", "full_outer")
+        .select(
+            "lang",
+            (
+                F.coalesce("n_docs", F.lit(0)) + F.coalesce("d_docs", F.lit(0))
+            ).alias("n_docs"),
+            (
+                F.coalesce("total_chars", F.lit(0))
+                + F.coalesce("d_chars", F.lit(0))
+            ).alias("total_chars"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
+
+
+_INCREMENTAL_VIEW_MAINT_SQL = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars + CASE WHEN lang = 'de' THEN 1000 ELSE 0 END)
+            AS BIGINT) AS total_chars
+FROM documents
+WHERE lang = 'de' OR doc_id % 37 <> 0
+GROUP BY lang
+"""
+
+
 def rle_neg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.4 unary negate (``-rle``, rle.py:524-549): values negated,
     runs untouched (negation is injective, so no adjacent merge can
@@ -4265,6 +4373,7 @@ FROM documents GROUP BY lang, source
 QUERIES = {
     "rle_encode_lang": rle_encode_lang,
     "table_changes_agg": table_changes_agg,
+    "incremental_view_maint": incremental_view_maint,
     "analyze_stats": analyze_stats,
     "zorder_prune_agg": zorder_prune_agg,
     "zorder_after_mor": zorder_after_mor,
@@ -4358,6 +4467,7 @@ ORACLE_SQL = {
     "zorder_after_mor": _ZORDER_AFTER_MOR_SQL,
     "analyze_stats": _ANALYZE_STATS_SQL,
     "table_changes_agg": _table_changes_sql(),
+    "incremental_view_maint": _INCREMENTAL_VIEW_MAINT_SQL,
     "zonemap_prune_agg": _ZONEMAP_PRUNE_AGG_SQL,
     "bloom_prune_eq_agg": _BLOOM_PRUNE_EQ_AGG_SQL,
     "dsv2_pushdown_agg": _DSV2_PUSHDOWN_AGG_SQL,
