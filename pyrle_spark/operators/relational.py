@@ -2370,6 +2370,448 @@ GROUP BY c_nationkey
 """
 
 
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier, adapted (no ``partsupp``: the
+    supply cost of a (part, supplier) pair is the minimum extended
+    price in cents that supplier ever charged for the part in
+    ``lineitem``, restricted to EUROPE suppliers — integral, so the
+    correlated "equals the regional minimum" test is exact).  Small
+    parts (``p_size <= 5``) only, all ties kept.
+
+    Scale shape: the supplier→nation→region chain broadcasts into the
+    lineitem scan; the (part, supp) min is one map-side-combinable
+    aggregate shuffling on the pair key; the per-part regional minimum
+    (O(#parts), dim-sized) broadcasts back — lineitem is scanned once
+    and never re-shuffled."""
+    rs = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "EUROPE"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            "s_suppkey", "s_name", "n_name",
+            _money_cents("s_acctbal").alias("bal_c"),
+        )
+    )
+    cost = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey", "l_suppkey",
+            _money_cents("l_extendedprice").alias("price_c"),
+        )
+        .join(F.broadcast(rs), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_name", "n_name", "bal_c")
+        .agg(F.min("price_c").alias("cost_c"))
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("cost_c").alias("min_c")
+    )
+    part = load(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    return (
+        cost.join(
+            F.broadcast(best),
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("cost_c") == F.col("min_c")),
+        )
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("bal_c", "s_name", "n_name", "p_partkey", "cost_c")
+    )
+
+
+_TPCH_Q2_SQL = """
+WITH rs AS (
+  SELECT s_suppkey, s_name, n_name,
+         CAST(round(s_acctbal*100) AS BIGINT) AS bal_c
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), cost AS (
+  SELECT l_partkey, l_suppkey, s_name, n_name, bal_c,
+         CAST(min(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+           AS cost_c
+  FROM lineitem JOIN rs ON l_suppkey = s_suppkey
+  GROUP BY 1, 2, 3, 4, 5
+), best AS (
+  SELECT l_partkey AS b_partkey, min(cost_c) AS min_c FROM cost GROUP BY 1
+)
+SELECT bal_c, s_name, n_name, p_partkey, cost_c
+FROM cost JOIN best ON l_partkey = b_partkey AND cost_c = min_c
+JOIN part ON p_partkey = l_partkey
+WHERE p_size <= 5
+"""
+
+
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit, adapted (no ``partsupp``: the unit
+    supply cost is the part's ``p_retailprice``, so profit_e4 =
+    price_c·(100−disc_c) − qty·retail_c·100 — every term integral in
+    10^-4 currency units).  Parts whose name contains ``gear``, profit
+    grouped by supplier nation and ship year.
+
+    Scale shape: part and supplier→nation broadcast into the single
+    lineitem pass; one shuffle on the (nation, year) aggregate key."""
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", _money_cents("p_retailprice").alias("retail_c"))
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    qty = F.col("l_quantity").cast("long")
+    amount = (
+        _money_cents("l_extendedprice") * (100 - _money_cents("l_discount"))
+        - qty * F.col("retail_c") * 100
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "n_name",
+            F.year("l_shipdate").alias("o_year"),
+            amount.alias("amount_e4"),
+        )
+    )
+    return li.groupBy("n_name", "o_year").agg(
+        F.sum("amount_e4").alias("sum_profit_e4")
+    )
+
+
+_TPCH_Q9_SQL = """
+SELECT n_name, CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT))
+                - CAST(l_quantity AS BIGINT)
+                  * CAST(round(p_retailprice*100) AS BIGINT) * 100)
+            AS BIGINT) AS sum_profit_e4
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, o_year
+"""
+
+
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock identification, adapted (no
+    ``partsupp``: a part's held value for the three-nation supplier
+    group is Σ qty·price_c over its ``lineitem`` rows, and the
+    value-share cut — Q11's ``> sum(...) * FRACTION`` HAVING, whose
+    fixed fraction empties as the table grows — becomes the exact
+    integer above-average rule ``value_c · n_parts > 2 · total_c``,
+    i.e. parts worth more than twice the mean part value, which stays
+    populated at every scale factor).
+
+    Scale shape: supplier→nation broadcasts into one lineitem pass;
+    the per-part sum shuffles on the partkey; the (total, count) pair
+    is a single-row aggregate broadcast back — no second scan, no
+    global sort."""
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "nation").filter(
+                    F.col("n_name").isin("NATION_7", "NATION_12", "NATION_17")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    val = F.col("l_quantity").cast("long") * _money_cents("l_extendedprice")
+    v = (
+        load(spark, sf_dir, "lineitem")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("value_c"))
+    )
+    tot = v.agg(
+        F.sum("value_c").alias("t"), F.count(F.lit(1)).alias("np")
+    )
+    return (
+        v.join(F.broadcast(tot))
+        .filter(F.col("value_c") * F.col("np") > F.lit(2) * F.col("t"))
+        .select("l_partkey", "value_c")
+    )
+
+
+_TPCH_Q11_SQL = """
+WITH v AS (
+  SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)
+         * CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS value_c
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name IN ('NATION_7', 'NATION_12', 'NATION_17')
+  GROUP BY l_partkey
+), tot AS (SELECT CAST(sum(value_c) AS BIGINT) AS t, count(*) AS np FROM v)
+SELECT l_partkey, value_c FROM v, tot WHERE value_c * np > 2 * t
+"""
+
+
+def tpch_q12_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shipping-priority audit, adapted (no ``l_shipmode`` /
+    ``l_receiptdate``: lines bucket by ship LAG — ``slow`` when the
+    line shipped more than 60 days after the order date, ``fast``
+    otherwise — and the year window runs on ``l_shipdate``).  Per
+    bucket, how many lines belong to high-priority orders (URGENT /
+    HIGH) vs the rest; day arithmetic is integer in both engines.
+
+    Scale shape: the orders↔lineitem equi-join shuffles both sides on
+    the orderkey (both fact-sized — the sort-merge Q12 always needs);
+    the two-row aggregate is map-side combinable."""
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .select("l_orderkey", "l_shipdate")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    bucket = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60, "slow"
+    ).otherwise("fast")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.select(
+            bucket.alias("bucket"),
+            F.when(is_high, 1).otherwise(0).alias("h"),
+            F.when(is_high, 0).otherwise(1).alias("l"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("h").alias("high_line_count"),
+            F.sum("l").alias("low_line_count"),
+        )
+    )
+
+
+_TPCH_Q12_SQL = """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+            THEN 'slow' ELSE 'fast' END AS bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY bucket
+"""
+
+
+def tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 supplier counts by part attributes, adapted (no
+    ``partsupp``: the part↔supplier relation is the distinct pairs that
+    actually traded in ``lineitem``; the "customer complaints" NOT IN
+    exclusion becomes suppliers with a negative account balance).
+
+    Scale shape: the excluded-supplier set is dim-sized and broadcast
+    as a LEFT ANTI join; part broadcasts into the lineitem pass; the
+    distinct-supplier count shuffles once on the (brand, type, size)
+    key with a partial distinct below it."""
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "ECONOMY")
+            & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("bad_suppkey"))
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("bad_suppkey"),
+            "left_anti",
+        )
+    )
+    return li.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+_TPCH_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'ECONOMY'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion, adapted (no ``partsupp``
+    ``availqty``: a supplier qualifies when the total quantity of
+    ``red…`` parts it shipped during 1997 exceeds an exact integral
+    threshold of 100 units) — EUROPE suppliers, with the qualifying
+    quantity kept in the output so the hash certifies the aggregate,
+    not just the survivor set.
+
+    Scale shape: the part filter broadcasts into one lineitem pass;
+    the per-supplier sum shuffles on the suppkey; the supplier→nation→
+    region chain broadcasts into the (tiny) qualifying set."""
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    shipped = (
+        load(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 100)
+    )
+    rs = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "EUROPE"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return shipped.join(
+        F.broadcast(rs), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name", "n_name", "sum_qty")
+
+
+_TPCH_Q20_SQL = """
+SELECT s_suppkey, s_name, n_name,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE p_name LIKE 'red%' AND r_name = 'EUROPE'
+  AND l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY s_suppkey, s_name, n_name
+HAVING sum(CAST(l_quantity AS BIGINT)) > 100
+"""
+
+
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers who kept orders waiting, adapted (no
+    ``l_receiptdate``/``l_commitdate``: a line is LATE when it shipped
+    more than 60 days after the order date).  ASIA suppliers, orders
+    with status ``F``, where the supplier's line is late, ANOTHER
+    supplier also has a line on the order (EXISTS), and NO other
+    supplier's line is late (NOT EXISTS).
+
+    The Spark plan answers both correlated subqueries with ONE
+    per-order aggregate instead of two more joins against lineitem:
+    ``n_s`` = distinct suppliers on the order (EXISTS ⇔ n_s ≥ 2) and
+    ``n_late`` = distinct LATE suppliers (NOT EXISTS another late ⇔
+    n_late = 1, since l1's own supplier is late) — the oracle runs the
+    textbook EXISTS / NOT EXISTS form, certifying the rewrite
+    (verified equal at sf0.01 and sf0.1 during design).
+
+    Scale shape: lineitem joins orders once on the orderkey (the
+    unavoidable fact-fact sort-merge), the per-order distinct counts
+    are one map-side-combinable aggregate on the same key — reusing
+    the join partitioning, so no extra shuffle — and the region chain
+    broadcasts into the late-line probe."""
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderdate", "o_orderstatus"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    ostats = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.countDistinct("l_suppkey").alias("n_s"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+    )
+    rs = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    l1 = (
+        li.filter((F.col("o_orderstatus") == "F") & late)
+        .join(F.broadcast(rs), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ostats, F.col("l_orderkey") == F.col("k"))
+        .filter((F.col("n_s") >= 2) & (F.col("n_late") == 1))
+    )
+    return l1.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+_TPCH_Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON r_regionkey = n_regionkey
+JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE r_name = 'ASIA' AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+"""
+
+
 def compressed_groupby_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-column GROUP BY answered below decode
     (``plans.compressed.group_count_pair``): events encode ordered by
@@ -4400,6 +4842,13 @@ QUERIES = {
     "tpch_q17_small_quantity": tpch_q17_small_quantity,
     "tpch_q19_discounted_revenue": tpch_q19_discounted_revenue,
     "tpch_q22_global_sales": tpch_q22_global_sales,
+    "tpch_q2_min_cost_supplier": tpch_q2_min_cost_supplier,
+    "tpch_q9_product_profit": tpch_q9_product_profit,
+    "tpch_q11_important_stock": tpch_q11_important_stock,
+    "tpch_q12_ship_priority": tpch_q12_ship_priority,
+    "tpch_q16_supplier_counts": tpch_q16_supplier_counts,
+    "tpch_q20_excess_shippers": tpch_q20_excess_shippers,
+    "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
     "point_lookup_rows": point_lookup_rows,
     "compressed_topk_zonemap": compressed_topk_zonemap,
     "compressed_quantile_hist": compressed_quantile_hist,
@@ -4507,6 +4956,13 @@ ORACLE_SQL = {
     "tpch_q17_small_quantity": _TPCH_Q17_SQL,
     "tpch_q19_discounted_revenue": _TPCH_Q19_SQL,
     "tpch_q22_global_sales": _TPCH_Q22_SQL,
+    "tpch_q2_min_cost_supplier": _TPCH_Q2_SQL,
+    "tpch_q9_product_profit": _TPCH_Q9_SQL,
+    "tpch_q11_important_stock": _TPCH_Q11_SQL,
+    "tpch_q12_ship_priority": _TPCH_Q12_SQL,
+    "tpch_q16_supplier_counts": _TPCH_Q16_SQL,
+    "tpch_q20_excess_shippers": _TPCH_Q20_SQL,
+    "tpch_q21_waiting_suppliers": _TPCH_Q21_SQL,
     "compressed_topk_zonemap": _COMPRESSED_TOPK_SQL,
     "compressed_quantile_hist": _COMPRESSED_QUANTILE_SQL,
     "compressed_eq_probe": _COMPRESSED_EQ_PROBE_SQL,
