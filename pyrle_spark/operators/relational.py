@@ -2867,6 +2867,100 @@ FROM events GROUP BY 1, 2
 """
 
 
+def compressed_groupby_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group DISTINCT COUNT answered below decode
+    (``plans.compressed.group_ndv_pair``): the same encoded layout as
+    :func:`compressed_groupby_pair` but keyed per DAY (the corpus spans
+    one month, so day granularity gives ~30 real groups) — rle ``ymd``
+    × dict ``event_type``, and the global fold counts distinct partner
+    codes per group instead of summing, i.e. ``SELECT ymd,
+    count(DISTINCT event_type), count(*) GROUP BY ymd`` with
+    deduplication happening on CODES inside
+    each block and on O(#distinct pairs) rows after — no row-level
+    expand, no sketch, exact by construction.
+
+    Scale shape: one block_id shuffle of compressed buffers; the
+    distinct-count shuffle is bounded by pair cardinality."""
+    import tempfile
+
+    from pyrle_spark.plans.compressed import group_ndv_pair
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        assign_row_order,
+        encode_table,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        (
+            F.year("ts").cast("long") * 10000
+            + F.month("ts") * 100
+            + F.dayofmonth("ts")
+        ).alias("ymd"),
+        "event_type",
+        "event_id",
+    )
+    ordered = assign_row_order(ev, ["ymd"], tiebreak="event_id", out_col="_seq")
+    out_dir = tempfile.mkdtemp(prefix="compressed_ndv_")
+    encode_table(
+        spark,
+        ordered.select("_seq", "ymd", "event_type"),
+        out_dir,
+        EncodeConfig(
+            columns=["ymd", "event_type"],
+            order_col="_seq",
+            block_rows=64,
+            codec_overrides={"ymd": "rle"},
+        ),
+    )
+    return group_ndv_pair(spark, out_dir, "ymd", "event_type").select(
+        F.col("value_a").alias("ymd"), "ndv_b", "n_rows"
+    )
+
+
+_COMPRESSED_GROUPBY_NDV_SQL = """
+SELECT CAST(CAST(EXTRACT(year FROM ts) AS BIGINT) * 10000
+            + CAST(EXTRACT(month FROM ts) AS BIGINT) * 100
+            + CAST(EXTRACT(day FROM ts) AS BIGINT) AS VARCHAR) AS ymd,
+       count(DISTINCT event_type) AS ndv_b, count(*) AS n_rows
+FROM events GROUP BY 1
+"""
+
+
+def rollup_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical GROUPING SETS via ``rollup``: per-(lang, source)
+    totals, per-lang subtotals, and the grand total in ONE aggregate —
+    Catalyst expands the three grouping sets map-side (a single Expand
+    + one shuffle, partial aggregation intact), so the subtotal rows
+    cost one pass, not three scans.  Subtotal slots surface as the
+    ``ALL`` sentinel (both key columns are non-null in the corpus, so
+    the coalesce is unambiguous); the oracle is duckdb's native
+    ``GROUP BY ROLLUP``.
+
+    Scale shape: one shuffle keyed by the expanded grouping-set id +
+    keys; output cardinality = |lang×source| + |lang| + 1."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+_ROLLUP_LANG_SOURCE_SQL = """
+SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY ROLLUP (lang, source)
+"""
+
+
 def compressed_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-key GROUP BY with an integer-sum measure answered below row
     decode (``plans.compressed.group_sum_pair``): documents encode
@@ -4854,6 +4948,8 @@ QUERIES = {
     "compressed_quantile_hist": compressed_quantile_hist,
     "compressed_eq_probe": compressed_eq_probe,
     "compressed_groupby_pair": compressed_groupby_pair,
+    "compressed_groupby_ndv": compressed_groupby_ndv,
+    "rollup_lang_source": rollup_lang_source,
     "compressed_groupby_sum": compressed_groupby_sum,
     "compressed_prefix_count": compressed_prefix_count,
     "compressed_distinct_source": compressed_distinct_source,
@@ -4967,6 +5063,8 @@ ORACLE_SQL = {
     "compressed_quantile_hist": _COMPRESSED_QUANTILE_SQL,
     "compressed_eq_probe": _COMPRESSED_EQ_PROBE_SQL,
     "compressed_groupby_pair": _COMPRESSED_GROUPBY_PAIR_SQL,
+    "compressed_groupby_ndv": _COMPRESSED_GROUPBY_NDV_SQL,
+    "rollup_lang_source": _ROLLUP_LANG_SOURCE_SQL,
     "compressed_groupby_sum": _COMPRESSED_GROUPBY_SUM_SQL,
     "compressed_prefix_count": _COMPRESSED_PREFIX_SQL,
     "point_lookup_rows": _POINT_LOOKUP_ROWS_SQL,

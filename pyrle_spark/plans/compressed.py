@@ -1105,6 +1105,36 @@ def group_count_pair(
     )
 
 
+def group_ndv_pair(
+    spark: SparkSession,
+    table_dir: str,
+    col_a: str,
+    col_b: str,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """``SELECT a, count(DISTINCT b), count(*) GROUP BY a`` answered
+    below decode: the per-block joint code histograms from
+    :func:`group_count_pair`'s partial pass globally fold to one row
+    per distinct (a, b) pair, so the distinct count is a plain
+    ``count`` over that already-distinct relation — the b values
+    themselves deduplicate block-locally on CODES, and what shuffles is
+    O(#distinct pairs per block), never rows.
+
+    Returns (value_a string, ndv_b long, n_rows long); NULL ``b`` slots
+    are excluded from ``ndv_b`` (SQL ``count(DISTINCT b)`` semantics)
+    but still counted in ``n_rows``.  Merge-on-read deletes apply.
+
+    Scale shape: one block_id shuffle of compressed buffers + one
+    shuffle of the pair histogram (bounded by pair cardinality, not row
+    count) — exact distinct counting without a row-level expand or a
+    sketch."""
+    pairs = group_count_pair(spark, table_dir, col_a, col_b, snapshot_id)
+    return pairs.groupBy("value_a").agg(
+        F.count("value_b").alias("ndv_b"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
 def group_sum_pair(
     spark: SparkSession,
     table_dir: str,
