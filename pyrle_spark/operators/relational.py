@@ -3047,6 +3047,54 @@ SELECT (SELECT count(*) FROM documents WHERE text LIKE 'the%') AS n_text,
 """
 
 
+def compressed_contains_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring (LIKE '%sub%') counts in the compressed domain
+    (``plans.compressed.count_where_contains``): a contains probe has
+    no sound zonemap bound, so every block is visited — the saving is
+    per-visit cost, not visit count: the source-clustered dict column
+    answers from its DICTIONARY (O(#distinct) substring probes + one
+    bincount of codes), and only non-dict text blocks decode their one
+    column for a vectorized Arrow ``match_substring``.  Three probes —
+    a dict-path hit (``rc1`` inside source names), a text-path hit,
+    and a guaranteed miss — certify fast path, slow path, and the
+    zero case; the oracle is the row-level LIKE for all three.
+
+    Scale shape: O(#blocks) manifest scan, column-pruned; one int per
+    block out of the Arrow pass."""
+    import tempfile
+
+    from pyrle_spark.plans.compressed import count_where_contains
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+
+    docs = load(spark, sf_dir, "documents")
+    ordered = _fixture_ordered(docs, ["text", "source"], key_cols=("source",))
+    out_dir = tempfile.mkdtemp(prefix="compressed_contains_")
+    encode_table(
+        spark,
+        ordered,
+        out_dir,
+        EncodeConfig(columns=["text", "source"], order_col="_seq", block_rows=64),
+    )
+    n_src = count_where_contains(spark, out_dir, "source", "rc1").select(
+        F.col("n_match").alias("n_src")
+    )
+    n_text = count_where_contains(spark, out_dir, "text", "and").select(
+        F.col("n_match").alias("n_text")
+    )
+    n_miss = count_where_contains(
+        spark, out_dir, "source", "no-such-substring"
+    ).select(F.col("n_match").alias("n_miss"))
+    return n_src.crossJoin(n_text).crossJoin(n_miss)
+
+
+_COMPRESSED_CONTAINS_SQL = """
+SELECT (SELECT count(*) FROM documents WHERE source LIKE '%rc1%') AS n_src,
+       (SELECT count(*) FROM documents WHERE text LIKE '%and%') AS n_text,
+       (SELECT count(*) FROM documents
+        WHERE source LIKE '%no-such-substring%') AS n_miss
+"""
+
+
 def compressed_eq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equality predicates evaluated in the compressed domain end-to-end
     (``plans.compressed.count_where_eq``): bloom digests prune blocks
@@ -4952,6 +5000,7 @@ QUERIES = {
     "rollup_lang_source": rollup_lang_source,
     "compressed_groupby_sum": compressed_groupby_sum,
     "compressed_prefix_count": compressed_prefix_count,
+    "compressed_contains_count": compressed_contains_count,
     "compressed_distinct_source": compressed_distinct_source,
     "layout_prune_synergy": layout_prune_synergy,
     "update_where_agg": update_where_agg,
@@ -5067,6 +5116,7 @@ ORACLE_SQL = {
     "rollup_lang_source": _ROLLUP_LANG_SOURCE_SQL,
     "compressed_groupby_sum": _COMPRESSED_GROUPBY_SUM_SQL,
     "compressed_prefix_count": _COMPRESSED_PREFIX_SQL,
+    "compressed_contains_count": _COMPRESSED_CONTAINS_SQL,
     "point_lookup_rows": _POINT_LOOKUP_ROWS_SQL,
     "compressed_distinct_source": _COMPRESSED_DISTINCT_SQL,
     "layout_prune_synergy": _LAYOUT_PRUNE_SYNERGY_SQL,

@@ -1315,6 +1315,86 @@ def count_where_prefix(
     return partial.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_match"))
 
 
+def _block_contains_count(enc: Encoded, sub: str, kill) -> int:
+    """Rows containing ``sub`` in one block: dict blocks test the
+    DICTIONARY (O(#distinct) substring probes, counts off the code
+    stream — the late-materialization win is largest here because a
+    contains probe must otherwise touch every row); everything else
+    decodes the single column into Arrow and matches vectorized.
+    Delete-affected blocks decode-and-mask."""
+    import pyarrow.compute as pc
+
+    from pyrle_spark.codecs import decode_array
+
+    if kill is None or not len(kill):
+        packed = _dict_codes_and_values(enc)
+        if packed is not None:
+            codes, values, valid = packed
+            hit = np.array(
+                [isinstance(v, str) and sub in v for v in values],
+                dtype=bool,
+            )
+            if not hit.any():
+                return 0
+            codes = np.asarray(codes, dtype=np.int64)
+            if valid is not None:
+                codes = codes[valid]
+            counts = np.bincount(codes, minlength=len(values))
+            return int(counts[hit].sum())
+    arr = decode_array(enc)
+    if kill is not None and len(kill):
+        arr = arr.filter(pa.array(_keep_mask(len(arr), kill)))
+    return int(
+        pc.sum(pc.match_substring(arr.drop_null(), sub)).as_py() or 0
+    )
+
+
+def count_where_contains(
+    spark: SparkSession,
+    table_dir: str,
+    column: str,
+    sub: str,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """``SELECT count(*) WHERE column LIKE '%sub%'`` in the compressed
+    domain.  Unlike :func:`count_where_prefix`, a contains probe has NO
+    sound zonemap bound — ``[zmin, zmax]`` orders by prefix, and a
+    substring can hide anywhere inside the range — so every block is
+    visited (stated plainly rather than pruning unsoundly).  The win is
+    WHAT each visit costs: dict blocks answer from the dictionary alone
+    (O(#distinct) substring probes + one bincount of the code stream,
+    no string ever materializes), and only non-dict survivors decode
+    their single column for a vectorized Arrow ``match_substring``.
+    One ``n_match`` row out.
+
+    Scale shape: O(#blocks) manifest scan, one mapInArrow emitting one
+    int per block, column-pruned to the probed column — on a
+    dictionary-friendly corpus the bytes read are the dictionaries,
+    not the data."""
+    table = IceTable(table_dir)
+    phys = physical_column(table, column, snapshot_id)
+    block_rows = int(table.properties(snapshot_id)["block_rows"])
+    dmap = _delete_map(table_dir, snapshot_id, block_rows)
+    enc = dedup_blocks(
+        table.read_table(spark, snapshot_id).filter(F.col("column") == phys)
+    )
+
+    def _partials(batches):
+        for batch in batches:
+            ns = [
+                _block_contains_count(
+                    Encoded.from_row(row), sub, dmap.get(row["block_id"])
+                )
+                for row in batch.to_pylist()
+            ]
+            yield pa.RecordBatch.from_pydict(
+                {"n": ns}, schema=pa.schema([("n", pa.int64())])
+            )
+
+    partial = enc.mapInArrow(_partials, "n long")
+    return partial.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_match"))
+
+
 def agg_join_dim(
     spark: SparkSession,
     table_dir: str,
