@@ -132,13 +132,20 @@ from pyrle_spark.streaming.interval_join import (  # noqa: E402
     stream_interval_join,
 )
 
+from pyrle_spark.streaming.sessionize_stream import (  # noqa: E402
+    _STREAM_SESSIONIZE_SQL,
+    stream_sessionize,
+)
+
 QUERIES = {
     "stream_windowed_counts": stream_windowed_counts,
     "stream_mirror_roundtrip": stream_mirror_roundtrip,
     "stream_interval_join": stream_interval_join,
+    "stream_sessionize": stream_sessionize,
 }
 ORACLE_SQL = {
     "stream_windowed_counts": _STREAM_WINDOWED_SQL,
     "stream_mirror_roundtrip": _STREAM_MIRROR_SQL,
     "stream_interval_join": _STREAM_INTERVAL_JOIN_SQL,
+    "stream_sessionize": _STREAM_SESSIONIZE_SQL,
 }
