@@ -3008,6 +3008,57 @@ FROM documents GROUP BY lang, source
 """
 
 
+def compressed_groupby_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-key GROUP BY with MIN/MAX bounds answered below row decode
+    (``plans.compressed.group_minmax_pair``): the same (lang, source)
+    code-paired layout as :func:`compressed_groupby_sum`, with the
+    integer ``n_chars`` measure folded into the pair domain via
+    ``np.minimum.at`` / ``np.maximum.at`` — completing the below-decode
+    aggregate family (count, sum, distinct, min/max).  int64 end-to-end
+    so the row-level oracle matches bit-for-bit.
+
+    Scale shape: one block_id shuffle of compressed buffers,
+    O(#distinct pairs) per block out, final aggregate key = pair
+    cardinality."""
+    import tempfile
+
+    from pyrle_spark.plans.compressed import group_minmax_pair
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+
+    docs = load(spark, sf_dir, "documents")
+    ordered = _fixture_ordered(
+        docs, ["lang", "source", "n_chars"], key_cols=("lang", "source")
+    )
+    out_dir = tempfile.mkdtemp(prefix="compressed_minmax_")
+    encode_table(
+        spark,
+        ordered,
+        out_dir,
+        EncodeConfig(
+            columns=["lang", "source", "n_chars"],
+            order_col="_seq",
+            block_rows=64,
+        ),
+    )
+    return group_minmax_pair(
+        spark, out_dir, "lang", "source", "n_chars"
+    ).select(
+        F.col("value_a").alias("lang"),
+        F.col("value_b").alias("source"),
+        "n_rows",
+        "min_m",
+        "max_m",
+    )
+
+
+_COMPRESSED_GROUPBY_MINMAX_SQL = """
+SELECT lang, source, count(*) AS n_rows,
+       CAST(min(n_chars) AS BIGINT) AS min_m,
+       CAST(max(n_chars) AS BIGINT) AS max_m
+FROM documents GROUP BY lang, source
+"""
+
+
 def compressed_prefix_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIKE-'prefix%' counts answered with string-zonemap block pruning
     (``plans.compressed.count_where_prefix``): the source-clustered
@@ -5001,6 +5052,7 @@ QUERIES = {
     "compressed_groupby_sum": compressed_groupby_sum,
     "compressed_prefix_count": compressed_prefix_count,
     "compressed_contains_count": compressed_contains_count,
+    "compressed_groupby_minmax": compressed_groupby_minmax,
     "compressed_distinct_source": compressed_distinct_source,
     "layout_prune_synergy": layout_prune_synergy,
     "update_where_agg": update_where_agg,
@@ -5117,6 +5169,7 @@ ORACLE_SQL = {
     "compressed_groupby_sum": _COMPRESSED_GROUPBY_SUM_SQL,
     "compressed_prefix_count": _COMPRESSED_PREFIX_SQL,
     "compressed_contains_count": _COMPRESSED_CONTAINS_SQL,
+    "compressed_groupby_minmax": _COMPRESSED_GROUPBY_MINMAX_SQL,
     "point_lookup_rows": _POINT_LOOKUP_ROWS_SQL,
     "compressed_distinct_source": _COMPRESSED_DISTINCT_SQL,
     "layout_prune_synergy": _LAYOUT_PRUNE_SYNERGY_SQL,

@@ -1235,6 +1235,121 @@ def group_sum_pair(
     )
 
 
+def group_minmax_pair(
+    spark: SparkSession,
+    table_dir: str,
+    col_a: str,
+    col_b: str,
+    measure: str,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """``SELECT a, b, count(*), min(m), max(m) GROUP BY a, b`` below row
+    decode — completing the below-decode aggregate family (count:
+    :func:`group_count_pair`, sum: :func:`group_sum_pair`, distinct:
+    :func:`group_ndv_pair`).  Key columns pair on CODES exactly as in
+    :func:`group_sum_pair`; the integer measure decodes to one numpy
+    array per block and folds into the pair domain with
+    ``np.minimum.at`` / ``np.maximum.at``.  SQL semantics for NULL
+    measures: they count in ``n_rows`` but never into min/max (an
+    all-NULL group yields NULL bounds) — enforced by folding only valid
+    slots and masking empty pairs, not by sentinel pollution.
+
+    Returns (value_a string, value_b string, n_rows long, min_m long,
+    max_m long).  Merge-on-read deletes apply.
+
+    Scale shape: ONE hash shuffle of compressed buffers on block_id;
+    O(#distinct pairs) rows per block out; final aggregate key = pair
+    cardinality."""
+    from pyrle_spark.codecs import decode_array
+
+    table = IceTable(table_dir)
+    pa_col = physical_column(table, col_a, snapshot_id)
+    pb_col = physical_column(table, col_b, snapshot_id)
+    pm_col = physical_column(table, measure, snapshot_id)
+    block_rows = int(table.properties(snapshot_id)["block_rows"])
+    dmap = _delete_map(table_dir, snapshot_id, block_rows)
+    enc = dedup_blocks(
+        table.read_table(spark, snapshot_id).filter(
+            F.col("column").isin(pa_col, pb_col, pm_col)
+        )
+    )
+    tagged = enc.repartition("block_id").sortWithinPartitions(
+        "block_id", "column"
+    )
+
+    def _partials(batches):
+        for bid, rows in _grouped_blocks(batches, {pa_col, pb_col, pm_col}):
+            kill = dmap.get(bid)
+            codes_a, vals_a = _block_factorize(rows[pa_col], kill)
+            codes_b, vals_b = _block_factorize(rows[pb_col], kill)
+            m_enc = rows[pm_col]
+            arr = decode_array(m_enc)
+            if not pa.types.is_integer(arr.type):
+                raise TypeError(
+                    f"group_minmax_pair needs an integer measure; "
+                    f"{measure!r} blocks are {arr.type}"
+                )
+            if kill is not None and len(kill):
+                arr = arr.filter(pa.array(_keep_mask(m_enc.n_rows, kill)))
+            valid = np.asarray(arr.is_valid(), dtype=bool)
+            m = np.asarray(arr.fill_null(0), dtype=np.int64)
+            if not (len(codes_a) == len(codes_b) == len(m)):
+                raise ValueError(
+                    f"pair group-by misalignment in block {bid}: "
+                    f"{len(codes_a)}/{len(codes_b)}/{len(m)} rows"
+                )
+            nb = len(vals_b) + 1
+            pair = (codes_a + 1) * nb + (codes_b + 1)
+            size = (len(vals_a) + 1) * nb
+            counts = np.bincount(pair, minlength=size)
+            mins = np.full(size, np.iinfo(np.int64).max, dtype=np.int64)
+            maxs = np.full(size, np.iinfo(np.int64).min, dtype=np.int64)
+            nvalid = np.zeros(size, dtype=np.int64)
+            vp, vm = pair[valid], m[valid]
+            np.minimum.at(mins, vp, vm)
+            np.maximum.at(maxs, vp, vm)
+            np.add.at(nvalid, vp, 1)
+            nz = np.flatnonzero(counts)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "value_a": [
+                        None if p // nb == 0 else str(vals_a[p // nb - 1])
+                        for p in nz
+                    ],
+                    "value_b": [
+                        None if p % nb == 0 else str(vals_b[p % nb - 1])
+                        for p in nz
+                    ],
+                    "n_rows": [int(c) for c in counts[nz]],
+                    "min_m": [
+                        None if nvalid[p] == 0 else int(mins[p]) for p in nz
+                    ],
+                    "max_m": [
+                        None if nvalid[p] == 0 else int(maxs[p]) for p in nz
+                    ],
+                },
+                schema=pa.schema(
+                    [
+                        ("value_a", pa.string()),
+                        ("value_b", pa.string()),
+                        ("n_rows", pa.int64()),
+                        ("min_m", pa.int64()),
+                        ("max_m", pa.int64()),
+                    ]
+                ),
+            )
+
+    partial = tagged.mapInArrow(
+        _partials,
+        "value_a string, value_b string, n_rows long, min_m long, max_m long",
+    )
+    return partial.groupBy("value_a", "value_b").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.min("min_m").alias("min_m"),
+        F.max("max_m").alias("max_m"),
+    )
+
+
 def _block_prefix_count(enc: Encoded, prefix: str, kill) -> int:
     """Rows starting with ``prefix`` in one block: dict blocks test the
     DICTIONARY (O(#distinct) startswith, counts off the code stream);

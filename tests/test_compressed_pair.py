@@ -180,3 +180,45 @@ def test_group_sum_pair_end_to_end_with_deletes(spark, tmp_path):
 
     with _pytest.raises(Exception, match="integer measure"):
         group_sum_pair(spark, out_f, "a", "b", "m").collect()
+
+
+def test_group_minmax_pair_nulls_and_deletes(spark, tmp_path):
+    """MIN/MAX fold below decode: NULL measures count in n_rows but
+    never into bounds (an all-NULL group yields NULL min/max), and MoR
+    deletes mask keys and measure alike."""
+    from pyrle_spark.plans.compressed import group_minmax_pair
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        delete_rows,
+        encode_table,
+    )
+
+    # group ("k2", "g0") gets ONLY null measures → NULL bounds
+    rows = [
+        (i, f"k{i % 3}", f"g{i % 2}", None if i % 3 == 2 else i * 7 - 100)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "_seq long, a string, b string, m long")
+    out = str(tmp_path / "pairmm")
+    encode_table(
+        spark,
+        df,
+        out,
+        EncodeConfig(columns=["a", "b", "m"], order_col="_seq", block_rows=32),
+    )
+    delete_rows(spark, out, [0, 1, 2, 150])
+    got = {
+        (r["value_a"], r["value_b"]): (r["n_rows"], r["min_m"], r["max_m"])
+        for r in group_minmax_pair(spark, out, "a", "b", "m").collect()
+    }
+    keep = [r for r in rows if r[0] not in (0, 1, 2, 150)]
+    want: dict = {}
+    for _seq, a, b, m in keep:
+        n, lo, hi = want.get((a, b), (0, None, None))
+        if m is not None:
+            lo = m if lo is None else min(lo, m)
+            hi = m if hi is None else max(hi, m)
+        want[(a, b)] = (n + 1, lo, hi)
+    assert got == want
+    # the all-NULL measure groups really exercise the NULL-bounds path
+    assert any(v[1] is None for v in want.values())
