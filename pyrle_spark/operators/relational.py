@@ -3008,6 +3008,51 @@ FROM documents GROUP BY lang, source
 """
 
 
+def compressed_group_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered grouped counts below decode
+    (``plans.compressed.group_count_where``): documents encode
+    CLUSTERED BY the filter column ``n_chars``, so its per-block zones
+    tile the value range — blocks outside ``[150, 350]`` never shuffle
+    (tier 1: manifest zone prune), blocks wholly inside histogram the
+    ``lang`` key straight off codes with zero filter work (tier 2:
+    zone containment), and only the two straddling edge blocks build a
+    row mask (tier 3).  This is ``SELECT lang, count(*) WHERE n_chars
+    BETWEEN 150 AND 350 GROUP BY lang`` — the everyday query shape —
+    with the filter column contributing almost no row-level work.  The
+    oracle is the plain row-level filtered GROUP BY.
+
+    Scale shape: O(#blocks) manifest prune, one block_id shuffle of the
+    SURVIVING compressed buffers only, O(#distinct keys) per block out."""
+    import tempfile
+
+    from pyrle_spark.plans.compressed import group_count_where
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+
+    docs = load(spark, sf_dir, "documents")
+    ordered = _fixture_ordered(
+        docs, ["lang", "n_chars"], key_cols=("n_chars",)
+    )
+    out_dir = tempfile.mkdtemp(prefix="compressed_gwhere_")
+    encode_table(
+        spark,
+        ordered,
+        out_dir,
+        EncodeConfig(
+            columns=["lang", "n_chars"], order_col="_seq", block_rows=64
+        ),
+    )
+    return group_count_where(
+        spark, out_dir, "lang", "n_chars", lo=150, hi=350
+    ).select(F.col("value_a").alias("lang"), "n_rows")
+
+
+_COMPRESSED_GROUP_WHERE_SQL = """
+SELECT lang, count(*) AS n_rows
+FROM documents WHERE n_chars BETWEEN 150 AND 350
+GROUP BY lang
+"""
+
+
 def compressed_groupby_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-key GROUP BY with MIN/MAX bounds answered below row decode
     (``plans.compressed.group_minmax_pair``): the same (lang, source)
@@ -5053,6 +5098,7 @@ QUERIES = {
     "compressed_prefix_count": compressed_prefix_count,
     "compressed_contains_count": compressed_contains_count,
     "compressed_groupby_minmax": compressed_groupby_minmax,
+    "compressed_group_where": compressed_group_where,
     "compressed_distinct_source": compressed_distinct_source,
     "layout_prune_synergy": layout_prune_synergy,
     "update_where_agg": update_where_agg,
@@ -5170,6 +5216,7 @@ ORACLE_SQL = {
     "compressed_prefix_count": _COMPRESSED_PREFIX_SQL,
     "compressed_contains_count": _COMPRESSED_CONTAINS_SQL,
     "compressed_groupby_minmax": _COMPRESSED_GROUPBY_MINMAX_SQL,
+    "compressed_group_where": _COMPRESSED_GROUP_WHERE_SQL,
     "point_lookup_rows": _POINT_LOOKUP_ROWS_SQL,
     "compressed_distinct_source": _COMPRESSED_DISTINCT_SQL,
     "layout_prune_synergy": _LAYOUT_PRUNE_SYNERGY_SQL,

@@ -28,6 +28,7 @@ from pyrle_spark.codecs.rawcodec import ZstdCodec
 from pyrle_spark.plans.encode_job import (
     dedup_blocks,
     physical_column,
+    prune_blocks,
     prune_blocks_eq,
     prune_blocks_in,
 )
@@ -1233,6 +1234,138 @@ def group_sum_pair(
     return partial.groupBy("value_a", "value_b").agg(
         F.sum("n_rows").alias("n_rows"), F.sum("sum_m").alias("sum_m")
     )
+
+
+def _block_filter_mask(enc: Encoded, lo, hi, kill):
+    """Row mask of one block's rows with ``lo <= v <= hi`` — or ``None``
+    meaning EVERY live row matches (the zone-contained tier: the caller
+    skips masking entirely).  Built without materializing values when
+    the codec allows: rle evaluates on run values and ``np.repeat``s
+    the run mask, fixed dict evaluates on the dictionary and gathers
+    ``hit[codes]``; everything else decodes the single column.  NULL
+    and NaN never match (SQL comparison semantics); delete-affected
+    blocks take the exact decode-and-mask path."""
+    from pyrle_spark.codecs import decode_array
+
+    lo_ = -np.inf if lo is None else lo
+    hi_ = np.inf if hi is None else hi
+    if kill is None or not len(kill):
+        meta, codec, buffers = enc.meta, enc.codec, enc.buffers
+        if codec.endswith("+zstd"):
+            codec = codec[: -len("+zstd")]
+            meta, buffers = ZstdCodec.unwrap(meta, buffers)
+        if codec == "rle":
+            rv = _rle_runs_codes(meta, buffers)
+            if rv is not None:
+                runs, vals = rv
+                m = (vals >= lo_) & (vals <= hi_)
+                if m.all():
+                    return None
+                return np.repeat(m, runs)
+        if (
+            codec == "dict"
+            and meta.get("kind") == "fixed"
+            and not meta.get("has_validity")
+        ):
+            from pyrle_spark.codecs.dictionary import _decode_codes
+
+            cbuf = {
+                k[len("codes_") :]: v
+                for k, v in buffers.items()
+                if k.startswith("codes_")
+            }
+            codes = np.asarray(
+                _decode_codes(meta["codes_mode"], meta["codes_meta"], cbuf),
+                dtype=np.int64,
+            )
+            uniques = np.frombuffer(
+                buffers["dict_data"], dtype=np.dtype(meta["dict_dtype"])
+            )
+            if meta.get("orig_dtype"):
+                uniques = uniques.view(np.dtype(meta["orig_dtype"]))
+            hit = (uniques >= lo_) & (uniques <= hi_)
+            if hit.all():
+                return None
+            return hit[codes]
+    arr = decode_array(enc)
+    if kill is not None and len(kill):
+        arr = arr.filter(pa.array(_keep_mask(enc.n_rows, kill)))
+    valid = np.asarray(arr.is_valid(), dtype=bool)
+    a = np.asarray(arr.fill_null(0), dtype=np.float64)
+    return valid & (a >= lo_) & (a <= hi_)
+
+
+def group_count_where(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    filter_col: str,
+    lo=None,
+    hi=None,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """``SELECT key, count(*) WHERE lo <= f <= hi GROUP BY key`` — the
+    most common real query shape, answered below row decode with THREE
+    pushdown tiers:
+
+    1. **zone prune** (manifest, before any shuffle): blocks whose
+       ``filter_col`` zone misses ``[lo, hi]`` never move;
+    2. **zone containment** (per surviving block): when every codec-
+       visible value matches (``_block_filter_mask`` → None), the key
+       column histograms straight off its codes — the filter column
+       contributes zero row-level work;
+    3. **code-level mask**: straddling rle/dict filter blocks build the
+       row mask from run values / dictionary hits without materializing
+       values; only the residue decodes one column.
+
+    On a filter-clustered layout tiers 1-2 cover almost every block —
+    the shape that makes ``WHERE ts BETWEEN …  GROUP BY host`` cheap at
+    100 TB.  Returns (value_a string, n_rows long); NULL keys group as
+    NULL.  Merge-on-read deletes apply."""
+    table = IceTable(table_dir)
+    pk = physical_column(table, key_col, snapshot_id)
+    pf = physical_column(table, filter_col, snapshot_id)
+    block_rows = int(table.properties(snapshot_id)["block_rows"])
+    dmap = _delete_map(table_dir, snapshot_id, block_rows)
+    enc_all = dedup_blocks(
+        table.read_table(spark, snapshot_id).filter(
+            F.col("column").isin(pk, pf)
+        )
+    )
+    live = prune_blocks(enc_all, pf, lo, hi)
+    enc = enc_all.join(F.broadcast(live), "block_id")
+    tagged = enc.repartition("block_id").sortWithinPartitions(
+        "block_id", "column"
+    )
+
+    def _partials(batches):
+        for bid, rows in _grouped_blocks(batches, {pk, pf}):
+            kill = dmap.get(bid)
+            codes, vals = _block_factorize(rows[pk], kill)
+            mask = _block_filter_mask(rows[pf], lo, hi, kill)
+            if mask is not None:
+                if len(mask) != len(codes):
+                    raise ValueError(
+                        f"filtered group-by misalignment in block {bid}: "
+                        f"{len(codes)} key rows vs {len(mask)} filter rows"
+                    )
+                codes = codes[mask]
+            counts = np.bincount(codes + 1, minlength=len(vals) + 1)
+            nz = np.flatnonzero(counts)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "value_a": [
+                        None if p == 0 else str(vals[p - 1]) for p in nz
+                    ],
+                    "n_rows": [int(c) for c in counts[nz]],
+                },
+                schema=pa.schema(
+                    [("value_a", pa.string()), ("n_rows", pa.int64())]
+                ),
+            )
+
+    partial = tagged.mapInArrow(_partials, "value_a string, n_rows long")
+    return partial.groupBy("value_a").agg(F.sum("n_rows").alias("n_rows"))
 
 
 def group_minmax_pair(

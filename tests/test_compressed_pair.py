@@ -222,3 +222,51 @@ def test_group_minmax_pair_nulls_and_deletes(spark, tmp_path):
     assert got == want
     # the all-NULL measure groups really exercise the NULL-bounds path
     assert any(v[1] is None for v in want.values())
+
+
+def test_block_filter_mask_tiers():
+    """The containment tier returns None (no row work); straddling rle
+    blocks mask on run values; dict blocks mask on the dictionary."""
+    import pyarrow as _pa
+
+    from pyrle_spark.plans.compressed import _block_filter_mask
+
+    vals = [5, 5, 5, 9, 9, 2, 2, 2, 2]
+    enc = encode_with("rle", _pa.array(np.array(vals, dtype=np.int64)))
+    # zone-contained: every run value inside the range → None
+    assert _block_filter_mask(enc, 0, 100, None) is None
+    # straddling: mask comes from run values, repeated per run
+    m = _block_filter_mask(enc, 3, 6, None)
+    assert m.tolist() == [v in (5, 6, 4, 3) for v in vals]
+    # delete-affected: exact decode-and-mask, kill offsets removed first
+    m = _block_filter_mask(enc, 3, 6, np.array([0, 1]))
+    assert m.tolist() == [v in (3, 4, 5, 6) for v in vals[2:]]
+
+
+def test_group_count_where_end_to_end(spark, tmp_path):
+    """Zone prune + containment + mask tiers compose to the exact
+    filtered GROUP BY, deletes applied."""
+    from pyrle_spark.plans.compressed import group_count_where
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        delete_rows,
+        encode_table,
+    )
+
+    rows = [(i, f"k{i % 3}", i) for i in range(256)]  # m == _seq, clustered
+    df = spark.createDataFrame(rows, "_seq long, a string, m long")
+    out = str(tmp_path / "gwhere")
+    encode_table(
+        spark, df, out,
+        EncodeConfig(columns=["a", "m"], order_col="_seq", block_rows=32),
+    )
+    delete_rows(spark, out, [40, 41, 200])
+    got = {
+        r["value_a"]: r["n_rows"]
+        for r in group_count_where(spark, out, "a", "m", 30, 130).collect()
+    }
+    want: dict = {}
+    for _seq, a, m in rows:
+        if 30 <= m <= 130 and _seq not in (40, 41, 200):
+            want[a] = want.get(a, 0) + 1
+    assert got == want
