@@ -310,6 +310,14 @@ def main() -> None:
             ("alp_roundtrip_price", relational.QUERIES["alp_roundtrip_price"]),
             # broadcast-dim star join + ordered top-k (TPC-H Q3 shape)
             ("tpch_q3_shipping", relational.QUERIES["tpch_q3_shipping"]),
+            # fact-fact sort-merge + per-order distinct aggregates (the
+            # EXISTS/NOT-EXISTS rewrite, TPC-H Q21 shape)
+            ("tpch_q21_waiting_suppliers",
+             relational.QUERIES["tpch_q21_waiting_suppliers"]),
+            # filtered grouped counts with three-tier pushdown below
+            # decode (zone prune / containment / code mask)
+            ("compressed_group_where",
+             relational.QUERIES["compressed_group_where"]),
         ):
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
