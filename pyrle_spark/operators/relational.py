@@ -2754,7 +2754,12 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     are one map-side-combinable aggregate on the same key — reusing
     the join partitioning, so no extra shuffle — and the region chain
     broadcasts into the late-line probe."""
-    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    # interval addition, NOT date_add: date_add truncates the timestamp
+    # to a date, which would diverge from the oracle's timestamp-
+    # preserving `+ INTERVAL 60 DAY` on any order with a time-of-day
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
     li = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_shipdate")

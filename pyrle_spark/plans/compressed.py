@@ -1236,19 +1236,43 @@ def group_sum_pair(
     )
 
 
+def _range_mask(vals: np.ndarray, lo, hi) -> np.ndarray:
+    """Elementwise ``lo <= v <= hi`` with comparisons in the array's
+    NATIVE domain: integer arrays compare against integer-clamped
+    bounds — mixing an int64 array with a float bound (including the
+    ``±inf`` stand-ins for unbounded) would promote the comparison to
+    float64 and misclassify values beyond 2^53 near the bounds, making
+    the answer depend on which codec a block happens to have.  Float
+    arrays compare as floats (NaN never matches)."""
+    import math
+
+    if np.issubdtype(vals.dtype, np.integer):
+        info = np.iinfo(np.int64)
+        if (lo is not None and lo > info.max) or (
+            hi is not None and hi < info.min
+        ):
+            return np.zeros(len(vals), dtype=bool)
+        lo_i = info.min if lo is None else max(math.ceil(lo), info.min)
+        hi_i = info.max if hi is None else min(math.floor(hi), info.max)
+        return (vals >= lo_i) & (vals <= hi_i)
+    lo_ = -np.inf if lo is None else lo
+    hi_ = np.inf if hi is None else hi
+    return (vals >= lo_) & (vals <= hi_)
+
+
 def _block_filter_mask(enc: Encoded, lo, hi, kill):
     """Row mask of one block's rows with ``lo <= v <= hi`` — or ``None``
     meaning EVERY live row matches (the zone-contained tier: the caller
     skips masking entirely).  Built without materializing values when
     the codec allows: rle evaluates on run values and ``np.repeat``s
     the run mask, fixed dict evaluates on the dictionary and gathers
-    ``hit[codes]``; everything else decodes the single column.  NULL
-    and NaN never match (SQL comparison semantics); delete-affected
-    blocks take the exact decode-and-mask path."""
+    ``hit[codes]``; everything else decodes the single column.  All
+    tiers compare via :func:`_range_mask` (native integer domain —
+    codec choice can never change the answer).  NULL and NaN never
+    match (SQL comparison semantics); delete-affected blocks take the
+    exact decode-and-mask path."""
     from pyrle_spark.codecs import decode_array
 
-    lo_ = -np.inf if lo is None else lo
-    hi_ = np.inf if hi is None else hi
     if kill is None or not len(kill):
         meta, codec, buffers = enc.meta, enc.codec, enc.buffers
         if codec.endswith("+zstd"):
@@ -1258,7 +1282,7 @@ def _block_filter_mask(enc: Encoded, lo, hi, kill):
             rv = _rle_runs_codes(meta, buffers)
             if rv is not None:
                 runs, vals = rv
-                m = (vals >= lo_) & (vals <= hi_)
+                m = _range_mask(vals, lo, hi)
                 if m.all():
                     return None
                 return np.repeat(m, runs)
@@ -1283,7 +1307,7 @@ def _block_filter_mask(enc: Encoded, lo, hi, kill):
             )
             if meta.get("orig_dtype"):
                 uniques = uniques.view(np.dtype(meta["orig_dtype"]))
-            hit = (uniques >= lo_) & (uniques <= hi_)
+            hit = _range_mask(uniques, lo, hi)
             if hit.all():
                 return None
             return hit[codes]
@@ -1291,8 +1315,11 @@ def _block_filter_mask(enc: Encoded, lo, hi, kill):
     if kill is not None and len(kill):
         arr = arr.filter(pa.array(_keep_mask(enc.n_rows, kill)))
     valid = np.asarray(arr.is_valid(), dtype=bool)
-    a = np.asarray(arr.fill_null(0), dtype=np.float64)
-    return valid & (a >= lo_) & (a <= hi_)
+    if pa.types.is_integer(arr.type):
+        a = np.asarray(arr.fill_null(0), dtype=np.int64)
+    else:
+        a = np.asarray(arr.fill_null(0), dtype=np.float64)
+    return valid & _range_mask(a, lo, hi)
 
 
 def group_count_where(
@@ -1490,6 +1517,25 @@ def _block_prefix_count(enc: Encoded, prefix: str, kill) -> int:
     decode-and-mask."""
     import pyarrow.compute as pc
 
+    return _block_str_match_count(
+        enc,
+        lambda v: v.startswith(prefix),
+        lambda arr: pc.starts_with(arr, prefix),
+        kill,
+    )
+
+
+def _block_str_match_count(enc: Encoded, py_pred, arrow_pred, kill) -> int:
+    """Shared engine for string-predicate counts in one block
+    (:func:`_block_prefix_count`, :func:`_block_contains_count`): dict
+    blocks evaluate ``py_pred`` once per DICTIONARY entry and count off
+    the code stream; everything else decodes the single column and
+    applies the vectorized ``arrow_pred``.  Delete-affected blocks
+    decode-and-mask.  One predicate pair in, so the dict-probe /
+    bincount / delete-mask logic can never diverge between the count
+    flavors."""
+    import pyarrow.compute as pc
+
     from pyrle_spark.codecs import decode_array
 
     if kill is None or not len(kill):
@@ -1497,7 +1543,7 @@ def _block_prefix_count(enc: Encoded, prefix: str, kill) -> int:
         if packed is not None:
             codes, values, valid = packed
             hit = np.array(
-                [isinstance(v, str) and v.startswith(prefix) for v in values],
+                [isinstance(v, str) and py_pred(v) for v in values],
                 dtype=bool,
             )
             if not hit.any():
@@ -1510,9 +1556,7 @@ def _block_prefix_count(enc: Encoded, prefix: str, kill) -> int:
     arr = decode_array(enc)
     if kill is not None and len(kill):
         arr = arr.filter(pa.array(_keep_mask(len(arr), kill)))
-    return int(
-        pc.sum(pc.starts_with(arr.drop_null(), prefix)).as_py() or 0
-    )
+    return int(pc.sum(arrow_pred(arr.drop_null())).as_py() or 0)
 
 
 def count_where_prefix(
@@ -1572,28 +1616,11 @@ def _block_contains_count(enc: Encoded, sub: str, kill) -> int:
     Delete-affected blocks decode-and-mask."""
     import pyarrow.compute as pc
 
-    from pyrle_spark.codecs import decode_array
-
-    if kill is None or not len(kill):
-        packed = _dict_codes_and_values(enc)
-        if packed is not None:
-            codes, values, valid = packed
-            hit = np.array(
-                [isinstance(v, str) and sub in v for v in values],
-                dtype=bool,
-            )
-            if not hit.any():
-                return 0
-            codes = np.asarray(codes, dtype=np.int64)
-            if valid is not None:
-                codes = codes[valid]
-            counts = np.bincount(codes, minlength=len(values))
-            return int(counts[hit].sum())
-    arr = decode_array(enc)
-    if kill is not None and len(kill):
-        arr = arr.filter(pa.array(_keep_mask(len(arr), kill)))
-    return int(
-        pc.sum(pc.match_substring(arr.drop_null(), sub)).as_py() or 0
+    return _block_str_match_count(
+        enc,
+        lambda v: sub in v,
+        lambda arr: pc.match_substring(arr, sub),
+        kill,
     )
 
 
