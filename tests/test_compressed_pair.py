@@ -270,3 +270,19 @@ def test_group_count_where_end_to_end(spark, tmp_path):
         if 30 <= m <= 130 and _seq not in (40, 41, 200):
             want[a] = want.get(a, 0) + 1
     assert got == want
+
+
+def test_range_mask_int64_beyond_2_53():
+    """Native-domain comparisons: float64 promotion would alias
+    2^53 and 2^53+1; integer blocks must distinguish them at the bounds
+    regardless of whether a bound is None (the ±inf stand-ins are
+    floats too)."""
+    from pyrle_spark.plans.compressed import _range_mask
+
+    v = np.array([2**53, 2**53 + 1], dtype=np.int64)
+    assert _range_mask(v, None, 2**53).tolist() == [True, False]
+    assert _range_mask(v, 2**53 + 1, None).tolist() == [False, True]
+    assert _range_mask(v, None, None).tolist() == [True, True]
+    # bounds beyond the int64 domain: nothing / everything matches
+    assert _range_mask(v, 2**70, None).tolist() == [False, False]
+    assert _range_mask(v, None, 2**70).tolist() == [True, True]
