@@ -29,6 +29,7 @@ from pyrle_spark.functions import registry as fn_registry  # noqa: E402
 from pyrle_spark.operators import relational  # noqa: E402
 from pyrle_spark.plans.encode_job import (  # noqa: E402
     EncodeConfig,
+    decode_table,
     encode_parquet_dir,
     verify_checksums,
 )
@@ -220,6 +221,18 @@ def main() -> None:
                 queries.get("q_verify_decode", dt), dt
             )
             assert res["bad"] == 0, res
+
+            # selective single-column decode: the columnar claim is that
+            # projecting one column reads ONE column's blocks (the scan
+            # filters `column = 'lang'` down to parquet), not the table.
+            # Timed against the full decode the checksum pass just paid.
+            t0 = time.time()
+            n_dec = decode_table(spark, out_dir, columns=["lang"]).count()
+            dt = round(time.time() - t0, 3)
+            assert n_dec == n_rows, (n_dec, n_rows)
+            queries["q_decode_one_col"] = min(
+                queries.get("q_decode_one_col", dt), dt
+            )
         spark.stop()
         spark = None
 
@@ -250,6 +263,16 @@ def main() -> None:
     ]
     extras["compression_ratio"] = round(
         summary["bytes_in"] / max(summary["bytes_out"], 1), 3
+    )
+    # decode side of the headline: full decode+crc throughput over the
+    # RAW (reconstructed) bytes, and the selective-projection factor —
+    # one column out of five should cost a small fraction of the full
+    # decode, or the "columnar" in columnar_encode is marketing
+    extras["decode_gb_per_s"] = round(
+        summary["bytes_in"] / 1e9 / queries["q_verify_decode"], 4
+    )
+    extras["selective_decode_speedup"] = round(
+        queries["q_verify_decode"] / max(queries["q_decode_one_col"], 1e-9), 2
     )
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(src_dir, ignore_errors=True)

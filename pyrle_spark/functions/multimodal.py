@@ -266,14 +266,92 @@ FROM per_val GROUP BY doc_id, block_idx
 """
 
 
+def payload_run_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third independent certification of the binary-payload path, this
+    time through the engine's own core primitive: an exact RUN-LENGTH
+    profile of each payload's codepoint stream (``exact_find_runs``, the
+    same kernel the RLE codec uses), aggregated per language — documents
+    profiled, total codepoints, total runs, and the longest single run.
+    The duckdb twin derives runs relationally via gaps-and-islands
+    (position − row_number per (doc, value)), so the vectorized numpy
+    kernel and the SQL algebra must agree run-for-run.  All outputs are
+    integers: the value hash is exact by construction."""
+    from pyrle_spark.codecs.rle_codec import exact_find_runs
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.length("text") > 0)
+        .select("lang", F.encode("text", "utf-8").alias("payload"))
+    )
+
+    def profile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            langs, chars, runs_n, run_max = [], [], [], []
+            for lang, payload in zip(pdf["lang"], pdf["payload"]):
+                cps = np.frombuffer(
+                    bytes(payload).decode("utf-8").encode("utf-32-le"),
+                    dtype=np.uint32,
+                ).astype(np.int64)
+                runs, _ = exact_find_runs(cps)
+                langs.append(lang)
+                chars.append(len(cps))
+                runs_n.append(int(len(runs)))
+                run_max.append(int(runs.max()) if len(runs) else 0)
+            yield pd.DataFrame(
+                {
+                    "lang": langs,
+                    "n_chars": chars,
+                    "n_runs": runs_n,
+                    "max_run": run_max,
+                }
+            )
+
+    per_doc = docs.mapInPandas(
+        profile, "lang string, n_chars long, n_runs long, max_run long"
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("n_runs").alias("sum_runs"),
+        F.max("max_run").alias("max_run"),
+    )
+
+
+_PAYLOAD_RUN_PROFILE_SQL = """
+WITH pos AS (
+  SELECT doc_id, lang, unnest(generate_series(1, length(text))) AS i, text
+  FROM documents WHERE length(text) > 0
+), ch AS (
+  SELECT doc_id, lang, i, ascii(substr(text, i, 1)) AS v FROM pos
+), isl AS (
+  SELECT doc_id, lang,
+         i - row_number() OVER (PARTITION BY doc_id, v ORDER BY i) AS grp, v
+  FROM ch
+), runs AS (
+  SELECT doc_id, lang, count(*) AS run_len
+  FROM isl GROUP BY doc_id, lang, grp, v
+), per_doc AS (
+  SELECT doc_id, lang, sum(run_len) AS n_chars, count(*) AS n_runs,
+         max(run_len) AS max_run
+  FROM runs GROUP BY doc_id, lang
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(n_runs) AS BIGINT) AS sum_runs,
+       CAST(max(max_run) AS BIGINT) AS max_run
+FROM per_doc GROUP BY lang
+"""
+
+
 QUERIES = {
     "byte_histogram": byte_histogram,
     "multimodal_meta": multimodal_meta,
     "payload_block_stats": payload_block_stats,
+    "payload_run_profile": payload_run_profile,
 }
 
 ORACLE_SQL = {
     "byte_histogram": _BYTE_HISTOGRAM_SQL,
     "multimodal_meta": _MULTIMODAL_META_SQL,
     "payload_block_stats": _PAYLOAD_BLOCK_STATS_SQL,
+    "payload_run_profile": _PAYLOAD_RUN_PROFILE_SQL,
 }

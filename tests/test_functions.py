@@ -43,6 +43,36 @@ def test_fake_features_deterministic():
     assert len(a) == multimodal.N_BINS
 
 
+def test_run_profile_kernel_matches_naive():
+    """payload_run_profile's vectorized codepoint-run kernel
+    (utf-32 reinterpret → exact_find_runs) vs a character-loop oracle,
+    over adversarial unicode: multibyte chars, repeats, singletons."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyrle_spark.codecs.rle_codec import exact_find_runs
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet="aé𝄞zÿ\n ", min_size=1, max_size=64))
+    def check(s):
+        cps = np.frombuffer(
+            s.encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        runs, vals = exact_find_runs(cps)
+        naive = []
+        for ch in s:
+            if naive and naive[-1][0] == ch:
+                naive[-1][1] += 1
+            else:
+                naive.append([ch, 1])
+        assert len(runs) == len(naive)
+        assert [int(r) for r in runs] == [n for _, n in naive]
+        assert [chr(v) for v in vals] == [c for c, _ in naive]
+        assert int(runs.max()) == max(n for _, n in naive)
+
+    check()
+
+
 def test_resize_images_plumbing(spark):
     """Resize plumbing: schema, determinism, payload is a pure function
     of (bytes, h, w), independent of partitioning."""
