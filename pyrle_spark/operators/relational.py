@@ -1541,6 +1541,47 @@ SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang
 """
 
 
+def recompress_column_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER COLUMN ... SET CODEC, certified through the whole chain:
+    encode documents.lang (the auto-selector picks dict), rewrite the
+    column to ``fsst+zstd`` IN PLACE via
+    :func:`~pyrle_spark.plans.encode_job.rewrite_column_codec` (one
+    column re-encoded, nothing else touched, per-cell crc re-asserted),
+    then answer the GROUP-BY count in the compressed domain ON THE
+    REWRITTEN SNAPSHOT.  Equality with the row-level oracle proves the
+    codec swap kept every value AND the compressed-domain operators work
+    against the new representation.  The reference hard-codes one
+    representation (rle.py:146-147); here it is a per-column, per-
+    snapshot property."""
+    import tempfile
+
+    from pyrle_spark.plans.compressed import count_by_value
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        encode_table,
+        rewrite_column_codec,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    ordered = _fixture_ordered(docs, ["lang"])
+    out_dir = tempfile.mkdtemp(prefix="recompress_count_")
+    encode_table(
+        spark,
+        ordered,
+        out_dir,
+        EncodeConfig(columns=["lang"], order_col="_seq", block_rows=64),
+    )
+    rewrite_column_codec(spark, out_dir, "lang", "fsst+zstd")
+    return count_by_value(spark, out_dir, "lang").select(
+        F.col("value").alias("lang"), "n_rows"
+    )
+
+
+_RECOMPRESS_COUNT_SQL = """
+SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang
+"""
+
+
 def compressed_stats_n_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count/sum/min/max of documents.n_chars computed from the encoded
     blocks (``plans.compressed.numeric_stats``): rle blocks fold
@@ -5112,6 +5153,7 @@ QUERIES = {
     "dsv2_pushdown_agg": dsv2_pushdown_agg,
     "dsv2_roundtrip_count": dsv2_roundtrip_count,
     "compressed_count_by_lang": compressed_count_by_lang,
+    "recompress_column_count": recompress_column_count,
     "compressed_stats_n_chars": compressed_stats_n_chars,
     "compressed_sum_by_lang": compressed_sum_by_lang,
     "compressed_join_dim": compressed_join_dim,
@@ -5170,6 +5212,7 @@ ORACLE_SQL = {
     "dsv2_pushdown_agg": _DSV2_PUSHDOWN_AGG_SQL,
     "dsv2_roundtrip_count": _DSV2_ROUNDTRIP_COUNT_SQL,
     "compressed_count_by_lang": _COMPRESSED_COUNT_SQL,
+    "recompress_column_count": _RECOMPRESS_COUNT_SQL,
     "compressed_stats_n_chars": _COMPRESSED_STATS_SQL,
     "compressed_sum_by_lang": _COMPRESSED_SUM_SQL,
     "compressed_join_dim": _COMPRESSED_JOIN_DIM_SQL,

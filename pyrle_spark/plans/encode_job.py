@@ -64,6 +64,7 @@ __all__ = [
     "physical_column",
     "point_lookup",
     "rename_column",
+    "rewrite_column_codec",
     "rewrite_sorted",
     "scan_incremental",
     "update_where",
@@ -2030,6 +2031,138 @@ def rewrite_sorted(
         "n_runs_after": int(after["r"]),
         "snapshot_id": summary["snapshot_id"],
     }
+
+
+def rewrite_column_codec(
+    spark: SparkSession,
+    table_dir: str,
+    column: str,
+    codec: str,
+) -> dict:
+    """ALTER COLUMN ... SET CODEC: re-encode ONE column's cells with a
+    pinned codec and commit the result as a fresh overwrite snapshot in
+    place.  Every OTHER column's cells move verbatim — compressed
+    buffers are copied, never decoded — so the rewrite's codec work is
+    O(one column), not O(table).  Time travel to the parent snapshot
+    still reads the old codec (the old files stay live for history).
+
+    Per-cell safety: the decoded payload's crc32 is recomputed after the
+    round-trip through the new codec and asserted equal to the cell's
+    recorded checksum, so a lossy codec/column mismatch fails the job
+    loudly instead of committing corrupt blocks.  Value-domain metadata
+    (zone bounds, bloom digest, bytes_in) is codec-independent and is
+    carried over unchanged.
+
+    This is the operational path a compression engine needs when a
+    better codec ships (the reference hard-codes one representation,
+    /root/reference/pyrle/rle.py:146-147; here representation is a
+    per-column, per-snapshot property).
+
+    Returns ``{"column", "codec", "blocks", "bytes_out_before",
+    "bytes_out_after", "snapshot_id"}``.
+    """
+    from pyrle_spark.codecs import encode_with
+    from pyrle_spark.codecs.selector import column_stats
+
+    table = IceTable(table_dir)
+    props = table.properties()
+    if column not in props["columns"]:
+        raise KeyError(f"unknown column {column!r} (have {props['columns']})")
+    if codec not in _VALID_REWRITE_CODECS:
+        raise ValueError(
+            f"unknown codec {codec!r}; valid: {sorted(_VALID_REWRITE_CODECS)}"
+        )
+    live = dedup_blocks(table.read_table(spark))
+    target = live.filter(F.col("column") == column)
+    rest = live.filter(F.col("column") != column)
+    before = target.agg(
+        F.sum("bytes_out").alias("b"), F.count(F.lit(1)).alias("n")
+    ).first()
+    base, zstd = (codec[: -len("+zstd")], True) if codec.endswith("+zstd") else (codec, False)
+
+    def _recode(batches):
+        for batch in batches:
+            out = {k: [] for k in _ENCODED_PA_SCHEMA.names}
+            for row in batch.to_pylist():
+                t0 = time.perf_counter_ns()
+                arr = decode_array(Encoded.from_row(row))
+                kind, payload, validity = arrow_to_payload(arr)
+                crc = _payload_checksum(kind, payload, validity)
+                if crc != row["crc32"]:
+                    raise AssertionError(
+                        f"block {row['block_id']} column {row['column']}: "
+                        f"decode crc {crc} != recorded {row['crc32']}"
+                    )
+                stats = column_stats(kind, payload)
+                stats["selected_by"] = "rewrite"
+                enc = encode_with(
+                    base,
+                    arr,
+                    zstd=zstd,
+                    stats=stats,
+                )
+                dt = time.perf_counter_ns() - t0
+                cell = enc.to_row()
+                out["block_id"].append(row["block_id"])
+                out["column"].append(row["column"])
+                out["codec"].append(cell["codec"])
+                out["arrow_type"].append(cell["arrow_type"])
+                out["n_rows"].append(cell["n_rows"])
+                out["meta"].append(cell["meta"])
+                out["buffers"].append(list(cell["buffers"].items()))
+                out["bytes_in"].append(row["bytes_in"])
+                out["bytes_out"].append(enc.nbytes)
+                out["encode_ns"].append(dt)
+                out["crc32"].append(row["crc32"])
+                out["n_runs"].append(stats.get("n_runs"))
+                out["part_id"].append(row["part_id"])
+                out["zmin"].append(row["zmin"])
+                out["zmax"].append(row["zmax"])
+                out["bloom"].append(row["bloom"])
+            yield pa.RecordBatch.from_pydict(out, schema=_ENCODED_PA_SCHEMA)
+
+    recoded = target.mapInArrow(_recode, ENCODED_SPARK_SCHEMA)
+    pins = dict(props.get("column_codecs", {}))
+    pins[column] = codec
+    snap_id = table.write_snapshot(
+        rest.unionByName(recoded),
+        mode="overwrite",
+        write_options={
+            "compression": "none",
+            "parquet.block.size": str(16 * 1024 * 1024),
+        },
+        properties={
+            **props,
+            "column_codecs": pins,
+            "recoded_from": table.current_snapshot_id(),
+        },
+    )
+    after = (
+        dedup_blocks(table.read_table(spark, snap_id))
+        .filter(F.col("column") == column)
+        .agg(F.sum("bytes_out").alias("b"), F.count(F.lit(1)).alias("n"))
+        .first()
+    )
+    if int(after["n"]) != int(before["n"]):
+        raise AssertionError(
+            f"rewrite changed the {column} cell count: "
+            f"{before['n']} -> {after['n']}"
+        )
+    return {
+        "column": column,
+        "codec": codec,
+        "blocks": int(after["n"]),
+        "bytes_out_before": int(before["b"]),
+        "bytes_out_after": int(after["b"]),
+        "snapshot_id": snap_id,
+    }
+
+
+_VALID_REWRITE_CODECS = frozenset(
+    c + s
+    for c in ("rle", "dict", "for", "delta", "bitpack", "bss", "alp", "fsst", "raw")
+    for s in ("", "+zstd")
+)
 
 
 # ----------------------------------------------------------------- zone maps
