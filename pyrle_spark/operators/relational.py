@@ -1582,6 +1582,60 @@ SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang
 """
 
 
+def optimize_codec_action(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPTIMIZE advisor's codec tier, certified end to end: encode a
+    size-bucket column (``n_chars // 100``) CLUSTERED by itself but
+    pinned to ``raw`` (the legacy-table case — the layout is already
+    right, the representation is not), let
+    :func:`~pyrle_spark.plans.optimize.optimize_table` read the manifest
+    stats, pick ``rewrite_column_codec`` (the layout tier must NOT fire:
+    runs ≈ NDV), and apply it in place; then answer the GROUP-BY count
+    in the compressed domain on the advisor-rewritten snapshot.  The
+    query raises loudly if the advisor picks any other action, so a
+    regression in the decision logic fails the gate rather than passing
+    vacuously."""
+    import tempfile
+
+    from pyrle_spark.plans.compressed import count_by_value
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+    from pyrle_spark.plans.optimize import optimize_table
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "sz", (F.col("n_chars") / F.lit(10)).cast("long")
+    )
+    # CLUSTERED by sz (key_cols): runs ≈ NDV (+ one split per block
+    # boundary), so the layout tier sees ratio ≈ 1 at every sf and the
+    # codec tier is what must fire
+    ordered = _fixture_ordered(docs, ["sz"], key_cols=("sz",))
+    out_dir = tempfile.mkdtemp(prefix="optimize_codec_")
+    encode_table(
+        spark,
+        ordered,
+        out_dir,
+        EncodeConfig(
+            columns=["sz"],
+            order_col="_seq",
+            block_rows=512,
+            codec_overrides={"sz": "raw"},
+        ),
+    )
+    res = optimize_table(spark, out_dir, apply=True)
+    if res["action"] != "rewrite_column_codec":
+        raise AssertionError(
+            f"advisor picked {res['action']!r}, expected rewrite_column_codec "
+            f"(report: {res['columns']})"
+        )
+    return count_by_value(spark, out_dir, "sz").select(
+        F.col("value").cast("long").alias("sz"), "n_rows"
+    )
+
+
+_OPTIMIZE_CODEC_SQL = """
+SELECT CAST(n_chars // 10 AS BIGINT) AS sz, count(*) AS n_rows
+FROM documents GROUP BY 1
+"""
+
+
 def compressed_stats_n_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count/sum/min/max of documents.n_chars computed from the encoded
     blocks (``plans.compressed.numeric_stats``): rle blocks fold
@@ -5154,6 +5208,7 @@ QUERIES = {
     "dsv2_roundtrip_count": dsv2_roundtrip_count,
     "compressed_count_by_lang": compressed_count_by_lang,
     "recompress_column_count": recompress_column_count,
+    "optimize_codec_action": optimize_codec_action,
     "compressed_stats_n_chars": compressed_stats_n_chars,
     "compressed_sum_by_lang": compressed_sum_by_lang,
     "compressed_join_dim": compressed_join_dim,
@@ -5213,6 +5268,7 @@ ORACLE_SQL = {
     "dsv2_roundtrip_count": _DSV2_ROUNDTRIP_COUNT_SQL,
     "compressed_count_by_lang": _COMPRESSED_COUNT_SQL,
     "recompress_column_count": _RECOMPRESS_COUNT_SQL,
+    "optimize_codec_action": _OPTIMIZE_CODEC_SQL,
     "compressed_stats_n_chars": _COMPRESSED_STATS_SQL,
     "compressed_sum_by_lang": _COMPRESSED_SUM_SQL,
     "compressed_join_dim": _COMPRESSED_JOIN_DIM_SQL,

@@ -40,6 +40,7 @@ from pyspark.sql import SparkSession
 from pyrle_spark.plans.encode_job import (
     _delete_positions,
     compact_table,
+    rewrite_column_codec,
     rewrite_sorted,
 )
 from pyrle_spark.plans.stats import analyze_table
@@ -47,6 +48,22 @@ from pyrle_spark.plans.zorder import rewrite_zorder
 from pyrle_spark.sources.icetable import IceTable
 
 __all__ = ["optimize_table"]
+
+# fixed-width value byte widths the codec tier can bound RLE size for
+_FIXED_WIDTH = {
+    "bool": 1,
+    "int8": 1,
+    "uint8": 1,
+    "int16": 2,
+    "uint16": 2,
+    "int32": 4,
+    "uint32": 4,
+    "float": 4,
+    "date32[day]": 4,
+    "int64": 8,
+    "uint64": 8,
+    "double": 8,
+}
 
 
 def optimize_table(
@@ -58,6 +75,7 @@ def optimize_table(
     delete_ratio_threshold: float = 0.1,
     ndv_cap_ratio: float = 0.1,
     zorder_weight_ratio: float = 4.0,
+    codec_gain_threshold: float = 1.5,
 ) -> dict:
     """Recommend (and optionally apply) the highest-value maintenance
     action for an encoded table.
@@ -72,10 +90,18 @@ def optimize_table(
        clears the ratio threshold and its encoded-byte weight is within
        ``zorder_weight_ratio``× of the best — neither column dominates,
        so interleaving beats a single-column sort.
-    3. ``compact_table`` when no layout win exists but the deleted-row
-       fraction ≥ ``delete_ratio_threshold`` (rewrites also compact
-       deletes, so this only fires when sorting isn't worth it).
-    4. ``none`` otherwise.
+    3. ``rewrite_column_codec`` when no layout win exists but a
+       column's stored bytes exceed the manifest-estimated RLE size
+       (``n_runs × (8 + value width)``) by ``codec_gain_threshold`` and
+       the column isn't already run-length coded — the legacy-pin case:
+       the per-block selector chooses well at encode time, but a table
+       encoded under an old pin (or whose distribution changed through
+       appends) keeps paying for it until a maintenance pass re-decides.
+       Applied IN PLACE (no ``out_dir``): only that column re-encodes.
+    4. ``compact_table`` when no layout or codec win exists but the
+       deleted-row fraction ≥ ``delete_ratio_threshold`` (rewrites also
+       compact deletes, so this only fires when sorting isn't worth it).
+    5. ``none`` otherwise.
 
     ``apply=True`` executes the recommendation (``out_dir`` required for
     the rewrite actions — they produce a new table directory, like
@@ -135,6 +161,29 @@ def optimize_table(
     # rank by achievable saved runs weighted by the column's byte share:
     # a huge ratio on a tiny column moves less than a 3x on the big one
     candidates.sort(key=lambda t: (t[1] - 1.0) * max(t[2], 1), reverse=True)
+
+    # codec tier: a fixed-width column stored ABOVE its manifest-derived
+    # RLE size bound (n_runs × (run int64 + value width)) by the gain
+    # threshold, and not already run-length coded — the per-snapshot
+    # stats re-decide what the per-block encode-time sample could not
+    codec_pick = None  # (column, est_gain, est_saved_bytes)
+    for c, s in stats.items():
+        n_runs = s.get("n_runs")
+        width = _FIXED_WIDTH.get(s["arrow_type"]) or (
+            8 if s["arrow_type"].startswith("timestamp") else None
+        )
+        if not n_runs or width is None or not s["bytes_out"]:
+            continue
+        if any(k.split("+")[0] == "rle" for k in s["codecs"]):
+            continue
+        rle_est = n_runs * (8 + width)
+        gain = s["bytes_out"] / rle_est
+        report.setdefault(c, {})["codec_gain"] = round(gain, 2)
+        if gain >= codec_gain_threshold and (
+            codec_pick is None or gain > codec_pick[1]
+        ):
+            codec_pick = (c, gain, s["bytes_out"] - rle_est)
+
     action, order_by = "none", []
     if candidates:
         best = candidates[0]
@@ -145,8 +194,22 @@ def optimize_table(
             action, order_by = "rewrite_zorder", [best[0], candidates[1][0]]
         else:
             action, order_by = "rewrite_sorted", [best[0]]
-    elif delete_ratio >= delete_ratio_threshold:
-        action = "compact_table"
+    else:
+        # codec vs compaction: both below the layout tier (a layout
+        # rewrite re-selects codecs AND compacts deletes, so it is
+        # strictly more powerful); between these two, estimated byte
+        # savings decide — a rewrite that reclaims more wins
+        total_bytes = sum(s["bytes_out"] for s in stats.values())
+        codec_saved = codec_pick[2] if codec_pick is not None else 0
+        delete_saved = (
+            delete_ratio * total_bytes
+            if delete_ratio >= delete_ratio_threshold
+            else 0
+        )
+        if codec_pick is not None and codec_saved >= delete_saved:
+            action, order_by = "rewrite_column_codec", [codec_pick[0]]
+        elif delete_saved:
+            action = "compact_table"
 
     out = {
         "action": action,
@@ -159,6 +222,10 @@ def optimize_table(
         return out
     if action == "compact_table":
         out["applied"] = compact_table(spark, table_dir)
+    elif action == "rewrite_column_codec":
+        out["applied"] = rewrite_column_codec(
+            spark, table_dir, codec_pick[0], "rle+zstd"
+        )
     else:
         if out_dir is None:
             raise ValueError(f"{action} requires out_dir for the rewrite")

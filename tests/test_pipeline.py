@@ -1727,7 +1727,10 @@ def test_optimize_table_advisor(spark, tmp_path):
     assert rec2["action"] == "rewrite_zorder"
     assert set(rec2["order_by"]) == {"a", "b"}
 
-    # already-clustered column, heavy deletes → compact
+    # already-clustered column, heavy deletes: no layout win; the
+    # constant-per-block column's delta cells sit above the manifest RLE
+    # bound, and that codec saving outweighs the delete reclaim — codec
+    # rewrite first, THEN the next advisory pass compacts the deletes
     t3 = str(tmp_path / "opt3")
     df3 = spark.range(0, 4096, 1, 4).select(
         F.col("id").alias("doc_seq"), (F.col("id") / 512).cast("long").alias("bucket")
@@ -1737,10 +1740,50 @@ def test_optimize_table_advisor(spark, tmp_path):
 
     delete_rows(spark, t3, range(0, 1024))
     rec3 = optimize_table(spark, t3, apply=True)
-    assert rec3["action"] == "compact_table"
-    assert rec3["delete_ratio"] >= 0.2
-    assert rec3["applied"]["snapshot_id"]
+    assert rec3["action"] == "rewrite_column_codec"
+    assert rec3["applied"]["codec"] == "rle+zstd"
+    rec3b = optimize_table(spark, t3, apply=True)
+    assert rec3b["action"] == "compact_table"
+    assert rec3b["delete_ratio"] >= 0.2
+    assert rec3b["applied"]["snapshot_id"]
     assert decode_table(spark, t3).count() == 3072
+
+
+def test_optimize_codec_tier(spark, tmp_path):
+    """The advisor's codec tier: a clustered column pinned to raw (the
+    legacy-table case) has no layout win (runs ≈ NDV) but a large
+    manifest-derived RLE gain — optimize_table picks
+    rewrite_column_codec, applies it IN PLACE, and decode is unchanged."""
+    from pyrle_spark.plans.optimize import optimize_table
+
+    t = str(tmp_path / "optc")
+    df = spark.range(0, 4096, 1, 4).select(
+        F.col("id").alias("doc_seq"),
+        (F.col("id") / 512).cast("long").alias("bucket"),
+    )
+    encode_table(
+        spark,
+        df,
+        t,
+        EncodeConfig(
+            columns=["bucket"],
+            block_rows=512,
+            codec_overrides={"bucket": "raw"},
+        ),
+    )
+    before = decode_table(spark, t).orderBy("_order").toPandas()
+    rec = optimize_table(spark, t)
+    assert rec["action"] == "rewrite_column_codec"
+    assert rec["order_by"] == ["bucket"]
+    assert rec["columns"]["bucket"]["codec_gain"] > 10
+    applied = optimize_table(spark, t, apply=True)["applied"]
+    assert applied["codec"] == "rle+zstd"
+    assert applied["bytes_out_after"] < applied["bytes_out_before"]
+    after = decode_table(spark, t).orderBy("_order").toPandas()
+    assert before.equals(after)
+    # a second advisory run sees the column already rle → no re-fire
+    rec2 = optimize_table(spark, t)
+    assert rec2["action"] != "rewrite_column_codec"
 
 
 def test_rename_alias_reaches_block_level_apis(spark, tmp_path):
