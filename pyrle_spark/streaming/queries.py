@@ -30,7 +30,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["stream_windowed_counts", "stream_mirror_roundtrip", "QUERIES", "ORACLE_SQL"]
+__all__ = [
+    "stream_windowed_counts",
+    "stream_mirror_roundtrip",
+    "stream_exact_dedup",
+    "QUERIES",
+    "ORACLE_SQL",
+]
 
 
 def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,6 +133,36 @@ SELECT doc_id, lang, source, text FROM documents
 """
 
 
+def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup, driver-certified: replay documents through
+    a 4-file parquet stream (``maxFilesPerTrigger=1`` → four triggers,
+    cross-batch state), drop every re-crawl via the O(1)-per-hash
+    ``applyInPandasWithState`` deduper, and return the kept
+    ``(text_hash, n_chars)`` set — which must equal the batch DISTINCT
+    the oracle computes with its own md5.  The keeper's ``doc_id`` is
+    arrival-order dependent and is deliberately NOT in the certified
+    projection; the hash set and each hash's length are order-free."""
+    from pyrle_spark.streaming.dedup_stream import dedup_docs_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = tempfile.mkdtemp(prefix="dedup_src_")
+    ckpt = tempfile.mkdtemp(prefix="dedup_ckpt_")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = dedup_docs_stream(spark, src, os.path.join(ckpt, "cp"), query_name=name)
+    q.awaitTermination()
+    return spark.table(name).select("text_hash", "n_chars")
+
+
+_STREAM_EXACT_DEDUP_SQL = """
+SELECT md5(coalesce(text, '')) AS text_hash,
+       CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
 from pyrle_spark.streaming.interval_join import (  # noqa: E402
     _STREAM_INTERVAL_JOIN_SQL,
     stream_interval_join,
@@ -142,10 +178,12 @@ QUERIES = {
     "stream_mirror_roundtrip": stream_mirror_roundtrip,
     "stream_interval_join": stream_interval_join,
     "stream_sessionize": stream_sessionize,
+    "stream_exact_dedup": stream_exact_dedup,
 }
 ORACLE_SQL = {
     "stream_windowed_counts": _STREAM_WINDOWED_SQL,
     "stream_mirror_roundtrip": _STREAM_MIRROR_SQL,
     "stream_interval_join": _STREAM_INTERVAL_JOIN_SQL,
     "stream_sessionize": _STREAM_SESSIONIZE_SQL,
+    "stream_exact_dedup": _STREAM_EXACT_DEDUP_SQL,
 }
