@@ -91,6 +91,50 @@ def test_unknown_codec_and_column_rejected(spark, enc_table):
         rewrite_column_codec(spark, enc_table, "nope", "dict")
 
 
+@pytest.mark.parametrize(
+    "colname,codec",
+    [
+        # fixed-width int column through every applicable codec
+        ("n_chars", "rle"),
+        ("n_chars", "rle+zstd"),
+        ("n_chars", "dict"),
+        ("n_chars", "for"),
+        ("n_chars", "delta"),
+        ("n_chars", "bitpack"),
+        ("n_chars", "raw"),
+        ("n_chars", "raw+zstd"),
+        # var-width string column through every applicable codec
+        ("lang", "dict"),
+        ("lang", "dict+zstd"),
+        ("lang", "fsst"),
+        ("lang", "raw"),
+        ("lang", "raw+zstd"),
+    ],
+)
+def test_swap_matrix_roundtrips(spark, tmp_path, colname, codec):
+    """Every (column kind, codec) pair a rewrite can pin must decode
+    bit-identically after the swap — the per-cell crc assertion inside
+    rewrite_column_codec does the proving; this drives it through the
+    whole matrix."""
+    from pyrle_spark.operators.relational import _fixture_ordered
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(256)
+    ordered = _fixture_ordered(docs, [colname])
+    t = str(tmp_path / f"m_{colname}_{codec.replace('+', '_')}")
+    encode_table(
+        spark,
+        ordered,
+        t,
+        EncodeConfig(columns=[colname], order_col="_seq", block_rows=64),
+    )
+    before = decode_table(spark, t).orderBy("_order").toPandas()
+    s = rewrite_column_codec(spark, t, colname, codec)
+    assert s["blocks"] > 0
+    after = decode_table(spark, t).orderBy("_order").toPandas()
+    assert before.equals(after)
+    assert verify_checksums(spark, t)["bad"] == 0
+
+
 def test_compressed_ops_work_after_swap(spark, enc_table):
     from pyrle_spark.plans.compressed import count_by_value
 
