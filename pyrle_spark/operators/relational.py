@@ -4411,6 +4411,49 @@ def point_lookup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def limit_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT-k pushdown through the encoded table: after deleting the
+    first 100 positions, fetch the first 500 LIVE rows — the reader
+    (``plans.encode_job.limit_scan``) solves the delete-shifted cutoff
+    on the driver-resident position set and decodes ONLY the leading
+    block prefix, O(k / block_rows) blocks whatever the table size.
+    The oracle is the naive ORDER BY ... OFFSET/LIMIT over the raw rows,
+    so equality proves both the cutoff fixed-point and the prefix decode
+    are exact.  The fixture order column comes from ``_fixture_ordered``
+    (bounded rank, no global window on the Spark side)."""
+    import tempfile
+
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        delete_rows,
+        encode_table,
+        limit_scan,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    ordered = _fixture_ordered(docs, ["lang", "n_chars"])
+    out_dir = tempfile.mkdtemp(prefix="limit_scan_")
+    encode_table(
+        spark,
+        ordered,
+        out_dir,
+        EncodeConfig(columns=["lang", "n_chars"], order_col="_seq", block_rows=50),
+    )
+    delete_rows(spark, out_dir, range(0, 100))
+    got = limit_scan(spark, out_dir, 500)
+    return got.select(F.col("_order").alias("pos"), "lang", "n_chars")
+
+
+_LIMIT_PUSHDOWN_SQL = """
+WITH ordered AS (
+  SELECT lang, n_chars, row_number() OVER (ORDER BY doc_id) - 1 AS rk
+  FROM documents
+)
+SELECT rk AS pos, lang, n_chars
+FROM ordered WHERE rk >= 100 ORDER BY rk LIMIT 500
+"""
+
+
 _POINT_LOOKUP_ROWS_SQL = """
 WITH ordered AS (
   SELECT lang, n_chars, row_number() OVER (ORDER BY doc_id) - 1 AS rk
@@ -5188,6 +5231,7 @@ QUERIES = {
     "tpch_q20_excess_shippers": tpch_q20_excess_shippers,
     "tpch_q21_waiting_suppliers": tpch_q21_waiting_suppliers,
     "point_lookup_rows": point_lookup_rows,
+    "limit_pushdown_scan": limit_pushdown_scan,
     "compressed_topk_zonemap": compressed_topk_zonemap,
     "compressed_quantile_hist": compressed_quantile_hist,
     "compressed_eq_probe": compressed_eq_probe,
@@ -5322,6 +5366,7 @@ ORACLE_SQL = {
     "compressed_groupby_minmax": _COMPRESSED_GROUPBY_MINMAX_SQL,
     "compressed_group_where": _COMPRESSED_GROUP_WHERE_SQL,
     "point_lookup_rows": _POINT_LOOKUP_ROWS_SQL,
+    "limit_pushdown_scan": _LIMIT_PUSHDOWN_SQL,
     "compressed_distinct_source": _COMPRESSED_DISTINCT_SQL,
     "layout_prune_synergy": _LAYOUT_PRUNE_SYNERGY_SQL,
     "update_where_agg": _UPDATE_WHERE_AGG_SQL,

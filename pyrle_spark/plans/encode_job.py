@@ -61,6 +61,7 @@ __all__ = [
     "delete_where",
     "drop_column",
     "incremental_deletes",
+    "limit_scan",
     "physical_column",
     "point_lookup",
     "rename_column",
@@ -1834,6 +1835,51 @@ def point_lookup(
         blocks=blocks_df,
     )
     return dec.filter(F.col("_order").isin(pos))
+
+
+def limit_scan(
+    spark: SparkSession,
+    table_dir: str,
+    k: int,
+    columns: list | None = None,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """LIMIT-k pushdown: decode only the leading block prefix that can
+    contain the first ``k`` live rows — O(k / block_rows) blocks read
+    regardless of table size, never a full scan that a later ``.limit``
+    throws away.
+
+    Merge-on-read deletes shift the cutoff: the k-th live row sits at
+    position ``c`` where ``c = k − 1 + |{deleted ≤ c}|`` — solved by a
+    fixed-point walk over the (driver-resident, O(deleted)) position
+    set, so the prefix stays exact without touching the manifest.  Rows
+    come back filtered to ``_order ≤ c``; if the table holds fewer than
+    ``k`` live rows the result is simply everything."""
+    import bisect
+
+    if k <= 0:
+        return decode_table(
+            spark, table_dir, columns=columns, snapshot_id=snapshot_id
+        ).limit(0)
+    table = IceTable(table_dir)
+    block_rows = int(table.properties(snapshot_id)["block_rows"])
+    dels = sorted(_delete_positions(table_dir, snapshot_id))
+    c = k - 1
+    while True:
+        nxt = k - 1 + bisect.bisect_right(dels, c)
+        if nxt == c:
+            break
+        c = nxt
+    bids = list(range(0, c // block_rows + 1))
+    blocks_df = spark.createDataFrame([(b,) for b in bids], "block_id long")
+    dec = decode_table(
+        spark,
+        table_dir,
+        columns=columns,
+        snapshot_id=snapshot_id,
+        blocks=blocks_df,
+    )
+    return dec.filter(F.col("_order") <= c)
 
 
 def incremental_deletes(

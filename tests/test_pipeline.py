@@ -2567,3 +2567,35 @@ def test_count_where_eq_fsst_dict_deletes(spark, tmp_path):
     for col, val in [("s", "w5-5"), ("g", "L1"), ("v", 7), ("r", 3)]:
         got = count_where_eq(spark, out, col, val).collect()[0]["n_match"]
         assert got == naive(col, val, dead), (col, val, got)
+
+
+def test_limit_scan_prefix_blocks_and_deletes(spark, tmp_path):
+    """limit_scan decodes only the leading block prefix, and the
+    delete-shifted cutoff fixed point is exact — including deletes that
+    straddle the k-th row and k beyond the live row count."""
+    from pyrle_spark.plans.encode_job import delete_rows, limit_scan
+    from pyrle_spark.sources.icetable import IceTable as _IT
+
+    t = str(tmp_path / "lim")
+    df = spark.range(0, 1000, 1, 4).select(
+        F.col("id").alias("doc_seq"), (F.col("id") * 3).alias("v")
+    )
+    encode_table(spark, df, t, EncodeConfig(columns=["v"], block_rows=100))
+
+    got = limit_scan(spark, t, 250).orderBy("_order").toPandas()
+    assert list(got["_order"]) == list(range(250))
+    assert list(got["v"]) == [3 * i for i in range(250)]
+
+    # deletes shift the cutoff across a block boundary: kill 0..149,
+    # first 250 live rows are positions 150..399 (blocks 1..3, not 0..2)
+    delete_rows(spark, t, range(0, 150))
+    got = limit_scan(spark, t, 250).orderBy("_order").toPandas()
+    assert list(got["_order"]) == list(range(150, 400))
+
+    # k beyond the live row count returns everything that's left
+    got = limit_scan(spark, t, 10_000).toPandas()
+    assert len(got) == 850
+
+    # k=0 is empty but schema-stable
+    empty = limit_scan(spark, t, 0)
+    assert empty.count() == 0 and "v" in empty.columns
