@@ -385,8 +385,129 @@ FROM scan WHERE trail_median IS NOT NULL
 """
 
 
+GAPFILL_MOD = 101  # deterministic sparse subset: event_id % 101 == 0
+
+
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill: hourly counts of a sparse event subset
+    (``event_id % 101 == 0``), zero-filled over EVERY hour between the
+    subset's first and last event — the time-series densification step
+    every monitoring rollup needs, and the relational face of pyrle's
+    run extension (a missing hour is a zero-run, reference
+    rle.py:961-998 zero-extends the shorter operand the same way).
+
+    Scale shape: the corpus-sized work is one partially-aggregated
+    groupBy; the hour spine is calendar-bounded (range/3600s rows,
+    independent of data volume) and generated with ``sequence`` +
+    ``explode``, then the counts join it BROADCAST — no global window,
+    no driver loop."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000))
+        .cast("long")
+        .alias("hour_id"),
+    ).filter(F.col("event_id") % GAPFILL_MOD == 0)
+    counts = ev.groupBy("hour_id").agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.agg(
+        F.min("hour_id").alias("lo"), F.max("hour_id").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("hour_id")
+    )
+    return (
+        spine.join(F.broadcast(counts), "hour_id", "left")
+        .select("hour_id", F.coalesce("n", F.lit(0)).alias("n_events"))
+    )
+
+
+_GAPFILL_HOURLY_SQL = f"""
+WITH sparse AS (
+  SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_id
+  FROM events WHERE event_id % {GAPFILL_MOD} = 0
+),
+counts AS (SELECT hour_id, count(*) AS n FROM sparse GROUP BY hour_id),
+spine AS (
+  SELECT CAST(unnest(generate_series((SELECT min(hour_id) FROM sparse),
+                                     (SELECT max(hour_id) FROM sparse)))
+              AS BIGINT) AS hour_id
+)
+SELECT s.hour_id, COALESCE(c.n, 0) AS n_events
+FROM spine s LEFT JOIN counts c ON c.hour_id = s.hour_id
+"""
+
+
+def events_ffill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill over the day calendar: the daily mean purchase value
+    of a sparse subset, with empty days carrying the LAST OBSERVED day's
+    mean forward (pyrle semantics exactly — extending a run's value over
+    the gap instead of emitting null).  Days before the first
+    observation stay null-free by starting the spine at the first
+    observed day.
+
+    Determinism across engines: per-row values floor to integer
+    milli-units, the daily mean is the exact rational sum_milli/n
+    evaluated as one BIGINT/BIGINT division in both engines — identical
+    operands, identical double.  The ``last(..., ignorenulls)`` window
+    runs over the day spine only (calendar-bounded rows, ~range/86400 —
+    metadata-sized at any corpus scale, same argument as
+    :func:`events_anomaly_days`)."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000))
+        .cast("long")
+        .alias("day_id"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
+    ).filter(
+        (F.col("event_id") % GAPFILL_MOD == 0)
+        & (F.col("event_type") == "purchase")
+    )
+    daily = ev.groupBy("day_id").agg(
+        F.sum("v_milli").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    bounds = ev.agg(F.min("day_id").alias("lo"), F.max("day_id").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day_id"))
+    joined = spine.join(F.broadcast(daily), "day_id", "left").select(
+        "day_id", (F.col("s") / F.col("c")).alias("day_avg")
+    )
+    w = W.orderBy("day_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return joined.select(
+        "day_id",
+        F.last("day_avg", ignorenulls=True).over(w).alias("filled_avg"),
+        F.col("day_avg").isNull().cast("int").alias("was_gap"),
+    )
+
+
+_FFILL_DAILY_SQL = f"""
+WITH sparse AS (
+  SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day_id,
+         CAST(floor(value * 1000) AS BIGINT) AS v_milli
+  FROM events
+  WHERE event_id % {GAPFILL_MOD} = 0 AND event_type = 'purchase'
+),
+daily AS (SELECT day_id, sum(v_milli) AS s, count(*) AS c
+          FROM sparse GROUP BY day_id),
+spine AS (
+  SELECT CAST(unnest(generate_series((SELECT min(day_id) FROM sparse),
+                                     (SELECT max(day_id) FROM sparse)))
+              AS BIGINT) AS day_id
+),
+joined AS (
+  SELECT sp.day_id, d.s / d.c AS day_avg
+  FROM spine sp LEFT JOIN daily d ON d.day_id = sp.day_id
+)
+SELECT day_id,
+       last_value(day_avg IGNORE NULLS)
+         OVER (ORDER BY day_id ROWS UNBOUNDED PRECEDING) AS filled_avg,
+       CAST(day_avg IS NULL AS INT) AS was_gap
+FROM joined
+"""
+
+
 QUERIES = {
     "events_anomaly_days": events_anomaly_days,
+    "events_gapfill_hourly": events_gapfill_hourly,
+    "events_ffill_daily": events_ffill_daily,
     "sessionize_events": sessionize_events,
     "asof_join_events": asof_join_events,
     "events_daily_rollup": events_daily_rollup,
@@ -397,6 +518,8 @@ QUERIES = {
 
 ORACLE_SQL = {
     "events_anomaly_days": _ANOMALY_SQL,
+    "events_gapfill_hourly": _GAPFILL_HOURLY_SQL,
+    "events_ffill_daily": _FFILL_DAILY_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
     "asof_join_events": _ASOF_SQL,
     "events_daily_rollup": _DAILY_ROLLUP_SQL,

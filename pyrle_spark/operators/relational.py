@@ -1314,6 +1314,61 @@ def bloom_prune_eq_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semijoin_prune_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic semi-join pushdown (Spark's DPP at block level) end-to-end:
+    encode ``documents`` clustered by ``source``, derive the key set AT
+    RUNTIME from a dim subquery (the sources of ``doc_id < 5``), and let
+    :func:`plans.dpp.semi_join_scan` push those keys below decode — zone
+    range ∩ per-block bloom disjunction prune the manifest, only
+    surviving blocks decode, the residual IN re-checks rows.  Oracle =
+    the plain ``IN (subquery)`` scan, so equality proves the pushdown is
+    a true superset filter chosen from the runtime key count.
+
+    Scale shape: the dim probe pulls at most ``max_keys+1`` keys (never
+    an unbounded collect); pruning runs on the O(#blocks) manifest; a
+    dim side above the threshold falls back to decode + ``left_semi``
+    join (asserted equivalent in ``test_pipeline.py``)."""
+    import tempfile
+
+    from pyrle_spark.plans.dpp import semi_join_scan
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+
+    docs = load(spark, sf_dir, "documents")
+    ordered = _fixture_ordered(
+        docs, ["doc_id", "lang", "source", "n_chars"], key_cols=("source",)
+    )
+    out_dir = tempfile.mkdtemp(prefix="semijoin_prune_")
+    encode_table(
+        spark,
+        ordered,
+        out_dir,
+        EncodeConfig(
+            columns=["doc_id", "lang", "source", "n_chars"],
+            order_col="_seq",
+            block_rows=64,
+        ),
+    )
+    dim = docs.filter(F.col("doc_id") < 5).select("source")
+    rows, info = semi_join_scan(
+        spark, out_dir, "source", dim, columns=["source", "n_chars"]
+    )
+    assert info["pushed"], "bounded dim must take the pushdown path"
+    if info["total_blocks"] >= 16:  # enough blocks for skipping to show
+        assert info["kept_blocks"] < info["total_blocks"], "pruning must bite"
+    return rows.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+_SEMIJOIN_PRUNE_AGG_SQL = """
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE source IN (SELECT DISTINCT source FROM documents WHERE doc_id < 5)
+GROUP BY source
+"""
+
+
 _BLOOM_PRUNE_EQ_AGG_SQL = """
 SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents WHERE lang = 'fr' GROUP BY source
@@ -5248,6 +5303,7 @@ QUERIES = {
     "update_where_agg": update_where_agg,
     "zonemap_prune_agg": zonemap_prune_agg,
     "bloom_prune_eq_agg": bloom_prune_eq_agg,
+    "semijoin_prune_agg": semijoin_prune_agg,
     "dsv2_pushdown_agg": dsv2_pushdown_agg,
     "dsv2_roundtrip_count": dsv2_roundtrip_count,
     "compressed_count_by_lang": compressed_count_by_lang,
@@ -5308,6 +5364,7 @@ ORACLE_SQL = {
     "incremental_view_maint": _INCREMENTAL_VIEW_MAINT_SQL,
     "zonemap_prune_agg": _ZONEMAP_PRUNE_AGG_SQL,
     "bloom_prune_eq_agg": _BLOOM_PRUNE_EQ_AGG_SQL,
+    "semijoin_prune_agg": _SEMIJOIN_PRUNE_AGG_SQL,
     "dsv2_pushdown_agg": _DSV2_PUSHDOWN_AGG_SQL,
     "dsv2_roundtrip_count": _DSV2_ROUNDTRIP_COUNT_SQL,
     "compressed_count_by_lang": _COMPRESSED_COUNT_SQL,

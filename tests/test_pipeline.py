@@ -2599,3 +2599,34 @@ def test_limit_scan_prefix_blocks_and_deletes(spark, tmp_path):
     # k=0 is empty but schema-stable
     empty = limit_scan(spark, t, 0)
     assert empty.count() == 0 and "v" in empty.columns
+
+
+def test_semi_join_scan_pushdown_equals_fallback(spark, tmp_path):
+    """Both semi_join_scan strategies — IN-list pushdown below decode and
+    the decode+left_semi fallback — return the same rows; the pushdown
+    path prunes blocks and records honest stats."""
+    from pyrle_spark.plans.dpp import semi_join_scan
+
+    t = str(tmp_path / "dpp")
+    df = spark.range(0, 2000, 1, 4).select(
+        F.col("id").alias("doc_seq"),
+        (F.col("id") % 10).alias("grp"),
+        (F.col("id") * 7).alias("v"),
+    )
+    encode_table(
+        spark, df, t, EncodeConfig(columns=["grp", "v"], block_rows=100)
+    )
+    keys = spark.createDataFrame([(3,), (7,), (3,)], ["grp"])
+
+    pushed, info_p = semi_join_scan(spark, t, "grp", keys, columns=["grp", "v"])
+    assert info_p["pushed"] and info_p["n_keys"] == 2
+    assert 0 < info_p["kept_blocks"] <= info_p["total_blocks"]
+
+    fell, info_f = semi_join_scan(
+        spark, t, "grp", keys, columns=["grp", "v"], max_keys=1
+    )
+    assert not info_f["pushed"]
+
+    a = sorted(map(tuple, pushed.select("grp", "v").collect()))
+    b = sorted(map(tuple, fell.select("grp", "v").collect()))
+    assert a == b and len(a) == 400
