@@ -1361,6 +1361,61 @@ def semijoin_prune_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def binpack_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file binpack compaction end-to-end: encode ``documents``
+    into deliberately tiny files, pack them with
+    :func:`plans.binpack.rewrite_binpack` (Iceberg's rewrite_data_files
+    binpack strategy: only sub-floor files rewrite, block rows move
+    VERBATIM, one overwrite snapshot), then decode the packed table and
+    aggregate.  Oracle = the plain raw scan, so equality proves the
+    pack moved every row and invented none.  File-count reduction and
+    rewrite stats are asserted in-query; delete/time-travel
+    transparency is pinned in ``test_binpack.py``."""
+    import tempfile
+
+    from pyrle_spark.plans.binpack import rewrite_binpack
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        decode_table,
+        encode_table,
+    )
+    from pyrle_spark.sources.icetable import IceTable
+
+    docs = load(spark, sf_dir, "documents")
+    ordered = _fixture_ordered(docs, ["lang", "source", "n_chars"])
+    out_dir = tempfile.mkdtemp(prefix="binpack_")
+    encode_table(
+        spark,
+        ordered,
+        out_dir,
+        EncodeConfig(
+            columns=["lang", "source", "n_chars"],
+            order_col="_seq",
+            block_rows=64,
+        ),
+    )
+    table = IceTable(out_dir)
+    before = len(table._manifest(table.current_snapshot_id())["files"])
+    info = rewrite_binpack(spark, out_dir, target_file_bytes=4 << 20)
+    assert info["snapshot_id"] is not None and info["rewritten_files"] >= 2
+    after = len(table._manifest(table.current_snapshot_id())["files"])
+    assert after < before, "binpack must reduce the file count"
+    return (
+        decode_table(spark, out_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_BINPACK_AGG_SQL = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
 _SEMIJOIN_PRUNE_AGG_SQL = """
 SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
@@ -5304,6 +5359,7 @@ QUERIES = {
     "zonemap_prune_agg": zonemap_prune_agg,
     "bloom_prune_eq_agg": bloom_prune_eq_agg,
     "semijoin_prune_agg": semijoin_prune_agg,
+    "binpack_agg": binpack_agg,
     "dsv2_pushdown_agg": dsv2_pushdown_agg,
     "dsv2_roundtrip_count": dsv2_roundtrip_count,
     "compressed_count_by_lang": compressed_count_by_lang,
@@ -5365,6 +5421,7 @@ ORACLE_SQL = {
     "zonemap_prune_agg": _ZONEMAP_PRUNE_AGG_SQL,
     "bloom_prune_eq_agg": _BLOOM_PRUNE_EQ_AGG_SQL,
     "semijoin_prune_agg": _SEMIJOIN_PRUNE_AGG_SQL,
+    "binpack_agg": _BINPACK_AGG_SQL,
     "dsv2_pushdown_agg": _DSV2_PUSHDOWN_AGG_SQL,
     "dsv2_roundtrip_count": _DSV2_ROUNDTRIP_COUNT_SQL,
     "compressed_count_by_lang": _COMPRESSED_COUNT_SQL,
