@@ -1410,6 +1410,57 @@ def binpack_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def concat_tables_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-decode UNION ALL: two halves of ``documents`` encode into
+    SEPARATE tables, :func:`plans.concat.concat_tables` appends the
+    second to the first by shifting block ids and moving the compressed
+    buffers verbatim (no codec work, no row decode), and the combined
+    decode aggregates.  Oracle = the single-scan union, so equality
+    proves the concat kept every row once with dst strictly before src.
+    Position-gap and delete-carry semantics are pinned in
+    ``test_concat.py``; at 100 TB this is the "merge this month's crawl
+    table into the corpus" primitive at O(src compressed bytes) cost."""
+    import tempfile
+
+    from pyrle_spark.plans.concat import concat_tables
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        decode_table,
+        encode_table,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    cols = ["lang", "source", "n_chars"]
+    dirs = []
+    for lo, hi in ((0, 400), (400, 800)):
+        part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        ordered = _fixture_ordered(part, cols)
+        d = tempfile.mkdtemp(prefix=f"concat_{lo}_")
+        encode_table(
+            spark,
+            ordered,
+            d,
+            EncodeConfig(columns=cols, order_col="_seq", block_rows=64),
+        )
+        dirs.append(d)
+    info = concat_tables(spark, dirs[0], dirs[1])
+    assert info["snapshot_id"] is not None and info["moved_blocks"] > 0
+    return (
+        decode_table(spark, dirs[0])
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_CONCAT_TABLES_AGG_SQL = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE doc_id < 800 GROUP BY lang
+"""
+
+
 _BINPACK_AGG_SQL = """
 SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang
@@ -5360,6 +5411,7 @@ QUERIES = {
     "bloom_prune_eq_agg": bloom_prune_eq_agg,
     "semijoin_prune_agg": semijoin_prune_agg,
     "binpack_agg": binpack_agg,
+    "concat_tables_agg": concat_tables_agg,
     "dsv2_pushdown_agg": dsv2_pushdown_agg,
     "dsv2_roundtrip_count": dsv2_roundtrip_count,
     "compressed_count_by_lang": compressed_count_by_lang,
@@ -5422,6 +5474,7 @@ ORACLE_SQL = {
     "bloom_prune_eq_agg": _BLOOM_PRUNE_EQ_AGG_SQL,
     "semijoin_prune_agg": _SEMIJOIN_PRUNE_AGG_SQL,
     "binpack_agg": _BINPACK_AGG_SQL,
+    "concat_tables_agg": _CONCAT_TABLES_AGG_SQL,
     "dsv2_pushdown_agg": _DSV2_PUSHDOWN_AGG_SQL,
     "dsv2_roundtrip_count": _DSV2_ROUNDTRIP_COUNT_SQL,
     "compressed_count_by_lang": _COMPRESSED_COUNT_SQL,

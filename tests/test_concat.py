@@ -1,0 +1,107 @@
+"""concat_tables: metadata+buffer-copy UNION ALL of two encoded tables."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from pyrle_spark.plans.concat import concat_tables
+from pyrle_spark.plans.encode_job import (
+    EncodeConfig,
+    decode_table,
+    delete_rows,
+    encode_table,
+    point_lookup,
+)
+
+
+def _enc(spark, path, lo, hi, block_rows=100, cols=("g", "v"), mult=3):
+    df = spark.range(lo, hi, 1, 4).select(
+        F.col("id").alias("doc_seq"),
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") * mult).alias("v"),
+    )
+    encode_table(
+        spark, df, path, EncodeConfig(columns=list(cols), block_rows=block_rows)
+    )
+
+
+def test_concat_union_decode(spark, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _enc(spark, a, 0, 1000)
+    _enc(spark, b, 0, 400, mult=11)
+    before_b = decode_table(spark, b).orderBy("_order").toPandas()
+
+    info = concat_tables(spark, a, b)
+    assert info["snapshot_id"] is not None
+    assert info["shift_blocks"] == 10  # 1000 rows / 100-row blocks
+    assert info["moved_blocks"] == 8  # 400 rows x 2 cols / 100
+
+    got = decode_table(spark, a).orderBy("_order").toPandas()
+    assert len(got) == 1400
+    # dst region untouched, src region appended in order with shifted _order
+    assert list(got["v"][:1000]) == [3 * i for i in range(1000)]
+    assert list(got["v"][1000:]) == [11 * i for i in range(400)]
+    assert got["_order"].iloc[1000] == 1000  # full tail block → no gap
+    # src unchanged
+    assert decode_table(spark, b).orderBy("_order").toPandas().equals(before_b)
+
+
+def test_concat_partial_tail_gap_is_consistent(spark, tmp_path):
+    """dst ends in a partial block: src lands on the next block boundary
+    leaving a position gap, and position math (point_lookup) stays
+    exact on both sides of the seam."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _enc(spark, a, 0, 250)  # 2.5 blocks: tail block partial
+    _enc(spark, b, 0, 100, mult=11)
+    info = concat_tables(spark, a, b)
+    assert info["shift_blocks"] == 3
+
+    got = decode_table(spark, a).orderBy("_order").toPandas()
+    assert len(got) == 350
+    # gap: positions 250..299 don't exist; src starts at 300
+    assert list(got["_order"][248:252]) == [248, 249, 300, 301]
+
+    hits = point_lookup(spark, a, [0, 249, 300, 349]).orderBy("_order").toPandas()
+    assert list(hits["v"]) == [0, 3 * 249, 11 * 0, 11 * 49]
+
+
+def test_concat_carries_src_deletes(spark, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _enc(spark, a, 0, 500)
+    _enc(spark, b, 0, 500, mult=11)
+    delete_rows(spark, b, range(0, 100))
+    info = concat_tables(spark, a, b)
+    assert info["carried_deletes"] == 100
+    got = decode_table(spark, a)
+    assert got.count() == 900  # 500 + (500 - 100)
+    # exactly src's first 100 rows are missing
+    vals = sorted(r[0] for r in got.select("_order").collect())
+    assert vals == list(range(0, 500)) + list(range(600, 1000))
+
+
+def test_concat_mismatch_raises(spark, tmp_path):
+    a, b, c = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "c")
+    _enc(spark, a, 0, 200, block_rows=100)
+    _enc(spark, b, 0, 200, block_rows=50)
+    with pytest.raises(ValueError, match="block_rows"):
+        concat_tables(spark, a, b)
+    _enc(spark, c, 0, 200, block_rows=100, cols=("g",))
+    with pytest.raises(ValueError, match="column sets"):
+        concat_tables(spark, a, c)
+
+
+def test_concat_after_rename_reconciles_names(spark, tmp_path):
+    from pyrle_spark.plans.encode_job import rename_column
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _enc(spark, a, 0, 300)
+    _enc(spark, b, 300, 600)
+    # rename on BOTH sides to different logical states would differ the
+    # column sets; rename dst's v -> val and src's v -> val keeps them equal
+    rename_column(spark, a, "v", "val")
+    rename_column(spark, b, "v", "val")
+    info = concat_tables(spark, a, b)
+    assert info["snapshot_id"] is not None
+    got = decode_table(spark, a).orderBy("_order").toPandas()
+    assert list(got["val"]) == [3 * i for i in range(600)]
