@@ -76,6 +76,9 @@ def optimize_table(
     ndv_cap_ratio: float = 0.1,
     zorder_weight_ratio: float = 4.0,
     codec_gain_threshold: float = 1.5,
+    small_file_bytes: int = 8 << 20,
+    small_file_count_threshold: int = 8,
+    binpack_target_bytes: int = 128 << 20,
 ) -> dict:
     """Recommend (and optionally apply) the highest-value maintenance
     action for an encoded table.
@@ -101,7 +104,12 @@ def optimize_table(
     4. ``compact_table`` when no layout or codec win exists but the
        deleted-row fraction ≥ ``delete_ratio_threshold`` (rewrites also
        compact deletes, so this only fires when sorting isn't worth it).
-    5. ``none`` otherwise.
+    5. ``rewrite_binpack`` when the only problem is storage hygiene of
+       the cheapest kind: ≥ ``small_file_count_threshold`` manifest
+       files below ``small_file_bytes`` (incremental appends / resume
+       passes leave small files; binpack rewrites ONLY those, verbatim,
+       where compact_table would rewrite the whole live set).
+    6. ``none`` otherwise.
 
     ``apply=True`` executes the recommendation (``out_dir`` required for
     the rewrite actions — they produce a new table directory, like
@@ -211,10 +219,17 @@ def optimize_table(
         elif delete_saved:
             action = "compact_table"
 
+    manifest_files = table._manifest(table.current_snapshot_id())["files"]
+    n_small = sum(1 for f in manifest_files if f["bytes"] < small_file_bytes)
+    if action == "none" and n_small >= small_file_count_threshold:
+        action = "rewrite_binpack"
+
     out = {
         "action": action,
         "order_by": order_by,
         "delete_ratio": round(delete_ratio, 4),
+        "small_files": n_small,
+        "total_files": len(manifest_files),
         "columns": report,
         "applied": None,
     }
@@ -222,6 +237,15 @@ def optimize_table(
         return out
     if action == "compact_table":
         out["applied"] = compact_table(spark, table_dir)
+    elif action == "rewrite_binpack":
+        from pyrle_spark.plans.binpack import rewrite_binpack
+
+        out["applied"] = rewrite_binpack(
+            spark,
+            table_dir,
+            target_file_bytes=binpack_target_bytes,
+            min_file_bytes=small_file_bytes,
+        )
     elif action == "rewrite_column_codec":
         out["applied"] = rewrite_column_codec(
             spark, table_dir, codec_pick[0], "rle+zstd"

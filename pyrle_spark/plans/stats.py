@@ -39,6 +39,16 @@ __all__ = ["analyze_table", "table_stats_df"]
 
 _NUMERIC_PREFIXES = ("int", "uint", "float", "double", "timestamp", "date")
 
+_EPOCH = __import__("datetime").datetime(1970, 1, 1)
+
+
+def _us_str(us) -> str | None:
+    """Epoch-micros → the same naive-UTC string str(datetime) produced
+    when the fold collected timestamp objects (value contract kept)."""
+    if us is None:
+        return None
+    return str(_EPOCH + __import__("datetime").timedelta(microseconds=int(us)))
+
 
 def analyze_table(
     spark: SparkSession,
@@ -90,8 +100,24 @@ def analyze_table(
             F.max(F.expr("try_cast(zmax AS double)")).alias("zmax_num"),
             F.min(F.expr("try_cast(zmin AS long)")).alias("zmin_long"),
             F.max(F.expr("try_cast(zmax AS long)")).alias("zmax_long"),
-            F.min(F.expr("try_cast(zmin AS timestamp_ntz)")).alias("zmin_ts"),
-            F.max(F.expr("try_cast(zmax AS timestamp_ntz)")).alias("zmax_ts"),
+            # fold as epoch micros (long), NOT timestamp objects: collect()
+            # would convert every group's timestamp to a Python datetime —
+            # and a NUMERIC column whose zone string happens to try_cast
+            # to a far-future timestamp (e.g. zmin "22647...") overflows
+            # datetime.year and kills the whole ANALYZE.  The long fold is
+            # value-identical (session tz pinned UTC) and range-unbounded.
+            F.min(
+                F.expr(
+                    "unix_micros(cast(try_cast(zmin AS timestamp_ntz)"
+                    " AS timestamp))"
+                )
+            ).alias("zmin_ts_us"),
+            F.max(
+                F.expr(
+                    "unix_micros(cast(try_cast(zmax AS timestamp_ntz)"
+                    " AS timestamp))"
+                )
+            ).alias("zmax_ts_us"),
             F.sum(F.when(F.col("zmin").isNull(), 1).otherwise(0)).alias(
                 "blocks_without_zone"
             ),
@@ -117,8 +143,8 @@ def analyze_table(
         if at.startswith(("int", "uint")):
             vmin, vmax = r["zmin_long"], r["zmax_long"]
         elif at.startswith(("timestamp", "date")):
-            vmin = str(r["zmin_ts"]) if r["zmin_ts"] is not None else None
-            vmax = str(r["zmax_ts"]) if r["zmax_ts"] is not None else None
+            vmin = _us_str(r["zmin_ts_us"])
+            vmax = _us_str(r["zmax_ts_us"])
         elif at.startswith(_NUMERIC_PREFIXES):
             vmin, vmax = r["zmin_num"], r["zmax_num"]
         else:

@@ -92,3 +92,25 @@ def test_binpack_respects_schema_groups(spark, tmp_path):
     b = {"path": "y", "bytes": 1, "field_ids": {"v": 2}, "types": {"v": "long"}}
     assert _group_sig(a) != _group_sig(b)
     assert _group_sig(a) == _group_sig(dict(a, path="z", bytes=99))
+
+
+def test_optimize_advisor_recommends_binpack(spark, tmp_path):
+    """A table with no layout/codec/delete win but many small files gets
+    the binpack recommendation, and apply=True packs them."""
+    from pyrle_spark.plans.optimize import optimize_table
+
+    t = str(tmp_path / "t")
+    # high-cardinality random-ish values: no clustering win, no deletes
+    df = spark.range(0, 3000, 1, 4).select(
+        F.col("id").alias("doc_seq"),
+        ((F.col("id") * 2654435761) % 100000007).alias("v"),
+    )
+    encode_table(spark, df, t, EncodeConfig(columns=["v"], block_rows=100))
+    rec = optimize_table(spark, t)
+    assert rec["action"] == "rewrite_binpack", rec
+    assert rec["small_files"] >= 8
+
+    out = optimize_table(spark, t, apply=True)
+    assert out["applied"]["snapshot_id"] is not None
+    again = optimize_table(spark, t)
+    assert again["small_files"] < rec["small_files"]
