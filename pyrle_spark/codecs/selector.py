@@ -18,7 +18,74 @@ import numpy as np
 from pyrle_spark.codecs import bitpack as bp
 from pyrle_spark.codecs.rle_codec import exact_find_runs
 
-__all__ = ["column_stats", "choose_fixed", "choose_var"]
+__all__ = ["column_stats", "choose_fixed", "choose_var", "kmv_merge_estimate"]
+
+_KMV_K = 16
+_KMV_MIN_ROWS = 1024  # below this, sketch overhead would dent the raw+eps contract
+_TWO64 = float(1 << 64)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 over uint64 — the per-block value hash for
+    the KMV distinct sketch (deterministic, order-free, mergeable)."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _kmv_b64(arr: np.ndarray) -> str | None:
+    """Base64-packed k-min-values sketch (k=16, ~172 chars) of a
+    fixed-width payload: the k smallest splitmix64 hashes of the
+    DISTINCT bit patterns.  Two sketches merge by union+re-min, so
+    per-block sketches roll up to a table NDV estimate without decoding
+    a row (ANALYZE)."""
+    n = len(arr)
+    if n == 0:
+        return None
+    kind = arr.dtype.kind
+    if kind == "f":
+        x = np.ascontiguousarray(arr).view(
+            np.uint64 if arr.dtype.itemsize == 8 else np.uint32
+        )
+    elif kind in "iuMm":
+        x = np.ascontiguousarray(arr).view(
+            {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}[
+                arr.dtype.itemsize
+            ]
+        )
+    else:
+        return None
+    with np.errstate(over="ignore"):
+        h = _splitmix64(x.astype(np.uint64, copy=False))
+    mins = np.unique(h)[:_KMV_K]  # sorted distinct hashes, k smallest
+    import base64
+
+    return base64.b64encode(mins.tobytes()).decode("ascii")
+
+
+def kmv_merge_estimate(sketches_b64) -> int | None:
+    """Merge per-block KMV sketches → table-level NDV estimate.
+
+    Union the hash sets, keep the k smallest.  Fewer than k in the union
+    means every hash ever sketched is present → the count is exact (a
+    block contributes min(k, its distinct) hashes, so a union below k
+    implies no block truncated).  Otherwise the classic KMV estimator
+    (k-1) / kth-min scaled to the 2^64 hash space."""
+    import base64
+
+    parts = [
+        np.frombuffer(base64.b64decode(s), dtype=np.uint64)
+        for s in sketches_b64
+        if s
+    ]
+    if not parts:
+        return None
+    u = np.unique(np.concatenate(parts))
+    if len(u) < _KMV_K:
+        return int(len(u))
+    kth = float(u[_KMV_K - 1]) + 1.0
+    return int(round((_KMV_K - 1) * _TWO64 / kth))
 
 
 def column_stats(kind: str, payload) -> dict:
@@ -26,7 +93,7 @@ def column_stats(kind: str, payload) -> dict:
     if kind == "fixed":
         arr = payload
         n = len(arr)
-        runs, _ = exact_find_runs(arr)
+        runs, rvals = exact_find_runs(arr)
         stats = {"n": n, "n_runs": int(len(runs))}
         if len(runs):
             # log2-bucketed run-length histogram (16 buckets, last open):
@@ -42,6 +109,14 @@ def column_stats(kind: str, payload) -> dict:
         # distinct estimate from a bounded sample
         sample = arr[: min(n, 4096)]
         stats["distinct_est"] = int(len(np.unique(sample)))
+        # KMV over the run-START values: set-equal to the whole payload
+        # (a run's value appears at its start), usually far smaller.
+        # Gated on block size: on tiny blocks the ~172-char sketch would
+        # dent the raw-size guarantee it rides inside (meta counts).
+        if n >= _KMV_MIN_ROWS:
+            kmv = _kmv_b64(rvals)
+            if kmv is not None:
+                stats["kmv"] = kmv
         return stats
     offsets, data = payload
     n = len(offsets) - 1

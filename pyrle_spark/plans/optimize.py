@@ -140,6 +140,11 @@ def optimize_table(
                 ).alias("nulls"),
             ).first()
             s["ndv"] = int(agg["n"]) - int(agg["nulls"])
+        elif s.get("ndv_est"):
+            # merged per-block KMV sketch (analyze_table): an actual NDV
+            # estimate, strictly better than the value-range cap — and
+            # available for floats/timestamps where the range cap is not
+            s["ndv"] = int(s["ndv_est"])
         elif (
             s["arrow_type"].startswith(("int", "uint"))
             and s["min"] is not None

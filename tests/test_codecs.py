@@ -357,3 +357,40 @@ def test_fsst_eq_probe_canonical():
         mask = _fsst_eq_mask(meta, bufs, probe, len(strs))
         naive = np.array([s == probe for s in strs])
         assert (mask == naive).all(), probe
+
+
+def test_kmv_sketch_and_merge_estimate():
+    """Per-block KMV sketches merge to an NDV estimate within ~25% of
+    truth for high cardinality, and are EXACT below k (union < k means
+    no block truncated)."""
+    import numpy as np
+
+    from pyrle_spark.codecs.selector import (
+        _kmv_b64,
+        column_stats,
+        kmv_merge_estimate,
+    )
+
+    rng = np.random.default_rng(7)
+    # 20 blocks x 5000 rows drawn from 40k distinct values
+    universe = rng.integers(0, 1 << 40, size=40_000)
+    blocks = [rng.choice(universe, size=5000) for _ in range(20)]
+    sketches = [_kmv_b64(b) for b in blocks]
+    truth = len(np.unique(np.concatenate(blocks)))
+    est = kmv_merge_estimate(sketches)
+    assert abs(est - truth) / truth < 0.5, (est, truth)  # k=16: ~27% stderr
+
+    # low cardinality: exact
+    lo = [rng.choice([3, 5, 9], size=1000) for _ in range(4)]
+    assert kmv_merge_estimate([_kmv_b64(b) for b in lo]) == 3
+
+    # set-equality with the run-start values path used by column_stats
+    arr = np.repeat(np.arange(7, dtype=np.int64), 200)  # n=1400 >= gate
+    st = column_stats("fixed", arr)
+    assert kmv_merge_estimate([st["kmv"]]) == 7
+    # below the row gate no sketch is attached (raw+eps contract)
+    assert "kmv" not in column_stats("fixed", arr[:500])
+
+    # floats sketch on bit patterns (NaN and -0.0 are distinct patterns)
+    f = np.array([0.0, -0.0, np.nan, np.nan, 1.5] * 10)
+    assert kmv_merge_estimate([_kmv_b64(f)]) == 4

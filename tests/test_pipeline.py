@@ -2630,3 +2630,22 @@ def test_semi_join_scan_pushdown_equals_fallback(spark, tmp_path):
     a = sorted(map(tuple, pushed.select("grp", "v").collect()))
     b = sorted(map(tuple, fell.select("grp", "v").collect()))
     assert a == b and len(a) == 400
+
+
+def test_analyze_ndv_estimate_from_kmv(spark, tmp_path):
+    """ANALYZE surfaces a decode-free NDV estimate merged from the
+    per-block KMV sketches, and the advisor consumes it."""
+    from pyrle_spark.plans.stats import analyze_table
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 20_000, 1, 4).select(
+        F.col("id").alias("doc_seq"),
+        (F.col("id") % 1000).alias("v"),  # true NDV 1000
+        (F.col("id") % 3).alias("w"),  # true NDV 3 (below k: exact)
+    )
+    encode_table(
+        spark, df, t, EncodeConfig(columns=["v", "w"], block_rows=2048)
+    )
+    stats = analyze_table(spark, t, ndv_columns=[])["columns"]
+    assert stats["w"]["ndv_est"] == 3
+    assert abs(stats["v"]["ndv_est"] - 1000) / 1000 < 0.35, stats["v"]
