@@ -44,6 +44,45 @@ def _update_hash(key, pdfs, state):
     )
 
 
+def _make_update_ttl(ttl_ms: int):
+    """TTL variant of the state function: every touch (emit or drop)
+    re-arms a processing-time timeout; a key idle past the TTL is
+    evicted in the next batch where it receives no data (Spark invokes
+    timed-out keys only when they have no new rows — a duplicate
+    arriving in the same batch as its expiry is therefore still
+    dropped, which is the conservative side of the approximation)."""
+
+    def _update(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (text_hash,) = key
+        best = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            i = pdf["doc_id"].idxmin()
+            row = (int(pdf["doc_id"].loc[i]), int(pdf["n_chars"].loc[i]))
+            if best is None or row < best:
+                best = row
+        if state.exists:
+            state.setTimeoutDuration(ttl_ms)  # sliding TTL: refresh on touch
+            return
+        if best is None:
+            return
+        state.update((best[0],))
+        state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {
+                "text_hash": [text_hash],
+                "doc_id": [best[0]],
+                "n_chars": [best[1]],
+            }
+        )
+
+    return _update
+
+
 def dedup_docs_stream(
     spark,
     source_dir: str,
@@ -51,10 +90,19 @@ def dedup_docs_stream(
     query_name: str = "dedup_docs",
     max_files_per_trigger: int = 1,
     available_now: bool = True,
+    ttl_ms: int | None = None,
+    sink_dir: str | None = None,
 ):
     """Start the streaming deduper over a parquet file source of
     ``(doc_id long, text string)`` rows; first-seen documents land in the
     in-memory sink table ``query_name``.  Returns the StreamingQuery.
+
+    ``ttl_ms``: optional sliding processing-time TTL on the per-hash
+    state.  Unbounded ingest cannot keep O(distinct-ever) state; with a
+    TTL the state is O(distinct within the window) and a re-crawl seen
+    again after the window re-emits — the standard production trade
+    (dedup exactness bounded by the TTL horizon).  Default None keeps
+    the exact NoTimeout behavior.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -75,18 +123,33 @@ def dedup_docs_stream(
         F.length(text).cast("long").alias("n_chars"),
     )
     deduped = hashed.groupBy("text_hash").applyInPandasWithState(
-        _update_hash,
+        _update_hash if ttl_ms is None else _make_update_ttl(ttl_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
-    writer = (
-        deduped.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-    )
+    if sink_dir is not None:
+        # durable sink: unlike the memory sink it RECOVERS from the
+        # checkpoint, so stop/restart cycles (TTL eviction tests, ops
+        # restarts) accumulate output exactly-once across runs
+        writer = (
+            deduped.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+        )
+    else:
+        writer = (
+            deduped.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+        )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

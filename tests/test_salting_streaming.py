@@ -730,3 +730,62 @@ def test_stream_windowed_counts_matches_oracle(spark, ducks):
         for r in ducks.sql(ORACLE_SQL["stream_windowed_counts"]).fetchall()
     )
     assert got == exp
+
+
+def test_streaming_dedup_ttl_evicts_and_reemits(spark, tmp_path):
+    """TTL-bounded dedup state over ONE continuous query: hashes idle
+    past the TTL evict (in a later batch) and a re-crawl then re-emits;
+    a hash re-seen inside its TTL stays dropped.  Runs with the default
+    trigger — with availableNow, pending processing-time timers keep
+    scheduling no-data batches and the query never terminates (pinned
+    here by NOT using it)."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from pyrle_spark.streaming.dedup_stream import dedup_docs_stream
+
+    src = str(tmp_path / "docs_src")
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    pd.DataFrame({"doc_id": [0, 1], "text": ["alpha", "beta"]}).to_parquet(
+        f"{src}/b0.parquet"
+    )
+    q = dedup_docs_stream(
+        spark, src, ckpt, ttl_ms=3000, sink_dir=out, available_now=False
+    )
+
+    def sink_rows(minimum, timeout=90):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            try:
+                pdf = spark.read.parquet(out).toPandas()
+                if len(pdf) >= minimum:
+                    return pdf
+            except Exception:
+                pass
+            time.sleep(0.5)
+        raise AssertionError(f"sink never reached {minimum} rows")
+
+    try:
+        sink_rows(2)  # alpha, beta emitted
+        time.sleep(4.5)  # > TTL: their timers expire
+        # gamma's batch evicts the expired alpha/beta and emits gamma
+        pd.DataFrame({"doc_id": [2], "text": ["gamma"]}).to_parquet(
+            f"{src}/b1.parquet"
+        )
+        sink_rows(3)
+        # inside gamma's TTL: alpha re-emits (state evicted), the gamma
+        # re-crawl is still dropped (state alive)
+        pd.DataFrame({"doc_id": [3, 4], "text": ["alpha", "gamma"]}).to_parquet(
+            f"{src}/b2.parquet"
+        )
+        got = sink_rows(4)
+    finally:
+        q.stop()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == [0, 1, 2, 3], got
+    # exactly one gamma: had its state been evicted early, doc 4 would
+    # have re-emitted and the count above would be 5
