@@ -1455,6 +1455,61 @@ def concat_tables_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clone_diverge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone end-to-end: encode ``documents[doc_id < 400]``,
+    ``clone_table`` it (O(metadata) fork, data files shared by absolute
+    path), DIVERGE the clone by concatenating ``documents[400..800)``
+    into it, and aggregate the clone.  Oracle = the ``doc_id < 800``
+    scan over the raw table.  The source staying bit-identical through
+    the divergence is asserted in-query; GC ownership safety (expiring
+    clone history never deletes source files) is pinned in
+    ``test_concat.py``."""
+    import tempfile
+
+    from pyrle_spark.plans.concat import concat_tables
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        decode_table,
+        encode_table,
+    )
+    from pyrle_spark.sources.icetable import clone_table
+
+    docs = load(spark, sf_dir, "documents")
+    cols = ["lang", "source", "n_chars"]
+    dirs = {}
+    for name, (lo, hi) in (("base", (0, 400)), ("extra", (400, 800))):
+        part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        d = tempfile.mkdtemp(prefix=f"clone_{name}_")
+        encode_table(
+            spark,
+            _fixture_ordered(part, cols),
+            d,
+            EncodeConfig(columns=cols, order_col="_seq", block_rows=64),
+        )
+        dirs[name] = d
+    cl = tempfile.mkdtemp(prefix="clone_dst_") + "/t"
+    info = clone_table(dirs["base"], cl)
+    assert info["snapshots"] >= 1
+    n_src_before = decode_table(spark, dirs["base"]).count()
+    concat_tables(spark, cl, dirs["extra"])
+    # divergence is invisible to the source
+    assert decode_table(spark, dirs["base"]).count() == n_src_before
+    return (
+        decode_table(spark, cl)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_CLONE_DIVERGE_AGG_SQL = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE doc_id < 800 GROUP BY lang
+"""
+
+
 _CONCAT_TABLES_AGG_SQL = """
 SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents WHERE doc_id < 800 GROUP BY lang
@@ -5412,6 +5467,7 @@ QUERIES = {
     "semijoin_prune_agg": semijoin_prune_agg,
     "binpack_agg": binpack_agg,
     "concat_tables_agg": concat_tables_agg,
+    "clone_diverge_agg": clone_diverge_agg,
     "dsv2_pushdown_agg": dsv2_pushdown_agg,
     "dsv2_roundtrip_count": dsv2_roundtrip_count,
     "compressed_count_by_lang": compressed_count_by_lang,
@@ -5475,6 +5531,7 @@ ORACLE_SQL = {
     "semijoin_prune_agg": _SEMIJOIN_PRUNE_AGG_SQL,
     "binpack_agg": _BINPACK_AGG_SQL,
     "concat_tables_agg": _CONCAT_TABLES_AGG_SQL,
+    "clone_diverge_agg": _CLONE_DIVERGE_AGG_SQL,
     "dsv2_pushdown_agg": _DSV2_PUSHDOWN_AGG_SQL,
     "dsv2_roundtrip_count": _DSV2_ROUNDTRIP_COUNT_SQL,
     "compressed_count_by_lang": _COMPRESSED_COUNT_SQL,

@@ -28,7 +28,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["IceTable", "commit_lock", "touch_lock"]
+__all__ = ["IceTable", "clone_table", "commit_lock", "touch_lock"]
 
 
 @contextlib.contextmanager
@@ -397,6 +397,30 @@ class IceTable:
         if name_or_snapshot in refs:
             return refs[name_or_snapshot]["snapshot_id"]
         return name_or_snapshot
+
+    def snapshot_as_of(self, timestamp_ms: int) -> str:
+        """``FOR TIMESTAMP AS OF``: the latest published main-chain
+        snapshot committed at or before ``timestamp_ms`` (Iceberg's
+        ``snapshot-at-time`` resolution).  Raises if the table has no
+        snapshot that old — reading "before the table existed" is an
+        error, not an empty table."""
+        meta = self._read_meta()
+        cur = meta["current_snapshot_id"]
+        if cur is None:
+            raise KeyError("table has no published snapshot")
+        # walk the CURRENT history's parent chain — snapshots orphaned by
+        # a rollback stay in the log with later timestamps but are not
+        # part of main history and must not resolve
+        by_id = {s["id"]: s for s in meta["snapshots"]}
+        sid = cur
+        while sid is not None:
+            entry = by_id.get(sid)
+            if entry is not None and entry["timestamp_ms"] <= timestamp_ms:
+                return sid
+            sid = self._manifest(sid)["parent"] if entry is not None else None
+        raise KeyError(
+            f"no snapshot at or before timestamp_ms={timestamp_ms}"
+        )
 
     def rollback_to(self, snapshot_id: str) -> str:
         """Move the main pointer back to an existing snapshot (Iceberg's
@@ -967,9 +991,18 @@ class IceTable:
                 live_files.add(f["path"])
         deleted = 0
         reclaimed = 0
+        # ownership guard: expiry only ever deletes files under THIS
+        # table's data root.  A shallow clone's manifests reference the
+        # source table's files by absolute path — expiring clone history
+        # must never reach into the source (same rule as vacuum, whose
+        # walk is naturally scoped to our own data/).
+        own_root = os.path.realpath(os.path.join(self.path, "data"))
         for s in expired:
             for f in self._manifest(s["id"])["files"]:
-                if f["path"] not in live_files and os.path.exists(f["path"]):
+                owned = os.path.realpath(f["path"]).startswith(
+                    own_root + os.sep
+                )
+                if owned and f["path"] not in live_files and os.path.exists(f["path"]):
                     reclaimed += os.path.getsize(f["path"])
                     os.remove(f["path"])
                     deleted += 1
@@ -1077,3 +1110,55 @@ class IceTable:
             if root != data_root and not os.listdir(root):
                 os.rmdir(root)
         return {"deleted_files": deleted, "reclaimed_bytes": reclaimed}
+
+
+def clone_table(src_dir: str, dst_dir: str) -> dict:
+    """Zero-copy SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW
+    CLONE`` / an Iceberg metadata-only fork): the clone gets a full copy
+    of the source's METADATA — every snapshot manifest, refs, field-id
+    registry, and the delete-vector manifest — while data files stay
+    where they are, referenced by absolute path.  O(metadata) cost at
+    any table size; the instant-experiment primitive for a 100 TB
+    corpus (branch the table, try a rewrite, throw the clone away).
+
+    Divergence is safe by construction: new writes/deletes on the clone
+    land under the clone's own ``data/`` and ``deletes/``; the source
+    never sees them.  GC is ownership-guarded on BOTH sides:
+    ``vacuum`` walks only a table's own data root, and
+    ``expire_snapshots`` refuses to delete files outside it — so
+    expiring clone history can never reach into the source (the source
+    expiring shared files out from under a clone is the documented
+    shallow-clone hazard, exactly as in Delta/Iceberg).
+
+    Returns ``{"snapshots", "current_snapshot_id"}``."""
+    import shutil
+
+    src = IceTable(src_dir)
+    if not src.exists():
+        raise FileNotFoundError(f"no table at {src_dir}")
+    dst = IceTable(dst_dir)
+    if dst.exists():
+        raise FileExistsError(f"destination table already exists: {dst_dir}")
+    os.makedirs(os.path.join(dst_dir, "metadata"), exist_ok=True)
+    with commit_lock(src_dir):  # snapshot-consistent copy of the metadata
+        meta = src._read_meta()
+        for s in meta["snapshots"]:
+            snap_file = f"snap-{s['id']}.json"
+            p = os.path.join(src_dir, "metadata", snap_file)
+            if os.path.exists(p):
+                shutil.copy2(p, os.path.join(dst_dir, "metadata", snap_file))
+        meta["cloned_from"] = os.path.abspath(src_dir)
+        tmp = dst._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, dst._meta_path)
+        del_manifest = os.path.join(src_dir, "deletes", "manifest.json")
+        if os.path.exists(del_manifest):
+            os.makedirs(os.path.join(dst_dir, "deletes"), exist_ok=True)
+            shutil.copy2(
+                del_manifest, os.path.join(dst_dir, "deletes", "manifest.json")
+            )
+    return {
+        "snapshots": len(meta["snapshots"]),
+        "current_snapshot_id": meta["current_snapshot_id"],
+    }

@@ -105,3 +105,73 @@ def test_concat_after_rename_reconciles_names(spark, tmp_path):
     assert info["snapshot_id"] is not None
     got = decode_table(spark, a).orderBy("_order").toPandas()
     assert list(got["val"]) == [3 * i for i in range(600)]
+
+
+def test_snapshot_as_of_timestamp(spark, tmp_path):
+    """FOR TIMESTAMP AS OF resolves along the CURRENT parent chain:
+    commits orphaned by a rollback never resolve even though their
+    timestamps are in range."""
+    import pytest as _pytest
+
+    from pyrle_spark.sources.icetable import IceTable
+
+    t = IceTable(str(tmp_path / "t"))
+    s1 = t.write_snapshot(spark.range(0, 10).toDF("id"))
+    s2 = t.write_snapshot(spark.range(10, 20).toDF("id"), mode="append")
+    ts = {s["id"]: s["timestamp_ms"] for s in t.snapshots()}
+
+    assert t.snapshot_as_of(ts[s1]) == s1
+    assert t.snapshot_as_of(ts[s2]) == s2
+    assert t.snapshot_as_of(ts[s2] + 10_000) == s2
+    with _pytest.raises(KeyError):
+        t.snapshot_as_of(ts[s1] - 1)
+
+    # rollback orphans s2; a new commit s3 has a LATER timestamp, but
+    # as-of s2's time must now resolve to s1 (s2 left main history)
+    t.rollback_to(s1)
+    s3 = t.write_snapshot(spark.range(20, 30).toDF("id"), mode="append")
+    assert t.snapshot_as_of(ts[s2]) == s1
+    ts3 = {s["id"]: s["timestamp_ms"] for s in t.snapshots()}[s3]
+    assert t.snapshot_as_of(ts3) == s3
+
+
+def test_shallow_clone_diverges_and_gc_is_ownership_safe(spark, tmp_path):
+    """clone_table: O(metadata) fork with full history; divergence is
+    invisible to the source; expiring clone history never deletes the
+    source's data files (ownership guard)."""
+    from pyrle_spark.sources.icetable import IceTable, clone_table
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _enc(spark, a, 0, 500)
+    delete_rows(spark, a, range(0, 50))
+    src_before = decode_table(spark, a).orderBy("_order").toPandas()
+
+    info = clone_table(a, b)
+    assert info["snapshots"] >= 1
+
+    # clone reads identically, including the copied delete vectors
+    got = decode_table(spark, b).orderBy("_order").toPandas()
+    assert got.equals(src_before)
+
+    # divergence: append + delete on the clone; source unchanged
+    from pyrle_spark.plans.concat import concat_tables
+
+    c = str(tmp_path / "c")
+    _enc(spark, c, 0, 100, mult=11)
+    concat_tables(spark, b, c)
+    delete_rows(spark, b, range(50, 100))
+    assert decode_table(spark, b).count() == 500 - 100 + 100
+    assert decode_table(spark, a).orderBy("_order").toPandas().equals(src_before)
+
+    # expire the clone's whole pre-divergence history: the shared files
+    # live under the SOURCE's data root and must survive
+    t_b = IceTable(b)
+    gc = t_b.expire_snapshots(keep_last=1)
+    assert gc["expired_snapshots"]
+    assert decode_table(spark, a).orderBy("_order").toPandas().equals(src_before)
+
+    # cloning onto an existing table refuses
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        clone_table(a, b)
