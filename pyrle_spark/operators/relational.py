@@ -1504,6 +1504,65 @@ def clone_diverge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def encoded_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-materialization value join of TWO encoded tables: the key
+    sets come from each side's dictionary/column metadata, their
+    intersection prunes BOTH scans below decode
+    (:func:`plans.joins.join_tables_on`), and only the surviving blocks
+    decode into the hash join.  Fixture: documents ``doc_id < 300``
+    (lang, n_chars) ⋈ documents ``200 ≤ doc_id < 500`` (source) on
+    ``doc_id`` — the 100-key overlap is a tiny fraction of either side,
+    so the pushdown path must engage and prune (asserted).  Oracle =
+    the single-table band scan the join is equivalent to."""
+    import tempfile
+
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+    from pyrle_spark.plans.joins import join_tables_on
+
+    docs = load(spark, sf_dir, "documents")
+    sides = {
+        "l": (docs.filter(F.col("doc_id") < 300), ["doc_id", "lang", "n_chars"]),
+        "r": (
+            docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 500)),
+            ["doc_id", "source"],
+        ),
+    }
+    dirs = {}
+    for name, (part, cols) in sides.items():
+        d = tempfile.mkdtemp(prefix=f"encjoin_{name}_")
+        encode_table(
+            spark,
+            _fixture_ordered(part, cols),
+            d,
+            EncodeConfig(columns=cols, order_col="_seq", block_rows=64),
+        )
+        dirs[name] = d
+    rows, info = join_tables_on(
+        spark,
+        dirs["l"],
+        dirs["r"],
+        on="doc_id",
+        left_columns=["lang", "n_chars"],
+        right_columns=["source"],
+    )
+    assert info["left"]["pushed"] and info["right"]["pushed"]
+    assert info["left"]["n_keys"] == 100
+    if info["left"]["total_blocks"] >= 4:
+        assert info["left"]["kept_blocks"] < info["left"]["total_blocks"]
+    return rows.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+_ENCODED_JOIN_AGG_SQL = """
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE doc_id >= 200 AND doc_id < 300
+GROUP BY lang, source
+"""
+
+
 _CLONE_DIVERGE_AGG_SQL = """
 SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents WHERE doc_id < 800 GROUP BY lang
@@ -5468,6 +5527,7 @@ QUERIES = {
     "binpack_agg": binpack_agg,
     "concat_tables_agg": concat_tables_agg,
     "clone_diverge_agg": clone_diverge_agg,
+    "encoded_join_agg": encoded_join_agg,
     "dsv2_pushdown_agg": dsv2_pushdown_agg,
     "dsv2_roundtrip_count": dsv2_roundtrip_count,
     "compressed_count_by_lang": compressed_count_by_lang,
@@ -5532,6 +5592,7 @@ ORACLE_SQL = {
     "binpack_agg": _BINPACK_AGG_SQL,
     "concat_tables_agg": _CONCAT_TABLES_AGG_SQL,
     "clone_diverge_agg": _CLONE_DIVERGE_AGG_SQL,
+    "encoded_join_agg": _ENCODED_JOIN_AGG_SQL,
     "dsv2_pushdown_agg": _DSV2_PUSHDOWN_AGG_SQL,
     "dsv2_roundtrip_count": _DSV2_ROUNDTRIP_COUNT_SQL,
     "compressed_count_by_lang": _COMPRESSED_COUNT_SQL,

@@ -2649,3 +2649,43 @@ def test_analyze_ndv_estimate_from_kmv(spark, tmp_path):
     stats = analyze_table(spark, t, ndv_columns=[])["columns"]
     assert stats["w"]["ndv_est"] == 3
     assert abs(stats["v"]["ndv_est"] - 1000) / 1000 < 0.35, stats["v"]
+
+
+def test_join_tables_on_edges(spark, tmp_path):
+    """join_tables_on: empty intersections produce empty results (no
+    scan-side error), name collisions suffix the right side, fallback
+    path equals pushdown."""
+    from pyrle_spark.plans.joins import join_tables_on
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    df_a = spark.range(0, 500, 1, 2).select(
+        F.col("id").alias("doc_seq"), (F.col("id") % 50).alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    df_b = spark.range(0, 500, 1, 2).select(
+        F.col("id").alias("doc_seq"), (F.col("id") % 50 + 40).alias("k"),
+        (F.col("id") * 3).alias("v"),
+    )
+    encode_table(spark, df_a, a, EncodeConfig(columns=["k", "v"], block_rows=100))
+    encode_table(spark, df_b, b, EncodeConfig(columns=["k", "v"], block_rows=100))
+
+    rows, info = join_tables_on(spark, a, b, on="k")
+    assert info["left"]["pushed"] and info["left"]["n_keys"] == 10  # 40..49
+    assert set(rows.columns) == {"k", "v", "v_r"}
+    n = rows.count()
+    # each side has 10 rows per k (500/50); overlap keys 40..49
+    assert n == 10 * 10 * 10
+
+    got = sorted(map(tuple, rows.collect()))
+    fell, info2 = join_tables_on(spark, a, b, on="k", max_keys=2)
+    assert not info2["left"]["pushed"]
+    assert sorted(map(tuple, fell.collect())) == got
+
+    # empty intersection
+    c = str(tmp_path / "c")
+    df_c = spark.range(0, 200, 1, 2).select(
+        F.col("id").alias("doc_seq"), (F.col("id") % 10 + 1000).alias("k")
+    )
+    encode_table(spark, df_c, c, EncodeConfig(columns=["k"], block_rows=100))
+    empty, _ = join_tables_on(spark, a, c, on="k")
+    assert empty.count() == 0
