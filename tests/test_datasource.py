@@ -292,3 +292,34 @@ def test_lineage_and_codecs_metadata_relations(ds_spark, table_dir):
     assert (cod["runs_emitted"] > 0).all()
     # every (column, codec) cell compressed or stayed ≤ raw+ε
     assert (cod["bytes_out"] <= cod["bytes_in"] * 1.05).all()
+
+
+def test_sql_over_temp_view_with_pushdown(spark, tmp_path):
+    """The SQL surface of the V2 source: a temp view over
+    read.format('pyrle') serves Spark SQL, and WHERE clauses reach the
+    reader's pushFilters block pruning.  (CREATE TABLE ... USING pyrle
+    is blocked upstream: Spark does not forward a catalog table's
+    storage options/location to a Python data source reader — its
+    options dict arrives empty — so the documented SQL path is a view.)"""
+    import pyspark.sql.functions as F
+
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+    from pyrle_spark.sources.datasource import register
+
+    register(spark)
+    t = str(tmp_path / "t")
+    df = spark.range(0, 1000, 1, 2).select(
+        F.col("id").alias("doc_seq"),
+        (F.col("id") % 5).alias("g"),
+        (F.col("id") * 2).alias("v"),
+    )
+    encode_table(spark, df, t, EncodeConfig(columns=["g", "v"], block_rows=100))
+    spark.read.format("pyrle").load(t).createOrReplaceTempView("pyrle_v")
+    got = spark.sql(
+        "SELECT g, count(*) AS n, sum(v) AS s FROM pyrle_v "
+        "WHERE v >= 1000 GROUP BY g ORDER BY g"
+    ).collect()
+    # rows with v >= 1000 are id >= 500: 100 per residue class
+    assert [r["n"] for r in got] == [100] * 5
+    assert sum(r["s"] for r in got) == sum(2 * i for i in range(500, 1000))
+    spark.catalog.dropTempView("pyrle_v")
