@@ -64,6 +64,24 @@ def _kmv_b64(arr: np.ndarray) -> str | None:
     return base64.b64encode(mins.tobytes()).decode("ascii")
 
 
+def kmv_union(sketches_b64) -> str | None:
+    """Union per-block KMV sketches into ONE sketch (k smallest of the
+    union, base64) — the partial-aggregate form incremental ANALYZE
+    stores so later folds merge against it instead of re-reading every
+    block."""
+    import base64
+
+    parts = [
+        np.frombuffer(base64.b64decode(s), dtype=np.uint64)
+        for s in sketches_b64
+        if s
+    ]
+    if not parts:
+        return None
+    u = np.unique(np.concatenate(parts))[:_KMV_K]
+    return base64.b64encode(u.tobytes()).decode("ascii")
+
+
 def kmv_merge_estimate(sketches_b64) -> int | None:
     """Merge per-block KMV sketches → table-level NDV estimate.
 

@@ -468,7 +468,7 @@ def _prior_props_guarded(table: IceTable, cols: list) -> tuple:
     resume and decode match blocks by PHYSICAL name, so either would
     corrupt the table.  Driver metadata only (no Spark job)."""
     if not table.exists():
-        return (set(), set(), {}, {})
+        return (set(), set(), {}, {}, {})
     prior_props = table.properties()
     prior_cols = set(prior_props.get("columns", []))
     prior_dropped = set(prior_props.get("dropped_columns", []))
@@ -493,7 +493,13 @@ def _prior_props_guarded(table: IceTable, cols: list) -> tuple:
             "their stale blocks remain in the data files; run "
             "compact_table first to reclaim them, then re-encode"
         )
-    return (prior_cols, prior_dropped, prior_aliases, prior_src_schema)
+    # committed table-level stats survive appends (the Iceberg model:
+    # stats persist stamped with their analyzed_snapshot — readers and
+    # the incremental ANALYZE merge know exactly how stale they are)
+    carry = (
+        {"stats": prior_props["stats"]} if "stats" in prior_props else {}
+    )
+    return (prior_cols, prior_dropped, prior_aliases, prior_src_schema, carry)
 
 
 def _prior_state(
@@ -515,7 +521,7 @@ def _prior_state(
     skipping them, and resume stays exact when the column set changes
     between runs."""
     if not table.exists():
-        return (set(), set(), {}, {}), None, 0
+        return (set(), set(), {}, {}, {}), None, 0
     prior = _prior_props_guarded(table, cols)
     committed = (
         table.read_table(spark)
@@ -551,7 +557,7 @@ def _encode_pass_inner(
         )
     table = IceTable(out_dir)
     prior, committed, resumed_blocks = _prior_state(spark, table, cols, config)
-    prior_cols, prior_dropped, prior_aliases, prior_src_schema = prior
+    prior_cols, prior_dropped, prior_aliases, prior_src_schema, prior_carry = prior
     if committed is not None:
         base = base.join(
             committed,
@@ -587,7 +593,7 @@ def _encode_pass_inner(
         encoded,
         config,
         cols,
-        (prior_cols, prior_dropped, prior_aliases, prior_src_schema),
+        (prior_cols, prior_dropped, prior_aliases, prior_src_schema, prior_carry),
         resumed_blocks,
         out_dir,
         src_schema_json,
@@ -595,8 +601,9 @@ def _encode_pass_inner(
 
 
 def _snapshot_properties(config: EncodeConfig, cols, prior, src_schema_json) -> dict:
-    prior_cols, prior_dropped, prior_aliases, prior_src_schema = prior
+    prior_cols, prior_dropped, prior_aliases, prior_src_schema, carry = prior
     return {
+        **carry,
         "kind": "encoded_blocks",
         "block_rows": config.block_rows,
         "order_col": config.order_col,

@@ -27,7 +27,7 @@ import time
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from pyrle_spark.codecs.selector import kmv_merge_estimate
+from pyrle_spark.codecs.selector import kmv_merge_estimate, kmv_union
 from pyrle_spark.plans.compressed import distinct_values
 from pyrle_spark.plans.encode_job import (
     _delete_positions,
@@ -51,37 +51,20 @@ def _us_str(us) -> str | None:
     return str(_EPOCH + __import__("datetime").timedelta(microseconds=int(us)))
 
 
-def analyze_table(
-    spark: SparkSession,
-    table_dir: str,
-    ndv_columns: list[str] | None = None,
-) -> dict:
-    """Compute and persist column statistics at the current snapshot.
 
-    ``ndv_columns``: columns to compute exact NDV for (default: all).
-    Pass ``[]`` to skip NDV entirely (manifest-only, zero data IO).
 
-    Returns the stats dict (also committed to table properties)."""
-    table = IceTable(table_dir)
-    snap = table.current_snapshot_id()
-    props = table.properties()
-    cols = list(props["columns"])
-    if ndv_columns is None:
-        ndv_columns = cols
-    unknown = [c for c in ndv_columns if c not in cols]
-    if unknown:
-        raise KeyError(f"ndv columns {unknown} not in table columns {cols}")
-    enc = dedup_blocks(table.read_table(spark))
-    # one manifest aggregation for every per-block quantity.  Group by
-    # column ONLY: a type-widened column legally carries mixed-width
-    # blocks (int32 before the widening, int64 after) and must fold to
-    # one stats row — the reported type is the widest of the family,
-    # exactly what decode_table serves.
-    rows = (
+def _fold_blocks(enc) -> list:
+    """One mergeable aggregation over block-manifest rows, grouped by
+    PHYSICAL column name.  Every quantity here merges across folds
+    (sums, min/max, set unions, sketch lists) — the property the
+    incremental ANALYZE path relies on."""
+    return (
         enc.groupBy("column")
         .agg(
             F.sort_array(F.collect_set("arrow_type")).alias("arrow_types"),
             F.count(F.lit(1)).alias("n_blocks"),
+            F.min("block_id").alias("min_block_id"),
+            F.max("block_id").alias("max_block_id"),
             F.sum("n_rows").alias("n_rows"),
             F.sum("bytes_in").alias("bytes_in"),
             F.sum("bytes_out").alias("bytes_out"),
@@ -133,6 +116,202 @@ def analyze_table(
         )
         .collect()
     )
+
+
+def _entry_from_row(lc: str, r) -> dict:
+    """Folded row → per-column stats entry (bounds reported in the
+    widest type's own domain).  An all-null block has no zone; its rows
+    contribute no values, so the folded bounds over the zoned blocks
+    are still exact — bounds_complete=False only flags pre-zone-era
+    blocks honestly."""
+    at = _widest_type(lc, set(r["arrow_types"]))
+    if at.startswith(("int", "uint")):
+        vmin, vmax = r["zmin_long"], r["zmax_long"]
+    elif at.startswith(("timestamp", "date")):
+        vmin = _us_str(r["zmin_ts_us"])
+        vmax = _us_str(r["zmax_ts_us"])
+    elif at.startswith(_NUMERIC_PREFIXES):
+        vmin, vmax = r["zmin_num"], r["zmax_num"]
+    else:
+        vmin, vmax = r["zmin_str"], r["zmax_str"]
+    entry = {
+        "arrow_type": at,
+        "arrow_types": list(r["arrow_types"]),
+        "n_blocks": r["n_blocks"],
+        "min_block_id": int(r["min_block_id"]),
+        "max_block_id": int(r["max_block_id"]),
+        "n_rows": int(r["n_rows"]),
+        "bytes_in": int(r["bytes_in"]),
+        "bytes_out": int(r["bytes_out"]),
+        "n_runs": int(r["n_runs"]) if r["n_runs"] is not None else None,
+        "codecs": list(r["codecs"]),
+        "min": vmin,
+        "max": vmax,
+        "bounds_complete": int(r["blocks_without_zone"]) == 0,
+    }
+    sketches = [s for s in (r["kmv_sketches"] or []) if s]
+    if len(sketches) == r["n_blocks"]:
+        # estimate only when EVERY block carries a sketch — a partial
+        # union under-counts the unsketched blocks' values
+        est = kmv_merge_estimate(sketches)
+        if est is not None:
+            entry["ndv_est"] = est
+            entry["kmv_union"] = kmv_union(sketches)
+    return entry
+
+
+def _merge_bounds(at: str, a, b, take_min: bool):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    # within one domain (numbers, padded temporal strings, raw strings)
+    # plain comparison is the fold — same rule the Spark-side agg used
+    return min(a, b) if take_min else max(a, b)
+
+
+def _merge_entry(lc: str, prior: dict, new: dict) -> dict:
+    at = _widest_type(
+        lc, set(prior.get("arrow_types", [prior["arrow_type"]]))
+        | set(new["arrow_types"])
+    )
+    merged = {
+        "arrow_type": at,
+        "arrow_types": sorted(
+            set(prior.get("arrow_types", [prior["arrow_type"]]))
+            | set(new["arrow_types"])
+        ),
+        "n_blocks": prior["n_blocks"] + new["n_blocks"],
+        "min_block_id": min(prior["min_block_id"], new["min_block_id"]),
+        "max_block_id": max(prior["max_block_id"], new["max_block_id"]),
+        "n_rows": prior["n_rows"] + new["n_rows"],
+        "bytes_in": prior["bytes_in"] + new["bytes_in"],
+        "bytes_out": prior["bytes_out"] + new["bytes_out"],
+        "n_runs": (
+            prior["n_runs"] + new["n_runs"]
+            if prior["n_runs"] is not None and new["n_runs"] is not None
+            else None
+        ),
+        "codecs": sorted(set(prior["codecs"]) | set(new["codecs"])),
+        "min": _merge_bounds(at, prior["min"], new["min"], True),
+        "max": _merge_bounds(at, prior["max"], new["max"], False),
+        "bounds_complete": prior["bounds_complete"] and new["bounds_complete"],
+    }
+    if prior.get("kmv_union") and new.get("kmv_union"):
+        u = kmv_union([prior["kmv_union"], new["kmv_union"]])
+        merged["kmv_union"] = u
+        est = kmv_merge_estimate([u])
+        if est is not None:
+            merged["ndv_est"] = est
+    return merged
+
+
+def _try_incremental(spark, table, props, snap, cols):
+    """The mergeable half of incremental ANALYZE: returns the merged
+    payload (without exact-NDV refresh) or None when a full pass is
+    required.  See :func:`analyze_table` for the soundness rules."""
+    prior = props.get("stats")
+    if not prior or "columns" not in prior:
+        return None
+    pcols = prior["columns"]
+    if any("max_block_id" not in e for e in pcols.values()):
+        return None  # stats from before the incremental format
+    prev_snap = prior.get("analyzed_snapshot")
+    known = {s["id"] for s in table.snapshots()}
+    if prev_snap not in known:
+        return None  # expired from the log: can't diff manifests
+    old_files = {f["path"] for f in table._manifest(prev_snap)["files"]}
+    cur_files = {f["path"] for f in table._manifest(snap)["files"]}
+    if old_files - cur_files:
+        return None  # files removed: compaction/rewrite/overwrite
+    added = sorted(cur_files - old_files)
+    merged_cols = {c: dict(e) for c, e in pcols.items()}
+    if added:
+        enc = dedup_blocks(
+            spark.read.parquet(*added).filter(F.col("column").isNotNull())
+        )
+        logical_of = {
+            p: c for c, p in props.get("column_aliases", {}).items()
+        }
+        for r in _fold_blocks(enc):
+            lc = logical_of.get(r["column"], r["column"])
+            if lc not in cols:
+                continue
+            entry = _entry_from_row(lc, r)
+            if lc not in merged_cols:
+                merged_cols[lc] = entry  # widen pass: brand-new column
+                continue
+            if entry["min_block_id"] <= merged_cols[lc]["max_block_id"]:
+                # an added file re-encodes an existing block id (resume
+                # supersede): the prior sums can't be subtracted — full
+                return None
+            merged_cols[lc] = _merge_entry(lc, merged_cols[lc], entry)
+    for e in merged_cols.values():
+        # exact NDV does not merge; stale values must not survive
+        e.pop("ndv", None)
+        e.pop("has_nulls", None)
+    return {
+        "analyzed_snapshot": snap,
+        "analyzed_at_ms": int(time.time() * 1000),
+        "deleted_rows": len(_delete_positions(table.path, None)),
+        "columns": merged_cols,
+        "mode": "incremental",
+    }
+
+
+def analyze_table(
+    spark: SparkSession,
+    table_dir: str,
+    ndv_columns: list[str] | None = None,
+    incremental: bool = False,
+) -> dict:
+    """Compute and persist column statistics at the current snapshot.
+
+    ``ndv_columns``: columns to compute exact NDV for (default: all).
+    Pass ``[]`` to skip NDV entirely (manifest-only, zero data IO).
+
+    ``incremental=True``: merge previously-committed stats with a fold
+    over ONLY the data files added since they were computed — every
+    statistic here is mergeable (sums, zone min/max folds, codec-set
+    unions, KMV sketch unions), so an append-only history refreshes at
+    O(new files) instead of O(table).  Falls back to the full pass
+    (silently — correctness first) whenever merging would be unsound:
+    no prior stats, files REMOVED since (compaction / rewrite /
+    overwrite), the prior snapshot expired from the log, or an added
+    file re-encodes an existing block id (resume supersede — the prior
+    aggregates can't be subtracted).  Exact ``ndv`` is never merged:
+    requested ``ndv_columns`` recompute, others drop to the sketch
+    estimate.
+
+    Returns the stats dict (also committed to table properties)."""
+    table = IceTable(table_dir)
+    snap = table.current_snapshot_id()
+    props = table.properties()
+    cols = list(props["columns"])
+    if ndv_columns is None:
+        ndv_columns = cols
+    unknown = [c for c in ndv_columns if c not in cols]
+    if unknown:
+        raise KeyError(f"ndv columns {unknown} not in table columns {cols}")
+    if incremental:
+        merged = _try_incremental(spark, table, props, snap, cols)
+        if merged is not None:
+            for c in ndv_columns:
+                if c not in merged["columns"]:
+                    continue
+                vals = distinct_values(spark, table_dir, c)
+                agg = vals.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        F.when(F.col("value").isNull(), 1).otherwise(0)
+                    ).alias("nulls"),
+                ).first()
+                merged["columns"][c]["ndv"] = int(agg["n"]) - int(agg["nulls"])
+                merged["columns"][c]["has_nulls"] = bool(agg["nulls"])
+            table.commit_metadata({**table.properties(), "stats": merged})
+            return merged
+    enc = dedup_blocks(table.read_table(spark))
+    rows = _fold_blocks(enc)
     # block rows carry PHYSICAL column names; report stats under the
     # LOGICAL names the snapshot advertises (rename_column aliases)
     logical_of = {
@@ -143,40 +322,7 @@ def analyze_table(
         lc = logical_of.get(r["column"], r["column"])
         if lc not in cols:
             continue  # stale blocks of dropped/renamed-away columns
-        at = _widest_type(lc, set(r["arrow_types"]))
-        # fold in the widest type's own domain: long for ints, timestamp
-        # for temporal, double for floats, raw string otherwise.  An
-        # all-null block has no zone; its rows contribute no values, so
-        # the folded bounds over the zoned blocks are still exact —
-        # bounds_complete=False only flags pre-zone-era blocks honestly.
-        if at.startswith(("int", "uint")):
-            vmin, vmax = r["zmin_long"], r["zmax_long"]
-        elif at.startswith(("timestamp", "date")):
-            vmin = _us_str(r["zmin_ts_us"])
-            vmax = _us_str(r["zmax_ts_us"])
-        elif at.startswith(_NUMERIC_PREFIXES):
-            vmin, vmax = r["zmin_num"], r["zmax_num"]
-        else:
-            vmin, vmax = r["zmin_str"], r["zmax_str"]
-        stats[lc] = {
-            "arrow_type": at,
-            "n_blocks": r["n_blocks"],
-            "n_rows": int(r["n_rows"]),
-            "bytes_in": int(r["bytes_in"]),
-            "bytes_out": int(r["bytes_out"]),
-            "n_runs": int(r["n_runs"]) if r["n_runs"] is not None else None,
-            "codecs": list(r["codecs"]),
-            "min": vmin,
-            "max": vmax,
-            "bounds_complete": int(r["blocks_without_zone"]) == 0,
-        }
-        sketches = [s for s in (r["kmv_sketches"] or []) if s]
-        if len(sketches) == r["n_blocks"]:
-            # estimate only when EVERY block carries a sketch — a partial
-            # union under-counts the unsketched blocks' values
-            est = kmv_merge_estimate(sketches)
-            if est is not None:
-                stats[lc]["ndv_est"] = est
+        stats[lc] = _entry_from_row(lc, r)
     for c in ndv_columns:
         if c not in stats:
             continue  # no blocks at all (empty table / pending widen)

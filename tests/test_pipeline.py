@@ -2689,3 +2689,51 @@ def test_join_tables_on_edges(spark, tmp_path):
     encode_table(spark, df_c, c, EncodeConfig(columns=["k"], block_rows=100))
     empty, _ = join_tables_on(spark, a, c, on="k")
     assert empty.count() == 0
+
+
+def test_incremental_analyze_matches_full(spark, tmp_path):
+    """Incremental ANALYZE after an append merges to EXACTLY the stats
+    a full recompute produces (modulo the timestamp/mode fields); a
+    rewrite that removes files falls back to the full pass."""
+    import copy
+
+    from pyrle_spark.plans.stats import analyze_table
+
+    t = str(tmp_path / "t")
+    df1 = spark.range(0, 4096, 1, 2).select(
+        F.col("id").alias("doc_seq"),
+        (F.col("id") % 100).alias("v"),
+        (F.col("id") % 7).cast("string").alias("s"),
+    )
+    encode_table(spark, df1, t, EncodeConfig(columns=["v", "s"], block_rows=1024))
+    analyze_table(spark, t, ndv_columns=[])
+
+    # append-only growth: new rows, strictly new block ids
+    df2 = spark.range(4096, 8192, 1, 2).select(
+        F.col("id").alias("doc_seq"),
+        (F.col("id") % 250).alias("v"),
+        (F.col("id") % 7).cast("string").alias("s"),
+    )
+    encode_table(spark, df2, t, EncodeConfig(columns=["v", "s"], block_rows=1024))
+
+    inc = copy.deepcopy(analyze_table(spark, t, ndv_columns=[], incremental=True))
+    assert inc.get("mode") == "incremental"
+    full = analyze_table(spark, t, ndv_columns=[])
+    for c in full["columns"]:
+        f, i = dict(full["columns"][c]), dict(inc["columns"][c])
+        assert f == i, (c, f, i)
+    # analyzed_snapshot differs: each ANALYZE commits its own metadata
+    # snapshot; the COLUMNS equality above is the contract
+
+    # no new files: incremental is a metadata no-op refresh
+    again = analyze_table(spark, t, ndv_columns=[], incremental=True)
+    assert again.get("mode") == "incremental"
+    assert again["columns"] == inc["columns"]
+
+    # compaction removes files -> the incremental path must fall back
+    from pyrle_spark.plans.encode_job import compact_table
+
+    compact_table(spark, t)
+    post = analyze_table(spark, t, ndv_columns=["s"], incremental=True)
+    assert post.get("mode") != "incremental"
+    assert post["columns"]["s"]["ndv"] == 7
