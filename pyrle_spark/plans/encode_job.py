@@ -75,6 +75,7 @@ __all__ = [
     "prune_blocks_eq",
     "prune_blocks_in",
     "scan_encoded",
+    "explain_scan",
     "verify_checksums",
 ]
 
@@ -2335,6 +2336,95 @@ def prune_blocks_in(enc: DataFrame, column: str, values) -> DataFrame:
         .select("block_id")
         .distinct()
     )
+
+
+def explain_scan(
+    spark: SparkSession,
+    table_dir: str,
+    predicates: list | None = None,
+    any_of: list | None = None,
+    snapshot_id: str | None = None,
+) -> dict:
+    """EXPLAIN for the pushdown scan: how hard would each pruning tier
+    bite for these predicates, WITHOUT decoding anything.  Pure
+    manifest work (the same thin-column aggregations the pruners run),
+    so it is cheap enough to call before a big job or from a planner.
+
+    Returns::
+
+        {"total_blocks": N,                # distinct block ids
+         "survivor_blocks": K,             # after all conjuncts (+ DNF)
+         "selectivity": K / N,
+         "per_predicate": [                # one entry per conjunct
+             {"column", "kind": "range|eq|in",
+              "zone_survivors": n,         # zone tier alone
+              "final_survivors": n},       # zone ∩ bloom tiers
+             ...],
+         "dnf_survivors": n | None}        # OR-group union, if any_of
+
+    The per-predicate numbers are each tier's standalone superset —
+    comparing ``zone_survivors`` with ``final_survivors`` shows what
+    the bloom digest added over the zone map for an equality/IN probe.
+    """
+    table = IceTable(table_dir)
+    enc = table.read_table(spark, snapshot_id)
+    aliases = table.properties(snapshot_id).get("column_aliases", {})
+    total = enc.select("block_id").distinct().count()
+    norm = _norm_predicates(predicates or [])
+    report = []
+    blocks = None
+    for colname, lo, hi, values in norm:
+        phys = aliases.get(colname, colname)
+        zone = prune_blocks(enc, phys, lo, hi)
+        surv = zone
+        kind = "range"
+        if values is not None:
+            kind = "in"
+            surv = zone.join(
+                prune_blocks_in(enc, phys, values), "block_id", "inner"
+            )
+        elif lo is not None and lo == hi:
+            kind = "eq"
+            surv = zone.join(
+                prune_blocks_eq(enc, phys, lo), "block_id", "inner"
+            )
+        report.append(
+            {
+                "column": colname,
+                "kind": kind,
+                "zone_survivors": zone.count(),
+                "final_survivors": surv.count(),
+            }
+        )
+        blocks = surv if blocks is None else blocks.join(
+            surv, "block_id", "inner"
+        )
+    dnf_survivors = None
+    or_norm = [_norm_predicates(conj) for conj in (any_of or [])]
+    if or_norm:
+        union = None
+        for conj in or_norm:
+            c = _conj_survivors(enc, aliases, conj, None)
+            if c is None:
+                union = None
+                break
+            union = c if union is None else union.unionByName(c)
+        if union is not None:
+            union = union.distinct()
+            dnf_survivors = union.count()
+            blocks = union if blocks is None else blocks.join(
+                union, "block_id", "inner"
+            )
+    survivors = total if blocks is None else blocks.select(
+        "block_id"
+    ).distinct().count()
+    return {
+        "total_blocks": int(total),
+        "survivor_blocks": int(survivors),
+        "selectivity": round(survivors / total, 4) if total else 1.0,
+        "per_predicate": report,
+        "dnf_survivors": dnf_survivors,
+    }
 
 
 def scan_encoded(

@@ -2737,3 +2737,39 @@ def test_incremental_analyze_matches_full(spark, tmp_path):
     post = analyze_table(spark, t, ndv_columns=["s"], incremental=True)
     assert post.get("mode") != "incremental"
     assert post["columns"]["s"]["ndv"] == 7
+
+
+def test_explain_scan_tier_report(spark, tmp_path):
+    """explain_scan reports each tier's honest superset: the zone tier
+    prunes a clustered range, the bloom tier tightens an equality probe
+    beyond zones, and survivor counts agree with the real scan."""
+    from pyrle_spark.plans.encode_job import explain_scan, scan_encoded
+
+    t = str(tmp_path / "t")
+    # clustered by g (sorted order) so zones separate g ranges cleanly
+    df = spark.range(0, 2000, 1, 4).select(
+        (F.col("id")).alias("doc_seq"),
+        (F.col("id") / 200).cast("long").alias("g"),  # 0..9, clustered
+        (F.col("id") % 97).alias("v"),
+    )
+    encode_table(spark, df, t, EncodeConfig(columns=["g", "v"], block_rows=100))
+
+    rep = explain_scan(spark, t, predicates=[("g", 3, 3)])
+    assert rep["total_blocks"] == 20
+    assert rep["per_predicate"][0]["kind"] == "eq"
+    # g=3 lives in exactly 2 of the 20 blocks (200 rows / 100-row blocks)
+    assert rep["survivor_blocks"] == 2
+    assert rep["per_predicate"][0]["final_survivors"] == 2
+    assert rep["selectivity"] == 0.1
+
+    # the report's survivor count matches the actual pushdown scan
+    rows = scan_encoded(spark, t, columns=["g"], predicates=[("g", 3, 3)])
+    assert rows.count() == 200
+
+    # DNF group: g=1 OR g=8 -> 4 blocks
+    rep2 = explain_scan(spark, t, any_of=[[("g", 1, 1)], [("g", 8, 8)]])
+    assert rep2["dnf_survivors"] == 4 and rep2["survivor_blocks"] == 4
+
+    # no predicates: everything survives
+    rep3 = explain_scan(spark, t)
+    assert rep3["survivor_blocks"] == rep3["total_blocks"] == 20
