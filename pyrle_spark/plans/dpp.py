@@ -67,6 +67,19 @@ def semi_join_scan(
     sample = [r[0] for r in keys.limit(max_keys + 1).collect()]
     if len(sample) <= max_keys:
         vals = sorted(v for v in sample if v is not None)
+        if not vals:
+            # empty/all-NULL dim: the semi join is empty — short-circuit
+            # with a schema-stable empty result instead of decoding
+            # every block just to filter it away
+            empty = decode_table(
+                spark, table_dir, columns=columns, snapshot_id=snapshot_id
+            ).filter(F.lit(False))
+            return empty, {
+                "pushed": True,
+                "n_keys": 0,
+                "kept_blocks": 0,
+                "total_blocks": -1,
+            }
         df = scan_encoded(
             spark,
             table_dir,

@@ -2773,3 +2773,23 @@ def test_explain_scan_tier_report(spark, tmp_path):
     # no predicates: everything survives
     rep3 = explain_scan(spark, t)
     assert rep3["survivor_blocks"] == rep3["total_blocks"] == 20
+
+
+def test_semi_join_scan_empty_keys_short_circuit(spark, tmp_path):
+    """An empty (or all-NULL) dim key set returns a schema-stable empty
+    result without decoding any block."""
+    from pyrle_spark.plans.dpp import semi_join_scan
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 300, 1, 2).select(
+        F.col("id").alias("doc_seq"), (F.col("id") % 3).alias("g")
+    )
+    encode_table(spark, df, t, EncodeConfig(columns=["g"], block_rows=100))
+    empty_keys = spark.createDataFrame([], "g long")
+    out, info = semi_join_scan(spark, t, "g", empty_keys, columns=["g"])
+    assert info["pushed"] and info["n_keys"] == 0 and info["kept_blocks"] == 0
+    assert out.count() == 0 and "g" in out.columns
+
+    null_keys = spark.createDataFrame([(None,)], "g long")
+    out2, info2 = semi_join_scan(spark, t, "g", null_keys, columns=["g"])
+    assert info2["n_keys"] == 0 and out2.count() == 0
