@@ -98,6 +98,19 @@ __all__ = ["PyrleDataSource", "register"]
 _ORDER_FIELD = {"name": "_order", "type": "long", "nullable": False, "metadata": {}}
 
 
+def _resolve_read_snapshot(table, options):
+    """Read-time snapshot resolution: ``snapshot`` (id / tag / branch)
+    wins, else ``timestampAsOf`` (epoch ms, FOR TIMESTAMP AS OF along
+    the current parent chain), else the current snapshot (None)."""
+    snap = options.get("snapshot")
+    if snap:
+        return table.resolve_ref(snap)
+    ts = options.get("timestampasof") or options.get("timestampAsOf")
+    if ts:
+        return table.snapshot_as_of(int(ts))
+    return None
+
+
 def _norm_path(p):
     """Normalize a table path option.  The SQL surface (``CREATE TABLE …
     USING pyrle OPTIONS (path '…')``) hands the path through Hadoop's
@@ -290,8 +303,7 @@ class PyrleReader(DataSourceReader):
         if not self.path:
             raise ValueError("pyrle reader requires .load(<table path>)")
         table = IceTable(self.path)
-        snap = options.get("snapshot")
-        self.snapshot_id = table.resolve_ref(snap) if snap else None
+        self.snapshot_id = _resolve_read_snapshot(table, options)
         props = table.properties(self.snapshot_id)
         self.block_rows = int(props["block_rows"])
         aliases = props.get("column_aliases", {})
@@ -1008,8 +1020,7 @@ class PyrleDataSource(DataSource):
         table = IceTable(path)
         if not table.exists():
             raise FileNotFoundError(f"no encoded table at {path}")
-        snap = self.options.get("snapshot")
-        props = table.properties(table.resolve_ref(snap) if snap else None)
+        props = table.properties(_resolve_read_snapshot(table, self.options))
         cols_opt = self.options.get("columns")
         cols = (
             [c.strip() for c in cols_opt.split(",") if c.strip()]

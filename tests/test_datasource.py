@@ -323,3 +323,32 @@ def test_sql_over_temp_view_with_pushdown(spark, tmp_path):
     assert [r["n"] for r in got] == [100] * 5
     assert sum(r["s"] for r in got) == sum(2 * i for i in range(500, 1000))
     spark.catalog.dropTempView("pyrle_v")
+
+
+def test_timestamp_as_of_read_option(spark, tmp_path):
+    """read.format('pyrle').option('timestampAsOf', <epoch ms>) reads
+    the snapshot current at that instant."""
+    import pyspark.sql.functions as F
+
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+    from pyrle_spark.sources.datasource import register
+    from pyrle_spark.sources.icetable import IceTable
+
+    register(spark)
+    t = str(tmp_path / "t")
+    df1 = spark.range(0, 200, 1, 2).select(
+        F.col("id").alias("doc_seq"), (F.col("id") * 2).alias("v")
+    )
+    encode_table(spark, df1, t, EncodeConfig(columns=["v"], block_rows=100))
+    table = IceTable(t)
+    s1 = table.current_snapshot_id()
+    ts1 = next(s["timestamp_ms"] for s in table.snapshots() if s["id"] == s1)
+
+    df2 = spark.range(200, 400, 1, 2).select(
+        F.col("id").alias("doc_seq"), (F.col("id") * 2).alias("v")
+    )
+    encode_table(spark, df2, t, EncodeConfig(columns=["v"], block_rows=100))
+
+    old = spark.read.format("pyrle").option("timestampAsOf", str(ts1)).load(t)
+    assert old.count() == 200
+    assert spark.read.format("pyrle").load(t).count() == 400
