@@ -1035,7 +1035,12 @@ class IceTable:
             "reclaimed_bytes": reclaimed,
         }
 
-    def vacuum(self, older_than_s: float = 10_800.0, force: bool = False) -> dict:
+    def vacuum(
+        self,
+        older_than_s: float = 10_800.0,
+        force: bool = False,
+        dry_run: bool = False,
+    ) -> dict:
         """Iceberg-style ``remove_orphan_files``: delete files under
         ``data/`` that NO retained snapshot manifest and no delete-vector
         manifest references — the residue of a writer killed between its
@@ -1057,7 +1062,17 @@ class IceTable:
         the walk (a commit racing the scan could otherwise publish a
         manifest referencing a file vacuum already judged orphaned).
 
-        Returns ``{"deleted_files": n, "reclaimed_bytes": n}``."""
+        ``dry_run=True`` reports what WOULD be deleted (same counts plus
+        the candidate paths under ``"candidates"``) without removing
+        anything — the look-before-you-leap mode every destructive
+        maintenance action should offer.
+
+        Returns ``{"deleted_files": n, "reclaimed_bytes": n}`` (plus
+        ``"candidates"`` when dry_run)."""
+        if dry_run:
+            # no deletions → no floor needed; still lock for a stable view
+            with commit_lock(self.path):
+                return self._vacuum_locked(older_than_s, dry_run=True)
         if older_than_s < 600.0 and not force:
             raise ValueError(
                 f"vacuum(older_than_s={older_than_s}) below the 600s safety "
@@ -1067,7 +1082,7 @@ class IceTable:
         with commit_lock(self.path):
             return self._vacuum_locked(older_than_s)
 
-    def _vacuum_locked(self, older_than_s: float) -> dict:
+    def _vacuum_locked(self, older_than_s: float, dry_run: bool = False) -> dict:
         meta = self._read_meta()
         live = set()
         for s in meta["snapshots"]:
@@ -1079,6 +1094,7 @@ class IceTable:
                 for e in json.load(f):
                     live.add(os.path.realpath(e["file"]))
         deleted = reclaimed = 0
+        candidates: list = []
         seen = 0
         cutoff = time.time() - max(0.0, older_than_s)
         data_root = os.path.join(self.path, "data")
@@ -1101,15 +1117,21 @@ class IceTable:
                     if os.path.getmtime(full) > cutoff:
                         continue
                     reclaimed += os.path.getsize(full)
-                    os.remove(full)
+                    if dry_run:
+                        candidates.append(full)
+                    else:
+                        os.remove(full)
                     deleted += 1
                     if deleted % 100 == 0:
                         touch_lock(self.path)
                 except FileNotFoundError:
                     continue
-            if root != data_root and not os.listdir(root):
+            if not dry_run and root != data_root and not os.listdir(root):
                 os.rmdir(root)
-        return {"deleted_files": deleted, "reclaimed_bytes": reclaimed}
+        out = {"deleted_files": deleted, "reclaimed_bytes": reclaimed}
+        if dry_run:
+            out["candidates"] = candidates
+        return out
 
 
 def clone_table(src_dir: str, dst_dir: str) -> dict:

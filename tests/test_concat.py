@@ -175,3 +175,34 @@ def test_shallow_clone_diverges_and_gc_is_ownership_safe(spark, tmp_path):
 
     with _pytest.raises(FileExistsError):
         clone_table(a, b)
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    import os
+
+    from pyrle_spark.sources.icetable import IceTable
+
+    t = IceTable(str(tmp_path / "t"))
+    t.write_snapshot(spark.range(0, 50).toDF("id"))
+    # plant an orphan (a killed writer's stranded output)
+    orphan_dir = os.path.join(t.path, "data", "deadbeef-0000")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-zzz.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"x" * 1234)
+    old = 0
+    os.utime(orphan, (old, old))
+
+    rep = t.vacuum(dry_run=True)
+    assert os.path.exists(orphan)  # nothing deleted
+    assert orphan in rep["candidates"]
+    assert rep["deleted_files"] == len(rep["candidates"]) >= 1
+    assert rep["reclaimed_bytes"] >= 1234
+    # every candidate must be a genuine orphan: dead by mtime, unreferenced
+    live = {f["path"] for sn in t.snapshots()
+            for f in t._manifest(sn["id"])["files"]}
+    assert not (set(rep["candidates"]) & live)
+
+    real = t.vacuum(older_than_s=0.0, force=True)
+    assert real["deleted_files"] >= len(rep["candidates"])
+    assert not os.path.exists(orphan)
