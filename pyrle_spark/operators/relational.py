@@ -1555,6 +1555,59 @@ def encoded_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delete_where_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate MoR delete end-to-end: encode ``documents``, run
+    ``DELETE WHERE n_chars >= 460 OR (lang = 'fr' AND n_chars < 410)``
+    through :func:`plans.encode_job.delete_where_pred` (zone ∩ bloom
+    pruned resolution, position-delete commit, no block rewrite), then
+    decode and aggregate the survivors.  Oracle = the complementary
+    WHERE on the raw table — equality proves the predicate delete
+    removed exactly the matching rows and nothing else."""
+    import tempfile
+
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        decode_table,
+        delete_where_pred,
+        encode_table,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    cols = ["lang", "source", "n_chars"]
+    out_dir = tempfile.mkdtemp(prefix="delete_pred_")
+    encode_table(
+        spark,
+        _fixture_ordered(docs, cols, key_cols=("lang",)),
+        out_dir,
+        EncodeConfig(columns=cols, order_col="_seq", block_rows=64),
+    )
+    info = delete_where_pred(
+        spark,
+        out_dir,
+        any_of=[
+            [("n_chars", 460, None)],
+            [("lang", "fr", "fr"), ("n_chars", None, 409)],
+        ],
+    )
+    assert info["n_positions"] > 0, "the delete must match rows"
+    return (
+        decode_table(spark, out_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_DELETE_WHERE_RANGE_AGG_SQL = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE NOT (n_chars >= 460 OR (lang = 'fr' AND n_chars < 410))
+GROUP BY lang
+"""
+
+
 _ENCODED_JOIN_AGG_SQL = """
 SELECT lang, source, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
@@ -5528,6 +5581,7 @@ QUERIES = {
     "concat_tables_agg": concat_tables_agg,
     "clone_diverge_agg": clone_diverge_agg,
     "encoded_join_agg": encoded_join_agg,
+    "delete_where_range_agg": delete_where_range_agg,
     "dsv2_pushdown_agg": dsv2_pushdown_agg,
     "dsv2_roundtrip_count": dsv2_roundtrip_count,
     "compressed_count_by_lang": compressed_count_by_lang,
@@ -5593,6 +5647,7 @@ ORACLE_SQL = {
     "concat_tables_agg": _CONCAT_TABLES_AGG_SQL,
     "clone_diverge_agg": _CLONE_DIVERGE_AGG_SQL,
     "encoded_join_agg": _ENCODED_JOIN_AGG_SQL,
+    "delete_where_range_agg": _DELETE_WHERE_RANGE_AGG_SQL,
     "dsv2_pushdown_agg": _DSV2_PUSHDOWN_AGG_SQL,
     "dsv2_roundtrip_count": _DSV2_ROUNDTRIP_COUNT_SQL,
     "compressed_count_by_lang": _COMPRESSED_COUNT_SQL,

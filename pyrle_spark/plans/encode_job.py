@@ -59,6 +59,7 @@ __all__ = [
     "decode_table",
     "delete_rows",
     "delete_where",
+    "delete_where_pred",
     "drop_column",
     "incremental_deletes",
     "limit_scan",
@@ -1279,6 +1280,33 @@ def delete_where(
     live = prune_blocks_in(enc, physical_column(table, column), values)
     dec = decode_table(spark, table_dir, columns=[column], blocks=live)
     doomed = dec.filter(F.col(column).isin(values)).select("_order")
+    return delete_rows(spark, table_dir, doomed)
+
+
+def delete_where_pred(
+    spark: SparkSession,
+    table_dir: str,
+    predicates: list | None = None,
+    any_of: list | None = None,
+) -> dict:
+    """Predicate delete — ``DELETE FROM t WHERE <conjunction / DNF>`` in
+    the same tuple forms :func:`scan_encoded` takes (range, equality,
+    IN).  Generalizes :func:`delete_where`'s equality-only form: the
+    predicate pushes down through zone ∩ bloom pruning, only surviving
+    blocks decode (only the predicate's columns), and matching
+    ``_order`` positions become one position-delete commit — the cost is
+    O(matching blocks), never a table rewrite.
+
+    Returns :func:`delete_rows`'s summary."""
+    need = sorted(
+        {p[0] for p in (predicates or [])}
+        | {p[0] for conj in (any_of or []) for p in conj}
+    )
+    if not need:
+        raise ValueError("delete_where_pred requires at least one predicate")
+    doomed = scan_encoded(
+        spark, table_dir, columns=need, predicates=predicates, any_of=any_of
+    ).select("_order")
     return delete_rows(spark, table_dir, doomed)
 
 

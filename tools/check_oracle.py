@@ -151,7 +151,14 @@ def main() -> int:
             note = "; ".join(p for p in problems if "WARNING" in p)
             print(f"ok    {name} ({dt:.1f}s, {len(got)} rows){' | ' + note if note else ''}")
     out_json = os.environ.get("SPARK_GRAFT_ORACLE_JSON")
-    if out_json and not only:
+    if out_json:
+        if only and os.path.exists(out_json):
+            # partial refresh: merge the rows just run into the existing
+            # artifact (new queries certified without re-running all)
+            with open(out_json) as f:
+                prior = json.load(f)
+            prior.update(records)
+            records = prior
         with open(out_json, "w") as f:
             json.dump(records, f, indent=2)
         print(f"wrote {out_json} ({len(records)} rows)")
