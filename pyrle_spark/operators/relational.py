@@ -5076,6 +5076,64 @@ FROM documents WHERE lang = 'fr' AND n_chars >= 300 GROUP BY source
 """
 
 
+def hilbert_prune_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`zorder_prune_agg`'s twin on the HILBERT curve
+    (``rewrite_zorder(curve="hilbert")``): same two-predicate question
+    answered through bloom ∩ zone survivors on the Hilbert-clustered
+    layout, same naive-scan oracle.  Proves the alternative
+    space-filling curve keeps the exactness contract while clustering
+    both dimensions (strict-subset assert in-query)."""
+    import tempfile
+
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        decode_table,
+        dedup_blocks,
+        encode_table,
+        prune_blocks,
+        prune_blocks_eq,
+    )
+    from pyrle_spark.plans.zorder import rewrite_zorder
+    from pyrle_spark.sources.icetable import IceTable
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("_seq"), "lang", "source", "n_chars"
+    )
+    src_dir = tempfile.mkdtemp(prefix="hilbert_src_")
+    out_dir = tempfile.mkdtemp(prefix="hilbert_out_")
+    cols = ["lang", "source", "n_chars"]
+    encode_table(
+        spark,
+        docs,
+        src_dir,
+        EncodeConfig(columns=cols, order_col="_seq", block_rows=64,
+                     shuffle_partitions=16),
+    )
+    info = rewrite_zorder(
+        spark, src_dir, out_dir, ["lang", "n_chars"], block_rows=64,
+        shuffle_partitions=16, curve="hilbert",
+    )
+    assert info["n_runs_after"] < info["n_runs_before"], "clustering must bite"
+    enc = dedup_blocks(IceTable(out_dir).read_table(spark))
+    total = enc.select("block_id").distinct().count()
+    live = prune_blocks_eq(enc, "lang", "fr").join(
+        prune_blocks(enc, "n_chars", lo=300), "block_id", "left_semi"
+    )
+    assert live.select("block_id").distinct().count() < total
+    dec = decode_table(spark, out_dir, blocks=live)
+    return (
+        dec.filter((F.col("lang") == "fr") & (F.col("n_chars") >= 300))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_HILBERT_PRUNE_AGG_SQL = _ZORDER_PRUNE_AGG_SQL
+
+
 def zorder_after_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE under live table churn (r02 verdict task #6): the Z-order
     rewrite runs on a table that carries merge-on-read position deletes
@@ -5527,6 +5585,7 @@ QUERIES = {
     "incremental_view_maint": incremental_view_maint,
     "analyze_stats": analyze_stats,
     "zorder_prune_agg": zorder_prune_agg,
+    "hilbert_prune_agg": hilbert_prune_agg,
     "zorder_after_mor": zorder_after_mor,
     "partition_prune_agg": partition_prune_agg,
     "partition_prune_days": partition_prune_days,
@@ -5636,6 +5695,7 @@ ORACLE_SQL = {
     "merge_upsert_agg": _MERGE_UPSERT_AGG_SQL,
     "text_search_pruned": _TEXT_SEARCH_PRUNED_SQL,
     "zorder_prune_agg": _ZORDER_PRUNE_AGG_SQL,
+    "hilbert_prune_agg": _HILBERT_PRUNE_AGG_SQL,
     "zorder_after_mor": _ZORDER_AFTER_MOR_SQL,
     "analyze_stats": _ANALYZE_STATS_SQL,
     "table_changes_agg": _table_changes_sql(),
