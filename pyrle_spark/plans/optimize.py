@@ -262,5 +262,12 @@ def optimize_table(
         if action == "rewrite_sorted":
             out["applied"] = fn(spark, table_dir, out_dir, order_by)
         else:
-            out["applied"] = fn(spark, table_dir, out_dir, zorder_by=order_by)
+            # two clustering dimensions: the Hilbert walk gives strictly
+            # tighter block rectangles than Morton's interleave (no
+            # power-of-two teleports); >2 columns stay Morton (Hilbert
+            # here is defined for 2-D)
+            curve = "hilbert" if len(order_by) == 2 else "morton"
+            out["applied"] = fn(
+                spark, table_dir, out_dir, zorder_by=order_by, curve=curve
+            )
     return out
