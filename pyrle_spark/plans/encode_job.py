@@ -80,6 +80,13 @@ __all__ = [
     "verify_checksums",
 ]
 
+# decode's delete-application strategy switch: at or below this many
+# visible delete positions the set materializes driver-side (list +
+# broadcast anti-join + dict dead-block tally); above it everything
+# stays distributed (parquet-relation anti-join + grouped dead-block
+# prune) — a mass takedown must never OOM the driver
+_DELETE_DRIVER_MAX = 1_000_000
+
 ENCODED_SPARK_SCHEMA = (
     "block_id long, column string, codec string, arrow_type string, "
     "n_rows long, meta string, buffers map<string,binary>, "
@@ -1310,13 +1317,11 @@ def delete_where_pred(
     return delete_rows(spark, table_dir, doomed)
 
 
-def _delete_positions(table_dir: str, snapshot_id: str | None) -> list:
-    """All deleted ``_order`` positions visible at ``snapshot_id``
-    (None = latest): delete files tagged with a snapshot at-or-before it
-    in the snapshot log."""
+def _visible_delete_files(table_dir: str, snapshot_id: str | None) -> list:
+    """Paths of the delete-vector files visible at ``snapshot_id``
+    (None = latest): entries tagged with a snapshot at-or-before it in
+    the snapshot log.  Metadata-only (no parquet reads)."""
     import os
-
-    import pyarrow.parquet as pq
 
     manifest_path = os.path.join(table_dir, "deletes", "manifest.json")
     if not os.path.exists(manifest_path):
@@ -1351,10 +1356,18 @@ def _delete_positions(table_dir: str, snapshot_id: str | None) -> list:
                 return True  # unparseable legacy tag: err toward applying
         return read_ts is None or ts <= read_ts
 
-    visible = [e for e in entries if _visible(e)]
+    return [e["file"] for e in entries if _visible(e)]
+
+
+def _delete_positions(table_dir: str, snapshot_id: str | None) -> list:
+    """All deleted ``_order`` positions visible at ``snapshot_id``,
+    materialized driver-side (the small-set path; decode_table switches
+    to a distributed anti-join past ``_DELETE_DRIVER_MAX``)."""
+    import pyarrow.parquet as pq
+
     out: set = set()
-    for e in visible:
-        out.update(pq.read_table(e["file"], columns=["_order"])["_order"].to_pylist())
+    for f in _visible_delete_files(table_dir, snapshot_id):
+        out.update(pq.read_table(f, columns=["_order"])["_order"].to_pylist())
     return sorted(out)
 
 
@@ -2717,18 +2730,46 @@ def decode_table(
             "block_id",
             "left_semi",
         )
-    deleted: list = _delete_positions(table_dir, snapshot_id) if apply_deletes else []
-    if deleted:
-        # prune fully-deleted blocks before any decode work: the position
-        # set is driver-resident and small (O(deleted rows)), so the
-        # per-block tally is a dict pass, not a Spark job
-        per_block: dict = {}
-        for p in deleted:
-            b = p // block_rows
-            per_block[b] = per_block.get(b, 0) + 1
-        dead = [b for b, n in per_block.items() if n >= block_rows]
-        if dead:
-            enc = enc.filter(~F.col("block_id").isin(dead))
+    del_files = (
+        _visible_delete_files(table_dir, snapshot_id) if apply_deletes else []
+    )
+    deleted: list = []
+    dels_df = None
+    if del_files:
+        import pyarrow.parquet as pq
+
+        # footer-only row count decides the strategy: small sets stay on
+        # the driver (list + broadcast anti-join); big sets — a mass
+        # takedown or a giant MERGE — never materialize driver-side and
+        # anti-join as a distributed relation instead
+        n_del = sum(pq.ParquetFile(f).metadata.num_rows for f in del_files)
+        if n_del <= _DELETE_DRIVER_MAX:
+            deleted = _delete_positions(table_dir, snapshot_id)
+            # prune fully-deleted blocks before any decode work: the
+            # position set is driver-resident and small, so the
+            # per-block tally is a dict pass, not a Spark job
+            per_block: dict = {}
+            for p in deleted:
+                b = p // block_rows
+                per_block[b] = per_block.get(b, 0) + 1
+            dead = [b for b, n in per_block.items() if n >= block_rows]
+            if dead:
+                enc = enc.filter(~F.col("block_id").isin(dead))
+        else:
+            dels_df = (
+                spark.read.parquet(*del_files).select("_order").distinct()
+            )
+            dead_df = (
+                dels_df.groupBy(
+                    F.floor(F.col("_order") / block_rows)
+                    .cast("long")
+                    .alias("block_id")
+                )
+                .count()
+                .filter(F.col("count") >= block_rows)
+                .select("block_id")
+            )
+            enc = enc.join(dead_df, "block_id", "left_anti")
     enc = dedup_blocks(enc)
     enc = enc.repartition("block_id").sortWithinPartitions("block_id", "column")
     # ONE job resolves every column's arrow type (was one scan per column).
@@ -2801,6 +2842,8 @@ def decode_table(
             [(int(p),) for p in deleted], "_order long"
         )
         out = out.join(F.broadcast(dels), "_order", "left_anti")
+    elif dels_df is not None:
+        out = out.join(dels_df, "_order", "left_anti")
     return out
 
 

@@ -2793,3 +2793,26 @@ def test_semi_join_scan_empty_keys_short_circuit(spark, tmp_path):
     null_keys = spark.createDataFrame([(None,)], "g long")
     out2, info2 = semi_join_scan(spark, t, "g", null_keys, columns=["g"])
     assert info2["n_keys"] == 0 and out2.count() == 0
+
+
+def test_decode_big_delete_distributed_path(spark, tmp_path, monkeypatch):
+    """Above the driver threshold, deletes apply through the distributed
+    anti-join (no driver materialization) and match the driver path
+    row-for-row, including full-block pruning."""
+    import pyrle_spark.plans.encode_job as ej
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 2000, 1, 4).select(
+        F.col("id").alias("doc_seq"), (F.col("id") * 3).alias("v")
+    )
+    encode_table(spark, df, t, EncodeConfig(columns=["v"], block_rows=100))
+    # kill blocks 0-1 entirely plus a scattering
+    from pyrle_spark.plans.encode_job import decode_table, delete_rows
+
+    delete_rows(spark, t, list(range(0, 200)) + [500, 777, 1999])
+    small = decode_table(spark, t).orderBy("_order").toPandas()
+    assert len(small) == 2000 - 203
+
+    monkeypatch.setattr(ej, "_DELETE_DRIVER_MAX", 2)  # force the big path
+    big = decode_table(spark, t).orderBy("_order").toPandas()
+    assert big.equals(small)
