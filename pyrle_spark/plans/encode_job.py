@@ -77,6 +77,7 @@ __all__ = [
     "prune_blocks_in",
     "scan_encoded",
     "explain_scan",
+    "count_rows",
     "verify_checksums",
 ]
 
@@ -2887,6 +2888,47 @@ def _spark_type_of(at: str) -> str:
     if at.startswith("timestamp"):
         return "timestamp_ntz" if "tz=" not in at else "timestamp"
     return mapping[at]
+
+
+def count_rows(
+    spark: SparkSession, table_dir: str, snapshot_id: str | None = None
+) -> int:
+    """``SELECT count(*)`` without touching a data buffer: live manifest
+    rows of one column minus the visible delete positions that land on
+    live blocks.  One thin-column aggregation over the manifest + a
+    footer-only count of the delete vectors (positions are deduped and
+    checked against live blocks via the same driver/distributed split
+    decode uses) — O(#blocks + #delete files) metadata, zero decode."""
+    table = IceTable(table_dir)
+    if snapshot_id:
+        snapshot_id = table.resolve_ref(snapshot_id)
+    props = table.properties(snapshot_id)
+    if not props:
+        return 0
+    block_rows = int(props["block_rows"])
+    enc = dedup_blocks(table.read_table(spark, snapshot_id))
+    first = enc.select("column").orderBy("column").limit(1).collect()
+    if not first:
+        return 0
+    col0 = first[0][0]
+    rows = (
+        enc.filter(F.col("column") == col0)
+        .select("block_id", "n_rows")
+        .collect()
+    )
+    live_blocks = {int(r["block_id"]): int(r["n_rows"]) for r in rows}
+    total = sum(live_blocks.values())
+    dels = _delete_positions(table_dir, snapshot_id)
+    # only deletes on LIVE blocks count (compaction may have dropped a
+    # fully-deleted block; its positions must not subtract twice), and a
+    # position past the block's actual row count never matched a row
+    n_del = sum(
+        1
+        for p in dels
+        if (b := p // block_rows) in live_blocks
+        and p % block_rows < live_blocks[b]
+    )
+    return total - n_del
 
 
 def verify_checksums(spark: SparkSession, table_dir: str) -> dict:

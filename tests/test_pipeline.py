@@ -2816,3 +2816,29 @@ def test_decode_big_delete_distributed_path(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(ej, "_DELETE_DRIVER_MAX", 2)  # force the big path
     big = decode_table(spark, t).orderBy("_order").toPandas()
     assert big.equals(small)
+
+
+def test_count_rows_metadata_only(spark, tmp_path):
+    """count_rows equals the decoded count through appends, deletes
+    (incl. full-block and out-of-range-position edge), and time travel
+    — without decoding a buffer."""
+    from pyrle_spark.plans.encode_job import count_rows, decode_table, delete_rows
+    from pyrle_spark.sources.icetable import IceTable
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 950, 1, 4).select(
+        F.col("id").alias("doc_seq"), (F.col("id") * 2).alias("v")
+    )
+    encode_table(spark, df, t, EncodeConfig(columns=["v"], block_rows=100))
+    assert count_rows(spark, t) == 950 == decode_table(spark, t).count()
+
+    snap1 = IceTable(t).current_snapshot_id()
+    delete_rows(spark, t, list(range(0, 100)) + [500, 949])
+    assert count_rows(spark, t) == 950 - 102 == decode_table(spark, t).count()
+    # time travel agrees with decode's visibility rule: a delete tags
+    # the snapshot current at delete time (deletes commit no snapshot),
+    # so reads AT that snapshot see it too
+    assert (
+        count_rows(spark, t, snapshot_id=snap1)
+        == decode_table(spark, t, snapshot_id=snap1).count()
+    )
