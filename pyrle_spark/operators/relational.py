@@ -1600,6 +1600,43 @@ def delete_where_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def metadata_count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT count(*)`` answered from METADATA alone: encode
+    ``documents[doc_id < 500]``, position-delete 40 rows, and produce
+    the live count via :func:`plans.encode_job.count_rows` (one
+    thin-column manifest aggregation minus visible delete positions —
+    zero buffers decoded).  The in-query cross-check against the real
+    decode pins agreement; the oracle recomputes from the raw table."""
+    import tempfile
+
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        count_rows,
+        decode_table,
+        delete_rows,
+        encode_table,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    cols = ["lang", "n_chars"]
+    out_dir = tempfile.mkdtemp(prefix="count_rows_")
+    encode_table(
+        spark,
+        _fixture_ordered(docs.filter(F.col("doc_id") < 500), cols),
+        out_dir,
+        EncodeConfig(columns=cols, order_col="_seq", block_rows=64),
+    )
+    delete_rows(spark, out_dir, range(100, 140))
+    n = count_rows(spark, out_dir)
+    assert n == decode_table(spark, out_dir).count()
+    return spark.createDataFrame([(n,)], "n_rows long")
+
+
+_METADATA_COUNT_ROWS_SQL = """
+SELECT count(*) - 40 AS n_rows FROM documents WHERE doc_id < 500
+"""
+
+
 _DELETE_WHERE_RANGE_AGG_SQL = """
 SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
@@ -5641,6 +5678,7 @@ QUERIES = {
     "clone_diverge_agg": clone_diverge_agg,
     "encoded_join_agg": encoded_join_agg,
     "delete_where_range_agg": delete_where_range_agg,
+    "metadata_count_rows": metadata_count_rows,
     "dsv2_pushdown_agg": dsv2_pushdown_agg,
     "dsv2_roundtrip_count": dsv2_roundtrip_count,
     "compressed_count_by_lang": compressed_count_by_lang,
@@ -5708,6 +5746,7 @@ ORACLE_SQL = {
     "clone_diverge_agg": _CLONE_DIVERGE_AGG_SQL,
     "encoded_join_agg": _ENCODED_JOIN_AGG_SQL,
     "delete_where_range_agg": _DELETE_WHERE_RANGE_AGG_SQL,
+    "metadata_count_rows": _METADATA_COUNT_ROWS_SQL,
     "dsv2_pushdown_agg": _DSV2_PUSHDOWN_AGG_SQL,
     "dsv2_roundtrip_count": _DSV2_ROUNDTRIP_COUNT_SQL,
     "compressed_count_by_lang": _COMPRESSED_COUNT_SQL,
