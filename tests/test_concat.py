@@ -206,3 +206,36 @@ def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
     real = t.vacuum(older_than_s=0.0, force=True)
     assert real["deleted_files"] >= len(rep["candidates"])
     assert not os.path.exists(orphan)
+
+
+def test_clone_binpack_concat_interaction(spark, tmp_path):
+    """The three table ops compose: a shallow clone binpacks its SHARED
+    files into its own data root (source untouched), then a concat
+    appends on top of the packed layout — decode stays exact at every
+    step and the source never changes."""
+    from pyrle_spark.plans.binpack import rewrite_binpack
+    from pyrle_spark.sources.icetable import IceTable, clone_table
+
+    src, extra = str(tmp_path / "src"), str(tmp_path / "x")
+    cl = str(tmp_path / "cl")
+    _enc(spark, src, 0, 1000)
+    _enc(spark, extra, 0, 300, mult=11)
+    src_before = decode_table(spark, src).orderBy("_order").toPandas()
+
+    clone_table(src, cl)
+    info = rewrite_binpack(spark, cl, target_file_bytes=1 << 20)
+    assert info["snapshot_id"] is not None and info["new_files"] >= 1
+    # packed files live under the CLONE's data root, source files untouched
+    packed = IceTable(cl)._manifest(IceTable(cl).current_snapshot_id())["files"]
+    assert all(p["path"].startswith(cl) for p in packed)
+    got = decode_table(spark, cl).orderBy("_order").toPandas()
+    assert got.equals(src_before)
+
+    info2 = concat_tables(spark, cl, extra)
+    assert info2["snapshot_id"] is not None
+    combined = decode_table(spark, cl).orderBy("_order").toPandas()
+    assert len(combined) == 1300
+    assert list(combined["v"][:1000]) == [3 * i for i in range(1000)]
+    assert list(combined["v"][1000:]) == [11 * i for i in range(300)]
+    # source still pristine after both mutations on the clone
+    assert decode_table(spark, src).orderBy("_order").toPandas().equals(src_before)
