@@ -1637,6 +1637,56 @@ SELECT count(*) - 40 AS n_rows FROM documents WHERE doc_id < 500
 """
 
 
+def null_count_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validity-aware NULL counting: nulls are injected ONLY into the
+    low-doc_id region (``doc_id % 7 == 0 AND doc_id < 50``), so after
+    the doc_id-ordered encode the validity bitmaps cluster in the first
+    block and :func:`plans.compressed.count_nulls` decodes just the
+    null-bearing blocks — everything else prunes on the
+    ``has_validity`` meta flag (asserted in-query).  Oracle = the raw
+    count of the injected predicate."""
+    import tempfile
+
+    from pyrle_spark.plans.compressed import count_nulls
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        dedup_blocks,
+        encode_table,
+    )
+    from pyrle_spark.sources.icetable import IceTable
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "lang_n",
+        F.when(
+            (F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 50), F.lit(None)
+        ).otherwise(F.col("lang")),
+    )
+    cols = ["lang_n", "n_chars"]
+    out_dir = tempfile.mkdtemp(prefix="null_count_")
+    encode_table(
+        spark,
+        _fixture_ordered(docs, cols),
+        out_dir,
+        EncodeConfig(columns=cols, order_col="_seq", block_rows=64),
+    )
+    enc = dedup_blocks(IceTable(out_dir).read_table(spark)).filter(
+        F.col("column") == "lang_n"
+    )
+    with_validity = enc.filter(
+        F.get_json_object(F.col("meta"), "$.has_validity") == "true"
+    ).count()
+    total_blocks = enc.count()
+    assert 0 < with_validity < total_blocks, "validity pruning must bite"
+    n = count_nulls(spark, out_dir, "lang_n")
+    return spark.createDataFrame([(n,)], "n_nulls long")
+
+
+_NULL_COUNT_PRUNED_SQL = """
+SELECT count(*) AS n_nulls FROM documents
+WHERE doc_id % 7 = 0 AND doc_id < 50
+"""
+
+
 _DELETE_WHERE_RANGE_AGG_SQL = """
 SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
@@ -5679,6 +5729,7 @@ QUERIES = {
     "encoded_join_agg": encoded_join_agg,
     "delete_where_range_agg": delete_where_range_agg,
     "metadata_count_rows": metadata_count_rows,
+    "null_count_pruned": null_count_pruned,
     "dsv2_pushdown_agg": dsv2_pushdown_agg,
     "dsv2_roundtrip_count": dsv2_roundtrip_count,
     "compressed_count_by_lang": compressed_count_by_lang,
@@ -5747,6 +5798,7 @@ ORACLE_SQL = {
     "encoded_join_agg": _ENCODED_JOIN_AGG_SQL,
     "delete_where_range_agg": _DELETE_WHERE_RANGE_AGG_SQL,
     "metadata_count_rows": _METADATA_COUNT_ROWS_SQL,
+    "null_count_pruned": _NULL_COUNT_PRUNED_SQL,
     "dsv2_pushdown_agg": _DSV2_PUSHDOWN_AGG_SQL,
     "dsv2_roundtrip_count": _DSV2_ROUNDTRIP_COUNT_SQL,
     "compressed_count_by_lang": _COMPRESSED_COUNT_SQL,

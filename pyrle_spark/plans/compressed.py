@@ -35,6 +35,7 @@ from pyrle_spark.plans.encode_job import (
 from pyrle_spark.sources.icetable import IceTable
 
 __all__ = [
+    "count_nulls",
     "agg_join_dim",
     "count_by_value",
     "count_where_eq",
@@ -1721,3 +1722,47 @@ def agg_join_dim(
         F.sum("n_rows").alias("n_rows"),
         F.sum("sum_value").alias("sum_value"),
     )
+
+
+def count_nulls(
+    spark: SparkSession,
+    table_dir: str,
+    column: str,
+    snapshot_id: str | None = None,
+) -> int:
+    """Exact NULL count of one column with validity-aware pruning: a
+    block whose meta carries no ``has_validity`` flag stores ZERO nulls
+    (the validity bitmap is only attached when some slot is null), so
+    only null-bearing blocks decode — on a mostly-complete corpus the
+    scan touches almost nothing.  Delete-aware: merge-on-read kills
+    mask the bitmap before counting (removing a NULL row must lower the
+    answer).  Deletes never create nulls, so validity-free blocks stay
+    pruned regardless."""
+    table = IceTable(table_dir)
+    phys = physical_column(table, column, snapshot_id)
+    block_rows = int(table.properties(snapshot_id)["block_rows"])
+    dmap = _delete_map(table_dir, snapshot_id, block_rows)
+    enc = dedup_blocks(
+        table.read_table(spark, snapshot_id).filter(F.col("column") == phys)
+    ).filter(
+        F.get_json_object(F.col("meta"), "$.has_validity") == "true"
+    )
+
+    def _count(batches):
+        from pyrle_spark.codecs import decode_array
+
+        for batch in batches:
+            total = 0
+            for row in batch.to_pylist():
+                e = Encoded.from_row(row)
+                arr = decode_array(e)
+                kill = dmap.get(row["block_id"])
+                if kill is not None and len(kill):
+                    arr = arr.filter(pa.array(_keep_mask(len(arr), kill)))
+                total += arr.null_count
+            yield pa.RecordBatch.from_pydict(
+                {"n": pa.array([total], pa.int64())}
+            )
+
+    parts = enc.mapInArrow(_count, "n long").agg(F.sum("n")).first()[0]
+    return int(parts or 0)

@@ -2842,3 +2842,24 @@ def test_count_rows_metadata_only(spark, tmp_path):
         count_rows(spark, t, snapshot_id=snap1)
         == decode_table(spark, t, snapshot_id=snap1).count()
     )
+
+
+def test_count_nulls_delete_aware(spark, tmp_path):
+    """count_nulls decodes only validity-bearing blocks and respects
+    merge-on-read deletes (killing a NULL row lowers the answer;
+    killing a non-null row does not)."""
+    from pyrle_spark.plans.compressed import count_nulls
+    from pyrle_spark.plans.encode_job import delete_rows
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 1000, 1, 4).select(
+        F.col("id").alias("doc_seq"),
+        F.when(F.col("id") < 10, F.lit(None))
+        .otherwise(F.col("id"))
+        .alias("v"),
+    )
+    encode_table(spark, df, t, EncodeConfig(columns=["v"], block_rows=100))
+    assert count_nulls(spark, t, "v") == 10
+
+    delete_rows(spark, t, [0, 1, 500])  # 2 null rows + 1 non-null
+    assert count_nulls(spark, t, "v") == 8
