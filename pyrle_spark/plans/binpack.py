@@ -134,9 +134,24 @@ def rewrite_binpack(
             spark.read.parquet(*paths)
             .withColumn(
                 "_pack",
+                # input_file_name() is a percent-encoded file URI; the
+                # map keys are os.path.abspath strings, so the path must
+                # be URI-decoded or spaces/non-ASCII never match and the
+                # row lands in the Hive default partition (grouping
+                # silently degrades).  A literal '+' is raw in a URI
+                # path but url_decode would turn it into a space —
+                # re-escape it first.
                 F.element_at(
                     mapping,
-                    F.regexp_replace(F.input_file_name(), "^file:/*", "/"),
+                    F.url_decode(
+                        F.regexp_replace(
+                            F.regexp_replace(
+                                F.input_file_name(), "^file:/*", "/"
+                            ),
+                            "\\+",
+                            "%2B",
+                        )
+                    ),
                 ),
             )
             .repartition(len(group_packs), "_pack")

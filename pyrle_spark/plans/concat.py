@@ -22,9 +22,11 @@ Differences the copy reconciles:
 - TYPE WIDTH: blocks keep their own arrow_type; decode promotes to the
   widest per Iceberg's int→long / float→double rule (existing path);
 - src's merge-on-read deletes: carried as one delete-vector commit with
-  every position shifted by ``shift_blocks * block_rows``, committed
-  BEFORE the snapshot so there is no window where src's deleted rows
-  are visible through dst.
+  every position shifted by ``shift_blocks * block_rows``, published
+  BEFORE the snapshot but CONDITIONAL on it (``only_if_snapshot``) —
+  no window where src's deleted rows are visible through dst, and no
+  crash window where an orphaned vector could delete rows a later
+  append allocates at those block ids.
 
 Requires equal ``block_rows`` and equal live logical column sets —
 anything else is a schema merge, not a concat, and raises.
@@ -46,6 +48,37 @@ from pyrle_spark.plans.encode_job import (
 from pyrle_spark.sources.icetable import IceTable
 
 __all__ = ["concat_tables"]
+
+# Spark-type promotion families (jsonValue strings), mirroring decode's
+# block-width rule: a column whose two sides disagree within a family
+# records the WIDER type; disagreement across families is a broken table.
+_WIDEN = {
+    frozenset({"integer", "long"}): "long",
+    frozenset({"float", "double"}): "double",
+}
+
+
+def _merge_source_schema(src: dict, dst: dict) -> dict:
+    out = dict(src)
+    for c, dt in dst.items():
+        st = out.get(c)
+        if st is None or st == dt:
+            out[c] = dt
+            continue
+        wide = _WIDEN.get(frozenset({_s(st), _s(dt)}))
+        if wide is None:
+            raise ValueError(
+                f"concat: column {c!r} has incompatible source types "
+                f"src={st!r} dst={dt!r}"
+            )
+        out[c] = wide
+    return out
+
+
+def _s(t) -> str:
+    # source_schema values are Spark jsonValue()s — strings for every
+    # type this engine encodes; tolerate dicts defensively
+    return t if isinstance(t, str) else str(t)
 
 
 def concat_tables(spark: SparkSession, dst_dir: str, src_dir: str) -> dict:
@@ -109,16 +142,6 @@ def concat_tables(spark: SparkSession, dst_dir: str, src_dir: str) -> dict:
             ),
         )
 
-    # carry src's visible deletes FIRST: the entry tags the pre-concat
-    # snapshot, so post-concat reads apply it and pre-concat reads
-    # anti-join positions that don't exist there (a no-op) — no window
-    # where src's deleted rows leak through dst
-    dels = _delete_positions(src_dir, None)
-    if dels:
-        delete_rows(
-            spark, dst_dir, [p + shift_blocks * block_rows for p in dels]
-        )
-
     snap_id = dst.new_snapshot_id()
     data_dir = os.path.join(dst.path, "data", snap_id)
     (
@@ -140,11 +163,31 @@ def concat_tables(spark: SparkSession, dst_dir: str, src_dir: str) -> dict:
                     os.remove(full)
                     continue
                 files.append({"path": full, "bytes": os.path.getsize(full)})
+
+    # carry src's visible deletes as a CONDITIONAL entry published before
+    # the snapshot: as_of tags the pre-concat snapshot (so post-concat
+    # reads apply it, pre-concat reads no-op), and only_if_snapshot pins
+    # it to the concat commit — a crash between this publish and
+    # commit_files leaves an entry that never applies, instead of an
+    # orphan vector that would silently delete rows a later unrelated
+    # append allocates at these block ids
+    dels = _delete_positions(src_dir, None)
+    if dels:
+        delete_rows(
+            spark,
+            dst_dir,
+            [p + shift_blocks * block_rows for p in dels],
+            only_if_snapshot=snap_id,
+        )
+
     props = dict(dp)
-    props["source_schema"] = {
-        **sp.get("source_schema", {}),
-        **dp.get("source_schema", {}),
-    }
+    # merge per column taking the WIDER Spark type (decode's int→long /
+    # float→double promotion): src may carry a widened column whose moved
+    # int64 blocks would contradict a dst-wins "integer", mistyping
+    # DataSource reads that trust source_schema
+    props["source_schema"] = _merge_source_schema(
+        sp.get("source_schema", {}), dp.get("source_schema", {})
+    )
     props["concat_from"] = f"{src_dir}@{src.current_snapshot_id()}"
     committed = dst.commit_files(
         snap_id, files, _encoded_schema_json(), mode="append", properties=props

@@ -1199,7 +1199,12 @@ def dedup_blocks(enc: DataFrame) -> DataFrame:
     )
 
 
-def delete_rows(spark: SparkSession, table_dir: str, positions) -> dict:
+def delete_rows(
+    spark: SparkSession,
+    table_dir: str,
+    positions,
+    only_if_snapshot: str | None = None,
+) -> dict:
     """Merge-on-read row deletion (the Iceberg v2 position-delete file):
     record the given ``_order`` positions in a delete vector; subsequent
     ``decode_table`` reads anti-join them out WITHOUT rewriting a single
@@ -1208,11 +1213,23 @@ def delete_rows(spark: SparkSession, table_dir: str, positions) -> dict:
     O(table).
 
     ``positions``: iterable of ints, or a DataFrame with an ``_order``
-    column.  Each call commits one delete file plus an atomic manifest
-    update tagged with the current snapshot id — time travel to an
-    OLDER snapshot does not see deletes committed after it.
+    column.  Each call commits one delete vector (one file, or — past
+    ``_DELETE_DRIVER_MAX`` positions — a directory of range-partitioned
+    task-written files, so a mass takedown never materializes its
+    position set on the driver) plus an atomic manifest update tagged
+    with the current snapshot id — time travel to an OLDER snapshot
+    does not see deletes committed after it.
 
-    Returns ``{"file", "n_positions", "as_of_snapshot"}``."""
+    ``only_if_snapshot``: makes the entry CONDITIONAL — it is invisible
+    unless the named snapshot exists in the log.  Used by writers that
+    must pair a delete vector with a data snapshot atomically (concat's
+    carried deletes): publish the conditional entry first, then commit
+    the snapshot; a crash in between leaves an entry that never applies
+    (its positions would otherwise target block ids a later unrelated
+    append could allocate).  ``expire_snapshots`` clears the marker for
+    snapshots it retires, so the delete outlives its trigger's history.
+
+    Returns ``{"file"|"files", "n_positions", "as_of_snapshot"}``."""
     import os
     import uuid as _uuid
 
@@ -1221,13 +1238,55 @@ def delete_rows(spark: SparkSession, table_dir: str, positions) -> dict:
     table = IceTable(table_dir)
     del_dir = os.path.join(table_dir, "deletes")
     os.makedirs(del_dir, exist_ok=True)
+    files: list | None = None
+    n_pos = 0
     if isinstance(positions, DataFrame):
-        pdf = positions.select(F.col("_order").cast("long")).distinct().toPandas()
-        pos_list = sorted(int(x) for x in pdf["_order"])
+        pos = positions.select(F.col("_order").cast("long")).distinct()
+        # bounded probe: pull at most threshold+1 rows.  At or below the
+        # threshold the pull IS the position set (limit past the end
+        # returns everything) — one job either way.
+        pdf = pos.limit(_DELETE_DRIVER_MAX + 1).toPandas()
+        if len(pdf) > _DELETE_DRIVER_MAX:
+            # distributed write: tasks write range-partitioned sorted
+            # parquet under one vector directory; the driver touches only
+            # footers.  A 10⁹-position takedown is one shuffle + write,
+            # zero driver materialization (the write twin of decode's
+            # distributed anti-join path).  Explicit partition count
+            # (≤ threshold positions per file) keeps each vector file
+            # driver-loadable for the small-read path and is honored
+            # verbatim (AQE does not coalesce a user-given numPartitions).
+            n_total = pos.count()
+            n_parts = max(2, min(4096, -(-n_total // _DELETE_DRIVER_MAX)))
+            out_dir = os.path.join(del_dir, f"del-{_uuid.uuid4().hex[:12]}")
+            (
+                pos.repartitionByRange(n_parts, F.col("_order"))
+                .sortWithinPartitions("_order")
+                .write.mode("errorifexists")
+                .parquet(out_dir)
+            )
+            files = []
+            for root, _, names in os.walk(out_dir):
+                for name in sorted(names):
+                    if not name.endswith(".parquet"):
+                        continue
+                    full = os.path.join(root, name)
+                    nr = pq.ParquetFile(full).metadata.num_rows
+                    if nr == 0:
+                        os.remove(full)  # empty-partition stub
+                        continue
+                    files.append(full)
+                    n_pos += nr
+        else:
+            pos_list = sorted(int(x) for x in pdf["_order"])
     else:
         pos_list = sorted({int(x) for x in positions})
-    fname = os.path.join(del_dir, f"del-{_uuid.uuid4().hex[:12]}.parquet")
-    pq.write_table(pa.table({"_order": pa.array(pos_list, pa.int64())}), fname)
+    if files is None:
+        fname = os.path.join(del_dir, f"del-{_uuid.uuid4().hex[:12]}.parquet")
+        pq.write_table(
+            pa.table({"_order": pa.array(pos_list, pa.int64())}), fname
+        )
+        files = [fname]
+        n_pos = len(pos_list)
     manifest_path = os.path.join(del_dir, "manifest.json")
     # the manifest append is a read-modify-write: two concurrent
     # takedown commits must both survive, so it serializes under the
@@ -1241,8 +1300,8 @@ def delete_rows(spark: SparkSession, table_dir: str, positions) -> dict:
                 entries = json.load(f)
         cur = table.current_snapshot_id()
         entry = {
-            "file": fname,
-            "n_positions": len(pos_list),
+            **({"file": files[0]} if len(files) == 1 else {"files": files}),
+            "n_positions": n_pos,
             "as_of_snapshot": cur,
             # commit-time anchor: keeps visibility decidable even after
             # the tagging snapshot itself is expired from the log
@@ -1251,6 +1310,8 @@ def delete_rows(spark: SparkSession, table_dir: str, positions) -> dict:
                 None,
             ),
         }
+        if only_if_snapshot is not None:
+            entry["only_if_snapshot"] = only_if_snapshot
         entries.append(entry)
         tmp = manifest_path + f".tmp-{_uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
@@ -1337,7 +1398,18 @@ def _visible_delete_files(table_dir: str, snapshot_id: str | None) -> list:
     )
     read_ts = snaps[limit]["timestamp_ms"] if snaps else None
 
+    order_set = set(order)
+
     def _visible(e: dict) -> bool:
+        # conditional entry (concat's carried deletes): invisible unless
+        # its paired data snapshot actually committed — a crash between
+        # the entry publish and the snapshot commit must never leave a
+        # vector that deletes rows a LATER append puts at those block ids.
+        # expire_snapshots clears the marker when it retires the snapshot,
+        # so a legitimately-expired trigger doesn't resurrect the rows.
+        cond = e.get("only_if_snapshot")
+        if cond is not None and cond not in order_set:
+            return False
         a = e.get("as_of_snapshot")
         if a is None:
             return True  # delete against an empty table predates everything
@@ -1357,7 +1429,11 @@ def _visible_delete_files(table_dir: str, snapshot_id: str | None) -> list:
                 return True  # unparseable legacy tag: err toward applying
         return read_ts is None or ts <= read_ts
 
-    return [e["file"] for e in entries if _visible(e)]
+    out: list = []
+    for e in entries:
+        if _visible(e):
+            out.extend(e.get("files") or [e["file"]])
+    return out
 
 
 def _delete_positions(table_dir: str, snapshot_id: str | None) -> list:
@@ -2907,7 +2983,22 @@ def count_rows(
         return 0
     block_rows = int(props["block_rows"])
     enc = dedup_blocks(table.read_table(spark, snapshot_id))
-    first = enc.select("column").orderBy("column").limit(1).collect()
+    # resolve the LIVE physical column set (props['columns'] through the
+    # alias map) — drop_column is metadata-only, so the raw manifest can
+    # still carry a dropped column's stale blocks: picking the
+    # lexicographically-first raw column could count a column frozen at
+    # its pre-drop row count and undercount the live table
+    aliases = props.get("column_aliases", {})
+    live_phys = sorted(aliases.get(c, c) for c in props["columns"])
+    if not live_phys:
+        return 0
+    first = (
+        enc.filter(F.col("column").isin(live_phys))
+        .select("column")
+        .orderBy("column")
+        .limit(1)
+        .collect()
+    )
     if not first:
         return 0
     col0 = first[0][0]

@@ -113,6 +113,19 @@ def _fold_blocks(enc) -> list:
             F.collect_list(
                 F.get_json_object(F.col("meta"), "$.stats.kmv")
             ).alias("kmv_sketches"),
+            # rows covered by a sketch: blocks under the encode-side row
+            # gate (_KMV_MIN_ROWS) carry none, so the NDV estimate is
+            # emitted with a coverage fraction rather than gated on
+            # every-block coverage (one small tail block must not
+            # permanently disable the column's estimate)
+            F.sum(
+                F.when(
+                    F.get_json_object(
+                        F.col("meta"), "$.stats.kmv"
+                    ).isNotNull(),
+                    F.col("n_rows"),
+                ).otherwise(F.lit(0))
+            ).alias("kmv_rows"),
         )
         .collect()
     )
@@ -150,13 +163,19 @@ def _entry_from_row(lc: str, r) -> dict:
         "bounds_complete": int(r["blocks_without_zone"]) == 0,
     }
     sketches = [s for s in (r["kmv_sketches"] or []) if s]
-    if len(sketches) == r["n_blocks"]:
-        # estimate only when EVERY block carries a sketch — a partial
-        # union under-counts the unsketched blocks' values
+    if sketches:
+        # the union under-counts values unique to unsketched blocks
+        # (those below the encode-side row gate), so the estimate is
+        # emitted alongside its rows-covered fraction — the consumer
+        # decides how much to trust it, and a single tiny tail block no
+        # longer disables the estimate for the whole column
         est = kmv_merge_estimate(sketches)
         if est is not None:
             entry["ndv_est"] = est
             entry["kmv_union"] = kmv_union(sketches)
+            entry["ndv_sketched_frac"] = round(
+                int(r["kmv_rows"] or 0) / max(int(r["n_rows"]), 1), 6
+            )
     return entry
 
 
@@ -197,12 +216,23 @@ def _merge_entry(lc: str, prior: dict, new: dict) -> dict:
         "max": _merge_bounds(at, prior["max"], new["max"], False),
         "bounds_complete": prior["bounds_complete"] and new["bounds_complete"],
     }
-    if prior.get("kmv_union") and new.get("kmv_union"):
-        u = kmv_union([prior["kmv_union"], new["kmv_union"]])
+    pu, nu = prior.get("kmv_union"), new.get("kmv_union")
+    if pu or nu:
+        # union whatever coverage exists (dropping the union whenever one
+        # side lacked it would permanently lose the estimate on the next
+        # incremental pass); the rows-weighted coverage fraction carries
+        # the honesty the old all-or-nothing gate encoded
+        u = kmv_union([s for s in (pu, nu) if s])
         merged["kmv_union"] = u
         est = kmv_merge_estimate([u])
         if est is not None:
             merged["ndv_est"] = est
+        pf = prior.get("ndv_sketched_frac", 1.0 if pu else 0.0)
+        nf = new.get("ndv_sketched_frac", 1.0 if nu else 0.0)
+        tot = prior["n_rows"] + new["n_rows"]
+        merged["ndv_sketched_frac"] = round(
+            (pf * prior["n_rows"] + nf * new["n_rows"]) / max(tot, 1), 6
+        )
     return merged
 
 

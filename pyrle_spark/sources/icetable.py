@@ -1010,6 +1010,28 @@ class IceTable:
                         # long deletion loops must not look stale to
                         # concurrent waiters (they would break the lock)
                         touch_lock(self.path)
+        # conditional delete-vector entries (only_if_snapshot) pin their
+        # visibility to a snapshot's presence in the log.  The expiring
+        # snapshot WAS committed — clear the marker BEFORE the log
+        # shrinks, or the carried deletes silently stop applying and the
+        # rows resurrect.  Crash between this rewrite and the log commit
+        # is harmless: marker cleared + snapshot still logged behaves
+        # identically to the marker being present.
+        expired_ids = {s["id"] for s in expired}
+        del_manifest = os.path.join(self.path, "deletes", "manifest.json")
+        if expired_ids and os.path.exists(del_manifest):
+            with open(del_manifest) as f:
+                del_entries = json.load(f)
+            changed = False
+            for e in del_entries:
+                if e.get("only_if_snapshot") in expired_ids:
+                    e.pop("only_if_snapshot")
+                    changed = True
+            if changed:
+                tmp = del_manifest + f".tmp-{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as f:
+                    json.dump(del_entries, f)
+                os.replace(tmp, del_manifest)
         # metadata commit: snapshot log shrinks first (atomic), manifests
         # of expired snapshots removed after — a leftover manifest file is
         # harmless (unreferenced), a missing log entry never dangles
@@ -1092,7 +1114,8 @@ class IceTable:
         if os.path.exists(del_manifest):
             with open(del_manifest) as f:
                 for e in json.load(f):
-                    live.add(os.path.realpath(e["file"]))
+                    for p in e.get("files") or [e["file"]]:
+                        live.add(os.path.realpath(p))
         deleted = reclaimed = 0
         candidates: list = []
         seen = 0

@@ -114,3 +114,26 @@ def test_optimize_advisor_recommends_binpack(spark, tmp_path):
     assert out["applied"]["snapshot_id"] is not None
     again = optimize_table(spark, t)
     assert again["small_files"] < rec["small_files"]
+
+
+def test_binpack_path_with_space(spark, tmp_path):
+    """input_file_name() yields a percent-encoded URI; the pack routing
+    must URI-decode it or rows from tables under paths with spaces land
+    in the Hive default partition and the one-file-per-pack grouping
+    silently degrades."""
+    t = str(tmp_path / "my table dir")
+    _tiny_table(spark, t)
+    table = IceTable(t)
+    before_files = len(table._manifest(table.current_snapshot_id())["files"])
+    before = decode_table(spark, t).orderBy("_order").toPandas()
+
+    info = rewrite_binpack(spark, t, target_file_bytes=1 << 20)
+    assert info["snapshot_id"] is not None and info["new_files"] >= 1
+    after_files = len(table._manifest(table.current_snapshot_id())["files"])
+    assert after_files < before_files
+    # grouping held: every new file is a real pack, none in a Hive
+    # default-partition dir (the null-_pack symptom)
+    new = table._manifest(table.current_snapshot_id())["files"]
+    assert not any("__HIVE_DEFAULT_PARTITION__" in f["path"] for f in new)
+    after = decode_table(spark, t).orderBy("_order").toPandas()
+    assert before.equals(after)

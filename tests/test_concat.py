@@ -239,3 +239,68 @@ def test_clone_binpack_concat_interaction(spark, tmp_path):
     assert list(combined["v"][1000:]) == [11 * i for i in range(300)]
     # source still pristine after both mutations on the clone
     assert decode_table(spark, src).orderBy("_order").toPandas().equals(src_before)
+
+
+def test_concat_source_schema_widens(spark, tmp_path):
+    """source_schema merges per column taking the WIDER type: a src
+    carrying a long column must not be recorded as dst's int — the
+    DSv2 reader types reads from source_schema and would mistype src's
+    moved int64 blocks."""
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+    from pyrle_spark.sources.icetable import IceTable
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    df_int = spark.range(0, 300, 1, 2).select(
+        F.col("id").alias("doc_seq"), (F.col("id") % 5).cast("int").alias("v")
+    )
+    df_long = spark.range(0, 300, 1, 2).select(
+        F.col("id").alias("doc_seq"), (F.col("id") * 10).alias("v")
+    )
+    encode_table(spark, df_int, a, EncodeConfig(columns=["v"], block_rows=100))
+    encode_table(spark, df_long, b, EncodeConfig(columns=["v"], block_rows=100))
+    concat_tables(spark, a, b)
+    props = IceTable(a).properties()
+    assert props["source_schema"]["v"] == "long"
+    got = decode_table(spark, a).orderBy("_order").toPandas()
+    assert list(got["v"]) == [i % 5 for i in range(300)] + [
+        i * 10 for i in range(300)
+    ]
+
+
+def test_concat_carried_deletes_survive_snapshot_expiry(spark, tmp_path):
+    """The carried-delete entry is conditional on the concat snapshot;
+    expire_snapshots must clear the marker when it retires that
+    snapshot, or the deleted rows resurrect."""
+    from pyrle_spark.sources.icetable import IceTable
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _enc(spark, a, 0, 500)
+    _enc(spark, b, 0, 300, mult=11)
+    delete_rows(spark, b, list(range(50)))
+    concat_tables(spark, a, b)
+    assert decode_table(spark, a).count() == 500 + 250
+    # one more commit so the concat snapshot becomes expirable
+    _enc(spark, a, 800, 900)
+    IceTable(a).expire_snapshots(keep_last=1)
+    assert decode_table(spark, a).count() == 500 + 250 + 100
+
+
+def test_orphan_conditional_delete_never_applies(spark, tmp_path):
+    """The concat crash window: a delete vector published with
+    only_if_snapshot but whose paired snapshot never committed must not
+    apply — a later unrelated append allocates those block ids and its
+    rows must survive."""
+    from pyrle_spark.sources.icetable import IceTable
+
+    a = str(tmp_path / "a")
+    _enc(spark, a, 0, 500)  # blocks 0-4 per column
+    # simulate the crash: conditional delete targeting future blocks,
+    # paired snapshot id never committed
+    ghost = IceTable(a).new_snapshot_id()
+    delete_rows(
+        spark, a, list(range(500, 600)), only_if_snapshot=ghost
+    )
+    assert decode_table(spark, a).count() == 500
+    # an unrelated append now allocates positions 500-599
+    _enc(spark, a, 500, 700)
+    assert decode_table(spark, a).count() == 700  # nothing swallowed

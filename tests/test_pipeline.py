@@ -2863,3 +2863,102 @@ def test_count_nulls_delete_aware(spark, tmp_path):
 
     delete_rows(spark, t, [0, 1, 500])  # 2 null rows + 1 non-null
     assert count_nulls(spark, t, "v") == 8
+
+
+def test_delete_rows_distributed_write_path(spark, tmp_path, monkeypatch):
+    """Above the driver threshold, the delete VECTOR itself is written
+    by tasks (range-partitioned parquet directory, multi-file manifest
+    entry) — no driver materialization — and reads apply it identically
+    to the driver-written path."""
+    import json as _json
+    import os as _os
+
+    import pyrle_spark.plans.encode_job as ej
+    from pyrle_spark.plans.encode_job import (
+        count_rows,
+        decode_table,
+        delete_rows,
+    )
+    from pyrle_spark.sources.icetable import IceTable
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 3000, 1, 4).select(
+        F.col("id").alias("doc_seq"), (F.col("id") * 3).alias("v")
+    )
+    encode_table(spark, df, t, EncodeConfig(columns=["v"], block_rows=100))
+
+    monkeypatch.setattr(ej, "_DELETE_DRIVER_MAX", 50)  # force the big path
+    doomed = decode_table(spark, t).filter(
+        (F.col("_order") % 3 == 0) | (F.col("_order") < 100)
+    ).select("_order")
+    n_doomed = doomed.distinct().count()
+    info = delete_rows(spark, t, doomed)
+    assert info["n_positions"] == n_doomed
+    assert "files" in info and len(info["files"]) > 1  # task-written parts
+    assert all(_os.path.exists(f) for f in info["files"])
+
+    got = {r["_order"] for r in decode_table(spark, t).select("_order").collect()}
+    want = {i for i in range(3000) if not (i % 3 == 0 or i < 100)}
+    assert got == want
+    assert count_rows(spark, t) == len(want)
+
+    # vacuum must treat every task-written part as live
+    vac = IceTable(t).vacuum(older_than_s=0.0, force=True)
+    assert all(_os.path.exists(f) for f in info["files"]), vac
+
+    # the manifest entry round-trips (multi-file form)
+    with open(_os.path.join(t, "deletes", "manifest.json")) as fh:
+        entries = _json.load(fh)
+    assert entries[-1]["n_positions"] == n_doomed
+
+    # driver path on the same table (fresh small delete) still stacks
+    monkeypatch.setattr(ej, "_DELETE_DRIVER_MAX", 1_000_000)
+    delete_rows(spark, t, [101])
+    assert count_rows(spark, t) == len(want) - 1
+
+
+def test_count_rows_ignores_dropped_column_blocks(spark, tmp_path):
+    """drop_column is metadata-only: the dropped column's stale blocks
+    stop growing on later appends.  count_rows must pick its counting
+    column from the LIVE set — a dropped column that sorts first used
+    to freeze the count at its pre-drop value."""
+    from pyrle_spark.plans.encode_job import (
+        count_rows,
+        decode_table,
+        drop_column,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 500, 1, 4).select(
+        F.col("id").alias("doc_seq"),
+        (F.col("id") % 3).alias("a_col"),  # sorts before z_col
+        (F.col("id") * 2).alias("z_col"),
+    )
+    encode_table(
+        spark, df, t, EncodeConfig(columns=["a_col", "z_col"], block_rows=100)
+    )
+    drop_column(spark, t, "a_col")
+    more = spark.range(500, 800, 1, 2).select(
+        F.col("id").alias("doc_seq"), (F.col("id") * 2).alias("z_col")
+    )
+    encode_table(spark, more, t, EncodeConfig(columns=["z_col"], block_rows=100))
+    assert decode_table(spark, t).count() == 800
+    assert count_rows(spark, t) == 800  # not 500 (a_col's frozen blocks)
+
+
+def test_analyze_ndv_survives_tiny_tail_block(spark, tmp_path):
+    """A tail block below the KMV row gate (no sketch) must not disable
+    the column's NDV estimate — it is emitted with a rows-covered
+    fraction instead."""
+    from pyrle_spark.plans.stats import analyze_table
+
+    t = str(tmp_path / "t")
+    # 4500 rows / 2048-row blocks → blocks of 2048, 2048, 404 (<1024 gate)
+    df = spark.range(0, 4500, 1, 1).select(
+        F.col("id").alias("doc_seq"), (F.col("id") % 700).alias("v")
+    )
+    encode_table(spark, df, t, EncodeConfig(columns=["v"], block_rows=2048))
+    st = analyze_table(spark, t, ndv_columns=[])["columns"]["v"]
+    assert "ndv_est" in st, st
+    assert abs(st["ndv_est"] - 700) / 700 < 0.5
+    assert 0.85 < st["ndv_sketched_frac"] < 1.0, st
