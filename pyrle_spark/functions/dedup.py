@@ -203,11 +203,29 @@ WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
 """
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: 4 bands of 2 minhash rows; docs sharing any
-    band bucket are candidates (banding → bucket equi-join, never a
-    pairwise scan)."""
+# Hot-bucket guard for the band-bucket self-join.  Identical signatures
+# never reach the join (they collapse to one representative first — see
+# minhash_lsh_pairs), so the cap bounds DISTINCT signatures per band
+# bucket: a bucket beyond it is boilerplate-grade noise whose pairs are
+# below the LSH precision floor anyway.  Skipped buckets are observable
+# via minhash_lsh_overcap_buckets (the overflow flag).
+LSH_BUCKET_CAP = 1024
+
+
+def _minhash_groups(spark: SparkSession, sf_dir: str):
+    """(membership, unique-signature) pair behind the LSH join: docs
+    with byte-identical signatures — the thousands of boilerplate
+    copies a web crawl plants in one bucket — collapse to min(doc_id)
+    so a cluster of m docs costs the band join ONE row, not m² pairs."""
     sig = minhash_signatures(spark, sf_dir)
+    hcols = [f"h{j}" for j in range(len(MINHASH_FNS))]
+    groups = sig.groupBy(*hcols).agg(F.min("doc_id").alias("rep"))
+    mem = sig.join(groups, hcols).select("doc_id", "rep")
+    usig = groups.select(F.col("rep").alias("doc_id"), *hcols)
+    return mem, usig
+
+
+def _lsh_band_rows(usig) -> DataFrame:
     # one explode, not a per-band union: a union would replicate the
     # whole signature subtree (shingle explode + groupBy) once per band
     # in the plan — 4× the shuffles for identical data
@@ -221,12 +239,59 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for bi, (x, y) in enumerate(BANDS)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+    return usig.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", "b.band", "b.ba", "b.bb"
     )
+
+
+def minhash_lsh_overcap_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The overflow flag of the hot-bucket guard: band buckets whose
+    DISTINCT-signature occupancy exceeds ``LSH_BUCKET_CAP`` (their pairs
+    were skipped by :func:`minhash_lsh_pairs`).  Empty on healthy
+    corpora; a monitoring/audit surface at web scale."""
+    mem, usig = _minhash_groups(spark, sf_dir)
+    return (
+        _lsh_band_rows(usig)
+        .groupBy("band", "ba", "bb")
+        .agg(F.count(F.lit(1)).alias("n_signatures"))
+        .filter(F.col("n_signatures") > LSH_BUCKET_CAP)
+    )
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, expand_identical: bool = True
+) -> DataFrame:
+    """LSH candidate pairs: 4 bands of 2 minhash rows; docs sharing any
+    band bucket are candidates (banding → bucket equi-join, never a
+    pairwise scan).
+
+    Two skew guards keep the join linear on real web corpora:
+
+    1. identical signatures collapse to one representative BEFORE the
+       band join (byte-identical boilerplate pages are the classic hot
+       bucket) — their pairs are reconstructed afterwards from the
+       membership map, so the emitted pair set is unchanged;
+    2. band buckets holding more than ``LSH_BUCKET_CAP`` DISTINCT
+       signatures are dropped from the join (flagged via
+       :func:`minhash_lsh_overcap_buckets`) — m(m−1)/2 growth is
+       bounded at the source.
+
+    ``expand_identical=False`` emits identical-signature clusters as
+    O(m) star edges (rep → member) instead of the m(m−1)/2 clique —
+    component-equivalent for the downstream connected-components /
+    keep-list consumers, and the right shape at 100 TB."""
+    mem, usig = _minhash_groups(spark, sf_dir)
+    bands = _lsh_band_rows(usig)
+    ok = (
+        bands.groupBy("band", "ba", "bb")
+        .agg(F.count(F.lit(1)).alias("n_signatures"))
+        .filter(F.col("n_signatures") <= LSH_BUCKET_CAP)
+        .select("band", "ba", "bb")
+    )
+    bands = bands.join(ok, ["band", "ba", "bb"])
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -234,9 +299,38 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bb") == F.col("b.bb"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .select(F.col("a.doc_id").alias("r1"), F.col("b.doc_id").alias("r2"))
         .distinct()
     )
+    # cross-group expansion: every member of r1's group pairs with every
+    # member of r2's group (they share the band bucket by signature
+    # equality); groups are disjoint so least/greatest normalizes
+    m1 = mem.select(F.col("rep").alias("r1"), F.col("doc_id").alias("x1"))
+    m2 = mem.select(F.col("rep").alias("r2"), F.col("doc_id").alias("x2"))
+    cross = (
+        rep_pairs.join(m1, "r1")
+        .join(m2, "r2")
+        .select(
+            F.least("x1", "x2").alias("d1"), F.greatest("x1", "x2").alias("d2")
+        )
+    )
+    if expand_identical:
+        # intra-group pairs (identical signature ⇒ same buckets): the
+        # m(m−1)/2 clique is the query's declared output, reconstructed
+        # OUTSIDE the band join
+        intra = (
+            mem.alias("x")
+            .join(mem.alias("y"), "rep")
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2")
+            )
+        )
+    else:
+        intra = mem.filter(F.col("doc_id") != F.col("rep")).select(
+            F.col("rep").alias("d1"), F.col("doc_id").alias("d2")
+        )
+    return cross.unionByName(intra).distinct()
 
 
 def _minhash_lsh_sql() -> str:
@@ -405,8 +499,18 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 bands of 4 bits; ≤2 differing bits can touch at most 2 bands, so
     every qualifying pair shares ≥2 identical bands and a band-bucket
     equi-join (never an all-pairs scan) generates a complete candidate
-    set; ``bit_count(xor)`` then verifies the exact distance."""
+    set; ``bit_count(xor)`` then verifies the exact distance.
+
+    Hot-bucket guard: docs collapse to their DISTINCT fingerprint before
+    the band join (≤ 2¹⁶ fingerprints exist, so a band bucket holds at
+    most 2¹² rows REGARDLESS of corpus size — the join side is
+    corpus-size-independent by construction); doc pairs are expanded
+    afterwards from the fingerprint membership map.  A boilerplate
+    cluster of m identical pages costs the join one row, never m²."""
     sig = simhash16(spark, sf_dir)
+    groups = sig.groupBy("simhash").agg(F.min("doc_id").alias("rep"))
+    mem = sig.select("doc_id", "simhash")
+    ufp = groups.select(F.col("rep").alias("doc_id"), "simhash")
     band_structs = F.array(
         *[
             F.struct(
@@ -416,30 +520,52 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for bi in range(SIMHASH_BANDS)
         ]
     )
-    bands = sig.select("doc_id", "simhash", F.explode(band_structs).alias("b")).select(
+    bands = ufp.select("doc_id", "simhash", F.explode(band_structs).alias("b")).select(
         "doc_id", "simhash", "b.band", "b.bv"
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    # fingerprint pairs at hamming ≤ MAX_HAMMING (hamming 0 pairs are
+    # intra-fingerprint, handled by the expansion below)
+    fp_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.simhash") < F.col("b.simhash")),
         )
         .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.col("a.simhash").alias("s1"),
-            F.col("b.simhash").alias("s2"),
+            F.col("a.simhash").alias("s1"), F.col("b.simhash").alias("s2")
         )
         .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= MAX_HAMMING)
     )
-    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
-    return cand.select("d1", "d2", ham.alias("hamming")).filter(
-        F.col("hamming") <= MAX_HAMMING
+    m1 = mem.select(F.col("simhash").alias("s1"), F.col("doc_id").alias("x1"))
+    m2 = mem.select(F.col("simhash").alias("s2"), F.col("doc_id").alias("x2"))
+    cross = (
+        fp_pairs.join(m1, "s1")
+        .join(m2, "s2")
+        .select(
+            F.least("x1", "x2").alias("d1"),
+            F.greatest("x1", "x2").alias("d2"),
+            "hamming",
+        )
     )
+    intra = (
+        mem.alias("x")
+        .join(mem.alias("y"), "simhash")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("d1"),
+            F.col("y.doc_id").alias("d2"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def _simhash_hamming_sql() -> str:

@@ -1695,6 +1695,68 @@ GROUP BY lang
 """
 
 
+def mass_delete_where_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mass takedown through the DISTRIBUTED delete-vector write path:
+    encode ``documents``, lower the driver-materialization threshold so
+    the matching position set exceeds it, and run ``DELETE WHERE
+    n_chars BETWEEN 430 AND 449`` — the doomed positions are then
+    range-partitioned and written by TASKS (multi-file vector entry,
+    zero driver materialization: the write twin of decode's distributed
+    anti-join).  In-query asserts pin that the distributed form was
+    actually taken; the oracle is the complementary WHERE.  At 100 TB
+    this is the path a 10⁹-row takedown takes without OOMing the
+    driver."""
+    import tempfile
+
+    import pyrle_spark.plans.encode_job as ej
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        decode_table,
+        delete_where_pred,
+        encode_table,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    cols = ["lang", "n_chars"]
+    out_dir = tempfile.mkdtemp(prefix="mass_delete_")
+    encode_table(
+        spark,
+        _fixture_ordered(docs, cols, key_cols=("lang",)),
+        out_dir,
+        EncodeConfig(columns=cols, order_col="_seq", block_rows=64),
+    )
+    saved = ej._DELETE_DRIVER_MAX
+    ej._DELETE_DRIVER_MAX = 16  # sandbox stand-in for the 1M cutover
+    try:
+        info = delete_where_pred(
+            spark, out_dir, predicates=[("n_chars", 430, 449)]
+        )
+        assert info["n_positions"] > 16, "must exceed the driver threshold"
+        assert "files" in info and len(info["files"]) > 1, (
+            "the distributed (task-written, multi-file) path must be taken"
+        )
+        # reads under the same low threshold exercise the distributed
+        # anti-join against the task-written vector too
+        return (
+            decode_table(spark, out_dir)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+            )
+        )
+    finally:
+        ej._DELETE_DRIVER_MAX = saved
+
+
+_MASS_DELETE_WHERE_AGG_SQL = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE NOT (n_chars BETWEEN 430 AND 449)
+GROUP BY lang
+"""
+
+
 _ENCODED_JOIN_AGG_SQL = """
 SELECT lang, source, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
@@ -5728,6 +5790,7 @@ QUERIES = {
     "clone_diverge_agg": clone_diverge_agg,
     "encoded_join_agg": encoded_join_agg,
     "delete_where_range_agg": delete_where_range_agg,
+    "mass_delete_where_agg": mass_delete_where_agg,
     "metadata_count_rows": metadata_count_rows,
     "null_count_pruned": null_count_pruned,
     "dsv2_pushdown_agg": dsv2_pushdown_agg,
@@ -5797,6 +5860,7 @@ ORACLE_SQL = {
     "clone_diverge_agg": _CLONE_DIVERGE_AGG_SQL,
     "encoded_join_agg": _ENCODED_JOIN_AGG_SQL,
     "delete_where_range_agg": _DELETE_WHERE_RANGE_AGG_SQL,
+    "mass_delete_where_agg": _MASS_DELETE_WHERE_AGG_SQL,
     "metadata_count_rows": _METADATA_COUNT_ROWS_SQL,
     "null_count_pruned": _NULL_COUNT_PRUNED_SQL,
     "dsv2_pushdown_agg": _DSV2_PUSHDOWN_AGG_SQL,

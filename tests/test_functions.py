@@ -648,3 +648,71 @@ def test_bpe_learn_and_apply_match_python(spark, ducks):
                 s = py_merge(s, a, b)
             sym.extend(s)
         assert r["tokens"] == sym and r["n_tokens"] == len(sym)
+
+
+def test_lsh_hot_bucket_guards(spark, tmp_path):
+    """The web-scale skew guards of the LSH pair joins: ~1k planted
+    byte-identical docs collapse to ONE representative before the
+    band-bucket self-join (the join never goes quadratic), star-edge
+    mode bounds the emitted pairs at O(m), clique mode reconstructs the
+    full declared output, and the bucket cap + overflow flag drop/flag
+    hot buckets."""
+    import pyspark.sql.functions as F
+
+    import pyrle_spark.functions.dedup as dd
+    from pyrle_spark.functions.dedup import (
+        minhash_lsh_overcap_buckets,
+        minhash_lsh_pairs,
+        simhash_hamming_pairs,
+    )
+
+    n_dup = 1000
+    boiler = " ".join(f"boiler{i % 9} tok{i}" for i in range(12))
+    rows = [(i, boiler, "en", "web", len(boiler)) for i in range(n_dup)]
+    # a few distinct docs that share nothing with the cluster
+    for j in range(5):
+        rows.append(
+            (
+                n_dup + j,
+                " ".join(f"uniq{j}w{k}" for k in range(15)),
+                "en",
+                "web",
+                60,
+            )
+        )
+    d = str(tmp_path / "hotdocs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    # star-edge mode: the 1000-doc cluster emits 999 rep→member edges,
+    # not the 499,500-pair clique — bounded output, component-identical
+    star = minhash_lsh_pairs(spark, d, expand_identical=False).toPandas()
+    assert len(star) < n_dup + 50, len(star)
+    intra = star[(star.d1 == 0) & (star.d2 < n_dup)]
+    assert len(intra) == n_dup - 1  # rep 0 → members 1..999
+
+    # clique mode (the oracle-pinned registry semantics) reconstructs
+    # the full pair set OUTSIDE the band join
+    clique_n = minhash_lsh_pairs(spark, d).count()
+    assert clique_n >= n_dup * (n_dup - 1) // 2
+
+    # no bucket holds > cap DISTINCT signatures here → no overflow
+    assert minhash_lsh_overcap_buckets(spark, d).count() == 0
+
+    # cap forced to 0: every bucket overflows → flagged, and the pair
+    # output degrades to the intra-signature edges only (no cross pairs)
+    saved = dd.LSH_BUCKET_CAP
+    dd.LSH_BUCKET_CAP = 0
+    try:
+        assert minhash_lsh_overcap_buckets(spark, d).count() > 0
+        capped = minhash_lsh_pairs(spark, d, expand_identical=False)
+        assert capped.filter(F.col("d2") >= n_dup).count() == 0
+    finally:
+        dd.LSH_BUCKET_CAP = saved
+
+    # simhash: the cluster collapses to one fingerprint before the band
+    # join; hamming-0 pairs come from the membership expansion
+    sh = simhash_hamming_pairs(spark, d)
+    zero = sh.filter((F.col("hamming") == 0) & (F.col("d2") < n_dup))
+    assert zero.count() == n_dup * (n_dup - 1) // 2
