@@ -30,6 +30,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["IceTable", "clone_table", "commit_lock", "touch_lock"]
 
+# process-wide cache of manifest SHARD contents, keyed by absolute shard
+# path — shards are write-once (see IceTable._manifest), so a cached
+# entry never goes stale and repeated read planning over a big table
+# re-parses only the shards new commits added
+_SHARD_CACHE: dict = {}
+
 
 @contextlib.contextmanager
 def commit_lock(table_dir: str, timeout_s: float = 90.0, stale_s: float = 60.0):
@@ -270,9 +276,22 @@ class IceTable:
                 parent_snap = ref["snapshot_id"]
             else:
                 parent_snap = meta["current_snapshot_id"]
-            prev_files = []
+            # sharded manifest (Iceberg's manifest-list model): this
+            # commit's entries land in ONE new immutable shard; an append
+            # snapshot references the parent's shard chain + the new
+            # shard, so commit metadata cost is O(added files) and a
+            # 10⁵-file table never rewrites its full list per commit
+            prev_shards: list = []
             if mode == "append" and parent_snap:
-                prev_files = self._manifest(parent_snap)["files"]
+                prev_shards = self._parent_shards(
+                    self._manifest(parent_snap, materialize=False),
+                    parent_snap,
+                )
+            shards = prev_shards + (
+                [self._write_shard(f"mf-{snap_id}.json", files)]
+                if files
+                else []
+            )
             manifest = {
                 "snapshot_id": snap_id,
                 "parent": parent_snap,
@@ -281,7 +300,7 @@ class IceTable:
                 "schema": schema_json,
                 "field_ids": file_ids,
                 "properties": properties or {},
-                "files": prev_files + files,
+                "manifest_shards": shards,
                 "added_files": len(files),
                 "added_bytes": sum(f["bytes"] for f in files),
             }
@@ -321,7 +340,9 @@ class IceTable:
         lost update)."""
         with commit_lock(self.path):
             meta = self._read_meta()
-            manifest = self._manifest(snapshot_id)
+            # materialize=False: this manifest is rewritten below — the
+            # shard refs must carry through, not a baked-inline file list
+            manifest = self._manifest(snapshot_id, materialize=False)
             if not manifest.get("staged"):
                 raise ValueError(f"snapshot {snapshot_id} is not staged")
             if manifest["parent"] != meta["current_snapshot_id"]:
@@ -497,7 +518,9 @@ class IceTable:
             cur = meta["current_snapshot_id"]
             if cur is None:
                 raise FileNotFoundError(f"no snapshot in {self.path}")
-            parent = self._manifest(cur)
+            # raw spread: carries manifest_shards (or a legacy inline
+            # list) verbatim instead of baking the whole file list back
+            parent = self._manifest(cur, materialize=False)
             snap_id = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
             manifest = {
                 **parent,
@@ -649,7 +672,11 @@ class IceTable:
                 "schema": schema_json,
                 "field_ids": field_ids,
                 "properties": properties or parent.get("properties", {}),
-                "files": parent["files"],
+                # carry the parent's shard chain — evolution is
+                # metadata-only, so the file list must not be re-inlined
+                "manifest_shards": self._parent_shards(
+                    self._manifest(cur, materialize=False), cur
+                ),
                 "added_files": 0,
                 "added_bytes": 0,
             }
@@ -674,11 +701,66 @@ class IceTable:
 
     # ------------------------------------------------------------------- read
 
-    def _manifest(self, snapshot_id: str) -> dict:
+    def _manifest(self, snapshot_id: str, materialize: bool = True) -> dict:
+        """Snapshot manifest.  New-format snapshots store their file list
+        as a chain of immutable SHARD files (``manifest_shards``: one
+        shard per commit, Iceberg's manifest-list model) so an append
+        writes O(added) metadata, not a fresh copy of the whole table's
+        file list; ``materialize=True`` (default) concatenates the
+        shards into the legacy ``files`` key so every consumer keeps its
+        shape.  Shards are write-once, so the per-process cache makes a
+        planning pass O(changed shards) across repeated reads — the
+        property that keeps a 10⁵-file table's read planning cheap.
+        Writers that re-emit a manifest (publish/set_properties/evolve)
+        must pass ``materialize=False`` or they would bake the full list
+        back inline."""
         with open(
             os.path.join(self.path, "metadata", f"snap-{snapshot_id}.json")
         ) as f:
-            return json.load(f)
+            m = json.load(f)
+        if materialize and "files" not in m:
+            files: list = []
+            for ref in m.get("manifest_shards", []):
+                files.extend(self._load_shard(ref))
+            m["files"] = files
+        return m
+
+    def _load_shard(self, ref: str) -> list:
+        """One immutable manifest shard (filename relative to
+        ``metadata/`` — relative so clones stay self-contained)."""
+        full = os.path.join(self.path, "metadata", ref)
+        cached = _SHARD_CACHE.get(full)
+        if cached is None:
+            if len(_SHARD_CACHE) > 4096:
+                _SHARD_CACHE.clear()  # bound memory across many tables
+            with open(full) as f:
+                cached = json.load(f)["files"]
+            _SHARD_CACHE[full] = cached
+        return cached
+
+    def _write_shard(self, name: str, files: list) -> str:
+        """Write an immutable shard under ``metadata/`` (skip if present
+        — shards are content-stable for a given name) and return its
+        relative ref."""
+        full = os.path.join(self.path, "metadata", name)
+        if not os.path.exists(full):
+            tmp = full + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump({"files": files}, f)
+            os.replace(tmp, full)
+        return name
+
+    def _parent_shards(self, parent_raw: dict, parent_snap: str) -> list:
+        """Shard refs covering the parent's file list: its own chain, or
+        — for a legacy inline-list parent — one wrap-once shard, so
+        chains built on old tables still append in O(added)."""
+        if "files" not in parent_raw:
+            return list(parent_raw.get("manifest_shards", []))
+        return [
+            self._write_shard(
+                f"mf-{parent_snap}-legacy.json", parent_raw["files"]
+            )
+        ]
 
     def snapshots(self) -> list[dict]:
         return self._read_meta()["snapshots"]
@@ -1040,9 +1122,27 @@ class IceTable:
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, self._meta_path)
+        # manifest-shard GC: a shard is removable only when NO retained
+        # snapshot's chain references it (append chains share shards).
+        # Collect refs from retained manifests BEFORE deleting anything.
+        kept_shards: set = set()
+        for s in retained:
+            m = self._manifest(s["id"], materialize=False)
+            kept_shards.update(m.get("manifest_shards", []))
         for s in expired:
             p = os.path.join(self.path, "metadata", f"snap-{s['id']}.json")
             if os.path.exists(p):
+                try:
+                    with open(p) as f:
+                        em = json.load(f)
+                    for ref in em.get("manifest_shards", []):
+                        if ref not in kept_shards:
+                            sp = os.path.join(self.path, "metadata", ref)
+                            if os.path.exists(sp):
+                                os.remove(sp)
+                            _SHARD_CACHE.pop(sp, None)
+                except (OSError, json.JSONDecodeError):
+                    pass  # unreadable manifest: leave its shards
                 os.remove(p)
         # prune now-empty per-snapshot data dirs
         data_root = os.path.join(self.path, "data")
@@ -1192,6 +1292,16 @@ def clone_table(src_dir: str, dst_dir: str) -> dict:
             p = os.path.join(src_dir, "metadata", snap_file)
             if os.path.exists(p):
                 shutil.copy2(p, os.path.join(dst_dir, "metadata", snap_file))
+                # shard refs are metadata-dir-relative: copy the shards
+                # the snapshot references so the clone is metadata-
+                # self-contained (source expiry can never orphan it)
+                with open(p) as f:
+                    sm = json.load(f)
+                for ref in sm.get("manifest_shards", []):
+                    sp = os.path.join(src_dir, "metadata", ref)
+                    dp = os.path.join(dst_dir, "metadata", ref)
+                    if os.path.exists(sp) and not os.path.exists(dp):
+                        shutil.copy2(sp, dp)
         meta["cloned_from"] = os.path.abspath(src_dir)
         tmp = dst._meta_path + ".tmp"
         with open(tmp, "w") as f:
