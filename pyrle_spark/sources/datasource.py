@@ -111,6 +111,23 @@ def _resolve_read_snapshot(table, options):
     return None
 
 
+def _path_from_schema(schema: StructType):
+    """Recover the table path a catalog table was created with.
+
+    Spark's catalog hands a Python data source READER an empty options
+    dict (the CREATE-time options reach only ``schema()``), so
+    ``schema()`` stamps the normalized path into the ``_order`` field's
+    metadata — field metadata round-trips through the catalog intact —
+    and the reader/writer fall back to it here.  This is what makes
+    ``CREATE TABLE … USING pyrle OPTIONS (path '…')`` + ``SELECT``
+    work end-to-end."""
+    for f in schema.fields:
+        md = f.metadata or {}
+        if "pyrle.path" in md:
+            return _norm_path(md["pyrle.path"])
+    return None
+
+
 def _norm_path(p):
     """Normalize a table path option.  The SQL surface (``CREATE TABLE …
     USING pyrle OPTIONS (path '…')``) hands the path through Hadoop's
@@ -299,7 +316,9 @@ class PyrleReader(DataSourceReader):
         from pyrle_spark.plans.encode_job import _delete_positions
         from pyrle_spark.sources.icetable import IceTable
 
-        self.path = _norm_path(options.get("path"))
+        self.path = _norm_path(options.get("path")) or _path_from_schema(
+            schema
+        )
         if not self.path:
             raise ValueError("pyrle reader requires .load(<table path>)")
         table = IceTable(self.path)
@@ -665,7 +684,9 @@ class PyrleWriter(DataSourceArrowWriter):
     the reported files in one locked metadata commit."""
 
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
-        self.path = _norm_path(options.get("path"))
+        self.path = _norm_path(options.get("path")) or _path_from_schema(
+            schema
+        )
         if not self.path:
             raise ValueError("pyrle writer requires .save(<table path>)")
         self.order_col = options.get("order_col", "doc_seq")
@@ -775,7 +796,9 @@ class PyrleStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict, schema: StructType):
         from pyrle_spark.sources.icetable import IceTable
 
-        self.path = _norm_path(options.get("path"))
+        self.path = _norm_path(options.get("path")) or _path_from_schema(
+            schema
+        )
         if not self.path:
             raise ValueError("pyrle stream reader requires .load(<table path>)")
         table = IceTable(self.path)
@@ -1027,7 +1050,14 @@ class PyrleDataSource(DataSource):
             if cols_opt
             else None
         )
-        return _decoded_schema(props, cols)
+        sch = _decoded_schema(props, cols).jsonValue()
+        # stamp the path into field metadata: catalog SELECTs hand the
+        # reader empty options but DO hand it this schema (see
+        # _path_from_schema)
+        for f in sch["fields"]:
+            if f["name"] == "_order":
+                f["metadata"] = {**(f.get("metadata") or {}), "pyrle.path": path}
+        return StructType.fromJson(sch)
 
     def reader(self, schema: StructType):
         return PyrleReader(dict(self.options), schema)

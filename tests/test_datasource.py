@@ -297,10 +297,8 @@ def test_lineage_and_codecs_metadata_relations(ds_spark, table_dir):
 def test_sql_over_temp_view_with_pushdown(spark, tmp_path):
     """The SQL surface of the V2 source: a temp view over
     read.format('pyrle') serves Spark SQL, and WHERE clauses reach the
-    reader's pushFilters block pruning.  (CREATE TABLE ... USING pyrle
-    is blocked upstream: Spark does not forward a catalog table's
-    storage options/location to a Python data source reader — its
-    options dict arrives empty — so the documented SQL path is a view.)"""
+    reader's pushFilters block pruning.  (Catalog DDL also works — see
+    test_catalog_ddl_create_and_select.)"""
     import pyspark.sql.functions as F
 
     from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
@@ -352,3 +350,39 @@ def test_timestamp_as_of_read_option(spark, tmp_path):
     old = spark.read.format("pyrle").option("timestampAsOf", str(ts1)).load(t)
     assert old.count() == 200
     assert spark.read.format("pyrle").load(t).count() == 400
+
+
+def test_catalog_ddl_create_and_select(spark, tmp_path):
+    """``CREATE TABLE … USING pyrle OPTIONS (path …)`` + catalog
+    SELECT/filter work end-to-end.  Spark hands a catalog table's
+    Python data source READER an empty options dict (the CREATE-time
+    options reach only ``schema()``), so ``schema()`` stamps the table
+    path into the ``_order`` field metadata — which round-trips through
+    the catalog — and the reader recovers it from there."""
+    import pyspark.sql.functions as F
+
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+    from pyrle_spark.sources.datasource import register
+
+    register(spark)
+    t = str(tmp_path / "cat_tbl")
+    df = spark.range(0, 600, 1, 2).select(
+        F.col("id").alias("doc_seq"),
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") * 2).alias("v"),
+    )
+    encode_table(spark, df, t, EncodeConfig(columns=["g", "v"], block_rows=100))
+    spark.sql("DROP TABLE IF EXISTS pyrle_cat_t")
+    spark.sql(f"CREATE TABLE pyrle_cat_t USING pyrle OPTIONS (path '{t}')")
+    try:
+        assert spark.sql("SELECT count(*) FROM pyrle_cat_t").first()[0] == 600
+        got = spark.sql(
+            "SELECT g, sum(v) AS s FROM pyrle_cat_t WHERE v < 200 "
+            "GROUP BY g ORDER BY g"
+        ).collect()
+        want = {}
+        for i in range(100):  # v = 2i < 200
+            want[i % 3] = want.get(i % 3, 0) + 2 * i
+        assert {r["g"]: r["s"] for r in got} == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pyrle_cat_t")
