@@ -168,6 +168,12 @@ from pyrle_spark.streaming.interval_join import (  # noqa: E402
     stream_interval_join,
 )
 
+from pyrle_spark.streaming.outer_join_stream import (  # noqa: E402
+    _STREAM_DEDUP_WITHIN_WATERMARK_SQL,
+    _STREAM_OUTER_INTERVAL_JOIN_SQL,
+    stream_dedup_within_watermark,
+    stream_outer_interval_join,
+)
 from pyrle_spark.streaming.sessionize_stream import (  # noqa: E402
     _STREAM_SESSIONIZE_SQL,
     stream_sessionize,
@@ -177,6 +183,8 @@ QUERIES = {
     "stream_windowed_counts": stream_windowed_counts,
     "stream_mirror_roundtrip": stream_mirror_roundtrip,
     "stream_interval_join": stream_interval_join,
+    "stream_outer_interval_join": stream_outer_interval_join,
+    "stream_dedup_within_watermark": stream_dedup_within_watermark,
     "stream_sessionize": stream_sessionize,
     "stream_exact_dedup": stream_exact_dedup,
 }
@@ -184,6 +192,8 @@ ORACLE_SQL = {
     "stream_windowed_counts": _STREAM_WINDOWED_SQL,
     "stream_mirror_roundtrip": _STREAM_MIRROR_SQL,
     "stream_interval_join": _STREAM_INTERVAL_JOIN_SQL,
+    "stream_outer_interval_join": _STREAM_OUTER_INTERVAL_JOIN_SQL,
+    "stream_dedup_within_watermark": _STREAM_DEDUP_WITHIN_WATERMARK_SQL,
     "stream_sessionize": _STREAM_SESSIONIZE_SQL,
     "stream_exact_dedup": _STREAM_EXACT_DEDUP_SQL,
 }
