@@ -372,6 +372,50 @@ def main() -> None:
             dt = round(time.time() - t0, 3)
             queries[f"q_{name}"] = min(queries.get(f"q_{name}", dt), dt)
     shutil.rmtree(_gw_dir, ignore_errors=True)
+
+    # local query-engine comparator: time each headliner's DuckDB oracle
+    # twin on the same parquet and record spark_s / duckdb_s.  At sf0.1
+    # DuckDB wins most queries (Spark pays a fixed per-query planning +
+    # task-launch overhead that DuckDB's in-process engine doesn't; the
+    # crossover flips at the scale where one node no longer holds the
+    # data — see BASELINE.md) — the RATIO TREND across rounds, not its
+    # absolute level, is the regression signal.
+    duckdb_s: dict = {}
+    ratios: dict = {}
+    try:
+        import duckdb
+
+        import __spark_entry__ as entry
+
+        osql = entry.oracle_sql()
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {CPUS}")
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split():
+            p = os.path.join(SF_DIR, f"{t}.parquet")
+            if os.path.exists(p):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+                )
+        for qname in list(queries):
+            key = qname[2:] if qname.startswith("q_") else qname
+            sql = osql.get(key)
+            if not sql:
+                continue  # engine-internal headliner: no SQL twin
+            best = None
+            for _ in range(3):
+                t0 = time.time()
+                con.sql(sql).fetchall()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            duckdb_s[qname] = round(best, 3)
+            ratios[qname] = round(queries[qname] / max(best, 1e-9), 2)
+        con.close()
+    except Exception as ex:  # comparator must never fail the bench
+        duckdb_s = {"error": str(ex)[:200]}
+
     out = {
         "metric": "pyrle_spark headline (encode+decode+relational)",
         "value": round(sum(queries.values()), 3),
@@ -379,6 +423,8 @@ def main() -> None:
         "queries": queries,
         "sf": sf,
         "cpus": CPUS,
+        "duckdb_s": duckdb_s,
+        "spark_vs_duckdb": ratios,
         **extras,
     }
     print(json.dumps(out))
