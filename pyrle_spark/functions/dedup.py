@@ -216,13 +216,22 @@ def _minhash_groups(spark: SparkSession, sf_dir: str):
     """(membership, unique-signature) pair behind the LSH join: docs
     with byte-identical signatures — the thousands of boilerplate
     copies a web crawl plants in one bucket — collapse to min(doc_id)
-    so a cluster of m docs costs the band join ONE row, not m² pairs."""
+    so a cluster of m docs costs the band join ONE row, not m² pairs.
+
+    One window over the signature shuffle (rep = min(doc_id) per
+    signature) instead of groupBy + back-join: half the shuffles, and
+    the representative subset is a filter on the same relation."""
+    from pyspark.sql import Window as W
+
     sig = minhash_signatures(spark, sf_dir)
     hcols = [f"h{j}" for j in range(len(MINHASH_FNS))]
-    groups = sig.groupBy(*hcols).agg(F.min("doc_id").alias("rep"))
-    mem = sig.join(groups, hcols).select("doc_id", "rep")
-    usig = groups.select(F.col("rep").alias("doc_id"), *hcols)
-    return mem, usig
+    mem = sig.withColumn(
+        "rep", F.min("doc_id").over(W.partitionBy(*hcols))
+    ).select("doc_id", "rep", *hcols)
+    usig = mem.filter(F.col("doc_id") == F.col("rep")).select(
+        "doc_id", *hcols
+    )
+    return mem.select("doc_id", "rep"), usig
 
 
 def _lsh_band_rows(usig) -> DataFrame:
@@ -280,15 +289,20 @@ def minhash_lsh_pairs(
     O(m) star edges (rep → member) instead of the m(m−1)/2 clique —
     component-equivalent for the downstream connected-components /
     keep-list consumers, and the right shape at 100 TB."""
+    from pyspark.sql import Window as W
+
     mem, usig = _minhash_groups(spark, sf_dir)
     bands = _lsh_band_rows(usig)
-    ok = (
-        bands.groupBy("band", "ba", "bb")
-        .agg(F.count(F.lit(1)).alias("n_signatures"))
-        .filter(F.col("n_signatures") <= LSH_BUCKET_CAP)
-        .select("band", "ba", "bb")
+    # bucket-size window over the same (band, ba, bb) partitioning the
+    # self-join shuffles on — one exchange feeds both, vs the old
+    # groupBy + semi-join's two extra shuffles
+    bands = (
+        bands.withColumn(
+            "_n", F.count(F.lit(1)).over(W.partitionBy("band", "ba", "bb"))
+        )
+        .filter(F.col("_n") <= LSH_BUCKET_CAP)
+        .drop("_n")
     )
-    bands = bands.join(ok, ["band", "ba", "bb"])
     a = bands.alias("a")
     b = bands.alias("b")
     rep_pairs = (
@@ -330,7 +344,11 @@ def minhash_lsh_pairs(
         intra = mem.filter(F.col("doc_id") != F.col("rep")).select(
             F.col("rep").alias("d1"), F.col("doc_id").alias("d2")
         )
-    return cross.unionByName(intra).distinct()
+    # no final distinct: a doc pair maps to exactly one group pair
+    # (doc→group is a function), rep_pairs is already distinct, and the
+    # intra/cross sets are disjoint — the extra output-sized shuffle
+    # would buy nothing
+    return cross.unionByName(intra)
 
 
 def _minhash_lsh_sql() -> str:
