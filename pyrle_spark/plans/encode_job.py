@@ -55,6 +55,7 @@ from pyrle_spark.sources.icetable import IceTable
 __all__ = [
     "EncodeConfig",
     "assign_row_order",
+    "compact_delete_vectors",
     "compact_table",
     "decode_table",
     "delete_rows",
@@ -1434,6 +1435,139 @@ def _visible_delete_files(table_dir: str, snapshot_id: str | None) -> list:
         if _visible(e):
             out.extend(e.get("files") or [e["file"]])
     return out
+
+
+def compact_delete_vectors(spark: SparkSession, table_dir: str) -> dict:
+    """Maintenance rewrite of the position-delete manifest (Iceberg's
+    ``rewrite_position_delete_files``): merge delete vectors into ONE
+    sorted, deduplicated vector so a read pays one footer instead of
+    one per takedown commit — after 10⁴ takedowns the per-read planning
+    cost is otherwise O(#delete commits).
+
+    Only entries visible at the OLDEST retained snapshot merge:
+    visibility is monotone in the snapshot log, so such an entry is
+    visible at EVERY readable snapshot and re-tagging the union with
+    the oldest snapshot changes no read anywhere.  Later-tagged and
+    still-pending conditional entries stay untouched.
+
+    Concurrency: the position union (a possibly-long job) runs
+    lock-free; the manifest swap re-validates under the commit lock
+    that every merged entry is still present (optimistic concurrency —
+    a racing compactor aborts, a racing NEW delete simply stays).
+
+    Returns ``{"merged_entries", "kept_entries", "n_positions",
+    "removed_files"}``."""
+    import os
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    from pyrle_spark.sources.icetable import commit_lock
+
+    table = IceTable(table_dir)
+    manifest_path = os.path.join(table_dir, "deletes", "manifest.json")
+    if not os.path.exists(manifest_path):
+        return {"merged_entries": 0, "kept_entries": 0, "n_positions": 0,
+                "removed_files": 0}
+    with open(manifest_path) as f:
+        entries = json.load(f)
+    snaps = table.snapshots()
+    if not snaps:
+        return {"merged_entries": 0, "kept_entries": len(entries),
+                "n_positions": 0, "removed_files": 0}
+    oldest = snaps[0]["id"]
+    visible_at_oldest = set(_visible_delete_files(table_dir, oldest))
+
+    def _files_of(e: dict) -> list:
+        return e.get("files") or [e["file"]]
+
+    mergeable = [
+        e for e in entries
+        if set(_files_of(e)) <= visible_at_oldest
+    ]
+    if len(mergeable) < 2:
+        return {"merged_entries": 0, "kept_entries": len(entries),
+                "n_positions": 0, "removed_files": 0}
+    old_files = [f for e in mergeable for f in _files_of(e)]
+    n_est = sum(pq.ParquetFile(f).metadata.num_rows for f in old_files)
+    del_dir = os.path.join(table_dir, "deletes")
+    if n_est <= _DELETE_DRIVER_MAX:
+        merged: set = set()
+        for f in old_files:
+            merged.update(pq.read_table(f, columns=["_order"])["_order"].to_pylist())
+        pos_list = sorted(merged)
+        fname = os.path.join(del_dir, f"del-{_uuid.uuid4().hex[:12]}.parquet")
+        pq.write_table(
+            pa.table({"_order": pa.array(pos_list, pa.int64())}), fname
+        )
+        new_files, n_pos = [fname], len(pos_list)
+    else:
+        # distributed union: same task-written multi-file form delete_rows
+        # uses past the threshold — the driver never holds a position
+        pos = spark.read.parquet(*old_files).select("_order").distinct()
+        n_total = pos.count()
+        n_parts = max(2, min(4096, -(-n_total // _DELETE_DRIVER_MAX)))
+        out_dir = os.path.join(del_dir, f"del-{_uuid.uuid4().hex[:12]}")
+        (
+            pos.repartitionByRange(n_parts, F.col("_order"))
+            .sortWithinPartitions("_order")
+            .write.mode("errorifexists")
+            .parquet(out_dir)
+        )
+        new_files, n_pos = [], 0
+        for root, _, names in os.walk(out_dir):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, name)
+                nr = pq.ParquetFile(full).metadata.num_rows
+                if nr == 0:
+                    os.remove(full)
+                    continue
+                new_files.append(full)
+                n_pos += nr
+    merged_file_set = set(old_files)
+    with commit_lock(table_dir):
+        with open(manifest_path) as f:
+            cur = json.load(f)
+        cur_files = {f for e in cur for f in _files_of(e)}
+        if not merged_file_set <= cur_files:
+            # a racing compactor already rewrote some of these: abort,
+            # drop our never-published vector
+            for f in new_files:
+                os.remove(f)
+            return {"merged_entries": 0, "kept_entries": len(cur),
+                    "n_positions": 0, "removed_files": 0,
+                    "aborted": "concurrent rewrite"}
+        kept = [e for e in cur if not set(_files_of(e)) <= merged_file_set]
+        new_entry = {
+            **({"file": new_files[0]} if len(new_files) == 1
+               else {"files": new_files}),
+            "n_positions": n_pos,
+            "as_of_snapshot": oldest,
+            "as_of_ts": snaps[0]["timestamp_ms"],
+            "compacted_from": len(mergeable),
+        }
+        out_entries = [new_entry] + kept
+        tmp = manifest_path + f".tmp-{_uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(out_entries, f)
+        os.replace(tmp, manifest_path)
+        removed = 0
+        for f in old_files:
+            if os.path.exists(f):
+                os.remove(f)
+                removed += 1
+            d = os.path.dirname(f)
+            if os.path.basename(d).startswith("del-") and os.path.isdir(d) \
+                    and not os.listdir(d):
+                os.rmdir(d)  # emptied multi-file vector dir
+    return {
+        "merged_entries": len(mergeable),
+        "kept_entries": len(kept),
+        "n_positions": n_pos,
+        "removed_files": removed,
+    }
 
 
 def _delete_positions(table_dir: str, snapshot_id: str | None) -> list:

@@ -2962,3 +2962,65 @@ def test_analyze_ndv_survives_tiny_tail_block(spark, tmp_path):
     assert "ndv_est" in st, st
     assert abs(st["ndv_est"] - 700) / 700 < 0.5
     assert 0.85 < st["ndv_sketched_frac"] < 1.0, st
+
+
+def test_compact_delete_vectors(spark, tmp_path, monkeypatch):
+    """Many takedown commits merge into ONE sorted deduplicated vector;
+    decode, count_rows, and time travel are unchanged; later-tagged
+    entries stay untouched; vector files of the merged entries are
+    reclaimed."""
+    import json as _json
+    import os as _os
+
+    import pyrle_spark.plans.encode_job as ej
+    from pyrle_spark.plans.encode_job import (
+        compact_delete_vectors,
+        count_rows,
+        decode_table,
+        delete_rows,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 2000, 1, 4).select(
+        F.col("id").alias("doc_seq"), (F.col("id") * 3).alias("v")
+    )
+    encode_table(spark, df, t, EncodeConfig(columns=["v"], block_rows=100))
+    # overlapping takedowns (dedup matters), incl. one through the
+    # distributed multi-file write path
+    delete_rows(spark, t, [1, 2, 3, 500])
+    delete_rows(spark, t, [3, 4, 5])
+    monkeypatch.setattr(ej, "_DELETE_DRIVER_MAX", 10)
+    delete_rows(
+        spark,
+        t,
+        decode_table(spark, t).filter(F.col("_order") < 40).select("_order"),
+    )
+    monkeypatch.setattr(ej, "_DELETE_DRIVER_MAX", 1_000_000)
+    before = {r["_order"] for r in decode_table(spark, t).select("_order").collect()}
+
+    info = compact_delete_vectors(spark, t)
+    assert info["merged_entries"] == 3 and info["kept_entries"] == 0
+    assert info["n_positions"] == len({1, 2, 3, 4, 5, 500} | set(range(40)))
+    after = {r["_order"] for r in decode_table(spark, t).select("_order").collect()}
+    assert after == before
+    assert count_rows(spark, t) == len(before)
+    with open(_os.path.join(t, "deletes", "manifest.json")) as fh:
+        entries = _json.load(fh)
+    assert len(entries) == 1 and entries[0]["compacted_from"] == 3
+    # all old vector files reclaimed; only the merged one remains
+    files = []
+    for root, _, names in _os.walk(_os.path.join(t, "deletes")):
+        files += [n for n in names if n.endswith(".parquet")]
+    assert len(files) == 1
+
+    # a delete AFTER an append is tagged mid-log: it must stay unmerged
+    more = spark.range(2000, 2400, 1, 2).select(
+        F.col("id").alias("doc_seq"), (F.col("id") * 3).alias("v")
+    )
+    encode_table(spark, more, t, EncodeConfig(columns=["v"], block_rows=100))
+    delete_rows(spark, t, [2001])
+    info2 = compact_delete_vectors(spark, t)
+    # merged entry (tagged oldest) + later entry: later one not mergeable,
+    # so fewer than 2 candidates -> no-op
+    assert info2["merged_entries"] == 0 and info2["kept_entries"] == 2
+    assert decode_table(spark, t).count() == len(before) + 400 - 1
