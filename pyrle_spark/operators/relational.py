@@ -1757,6 +1757,111 @@ GROUP BY lang
 """
 
 
+def delete_vector_compaction_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-vector COMPACTION end-to-end: three overlapping takedown
+    commits land on the encoded ``documents`` table, then
+    :func:`plans.encode_job.compact_delete_vectors` merges them into
+    one sorted deduplicated vector (Iceberg's
+    ``rewrite_position_delete_files``) — and the decoded aggregate must
+    be IDENTICAL before and after (asserted in-query) and equal to the
+    oracle's complementary WHERE.  At 10⁴ takedowns this is what keeps
+    read planning O(1) in delete files instead of O(#commits)."""
+    import tempfile
+
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        compact_delete_vectors,
+        decode_table,
+        delete_where_pred,
+        encode_table,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    cols = ["lang", "n_chars"]
+    out_dir = tempfile.mkdtemp(prefix="dv_compact_")
+    encode_table(
+        spark,
+        _fixture_ordered(docs, cols, key_cols=("lang",)),
+        out_dir,
+        EncodeConfig(columns=cols, order_col="_seq", block_rows=64),
+    )
+    # three overlapping predicate deletes (the overlap makes the
+    # position dedup observable)
+    delete_where_pred(spark, out_dir, predicates=[("n_chars", 470, 489)])
+    delete_where_pred(spark, out_dir, predicates=[("n_chars", 480, 499)])
+    delete_where_pred(spark, out_dir, predicates=[("lang", "fr", "fr"),
+                                                  ("n_chars", 470, 509)])
+    agg = lambda: (  # noqa: E731
+        decode_table(spark, out_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    before = {tuple(r) for r in agg().collect()}
+    info = compact_delete_vectors(spark, out_dir)
+    assert info["merged_entries"] == 3, info
+    after = agg()
+    assert {tuple(r) for r in after.collect()} == before
+    return after
+
+
+_DELETE_VECTOR_COMPACTION_AGG_SQL = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE NOT (n_chars BETWEEN 470 AND 499
+           OR (lang = 'fr' AND n_chars BETWEEN 470 AND 509))
+GROUP BY lang
+"""
+
+
+def catalog_sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The catalog SQL surface end-to-end: encode ``documents``,
+    ``CREATE TABLE … USING pyrle``, and answer the aggregate with plain
+    ``spark.sql`` over the CATALOG table (no temp view, no DataFrame
+    reader) — certifying the field-metadata path-recovery channel that
+    survives Spark's empty reader-options handoff.  Oracle = the same
+    aggregate on the raw table."""
+    import tempfile
+    import uuid
+
+    from pyrle_spark.plans.encode_job import EncodeConfig, encode_table
+    from pyrle_spark.sources.datasource import register
+
+    register(spark)
+    docs = load(spark, sf_dir, "documents")
+    cols = ["lang", "n_chars"]
+    out_dir = tempfile.mkdtemp(prefix="catalog_sql_")
+    encode_table(
+        spark,
+        _fixture_ordered(docs, cols, key_cols=("lang",)),
+        out_dir,
+        EncodeConfig(columns=cols, order_col="_seq", block_rows=64),
+    )
+    name = f"pyrle_cat_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE TABLE {name} USING pyrle OPTIONS (path '{out_dir}')")
+    try:
+        # materialize before dropping: the catalog relation must exist
+        # at execution time, and the result is O(#langs) rows
+        rows = spark.sql(
+            f"""SELECT lang, count(*) AS n_docs,
+                       sum(n_chars) AS total_chars
+                FROM {name} WHERE n_chars >= 420 GROUP BY lang"""
+        ).collect()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    return spark.createDataFrame(
+        rows, "lang string, n_docs long, total_chars long"
+    )
+
+
+_CATALOG_SQL_AGG_SQL = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE n_chars >= 420 GROUP BY lang
+"""
+
+
 _ENCODED_JOIN_AGG_SQL = """
 SELECT lang, source, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
@@ -5791,6 +5896,8 @@ QUERIES = {
     "encoded_join_agg": encoded_join_agg,
     "delete_where_range_agg": delete_where_range_agg,
     "mass_delete_where_agg": mass_delete_where_agg,
+    "delete_vector_compaction_agg": delete_vector_compaction_agg,
+    "catalog_sql_agg": catalog_sql_agg,
     "metadata_count_rows": metadata_count_rows,
     "null_count_pruned": null_count_pruned,
     "dsv2_pushdown_agg": dsv2_pushdown_agg,
@@ -5861,6 +5968,8 @@ ORACLE_SQL = {
     "encoded_join_agg": _ENCODED_JOIN_AGG_SQL,
     "delete_where_range_agg": _DELETE_WHERE_RANGE_AGG_SQL,
     "mass_delete_where_agg": _MASS_DELETE_WHERE_AGG_SQL,
+    "delete_vector_compaction_agg": _DELETE_VECTOR_COMPACTION_AGG_SQL,
+    "catalog_sql_agg": _CATALOG_SQL_AGG_SQL,
     "metadata_count_rows": _METADATA_COUNT_ROWS_SQL,
     "null_count_pruned": _NULL_COUNT_PRUNED_SQL,
     "dsv2_pushdown_agg": _DSV2_PUSHDOWN_AGG_SQL,
