@@ -379,11 +379,17 @@ class PartitionedIceTable:
                     "partition spec changed concurrently (evolve_spec raced "
                     "this write); re-open the table and retry"
                 )
-            prev_files = []
+            # sharded manifest (same model as IceTable.commit_files):
+            # this commit's entries land in one immutable shard; an
+            # append references the parent's shard chain, so commit
+            # metadata is O(added files), not a rewrite of the full list
+            prev_shards: list = []
             if mode == "append" and meta["current_snapshot_id"]:
-                prev_files = self.table._manifest(meta["current_snapshot_id"])[
-                    "files"
-                ]
+                parent_snap = meta["current_snapshot_id"]
+                prev_shards = self.table._parent_shards(
+                    self.table._manifest(parent_snap, materialize=False),
+                    parent_snap,
+                )
             manifest = {
                 "snapshot_id": snap_id,
                 "parent": meta["current_snapshot_id"],
@@ -394,7 +400,11 @@ class PartitionedIceTable:
                 "partition_spec": self.spec.to_json(),
                 "partition_specs": [s.to_json() for s in self._specs],
                 "default_spec_id": self._default_spec_id,
-                "files": prev_files + files,
+                "manifest_shards": prev_shards + (
+                    [self.table._write_shard(f"mf-{snap_id}.json", files)]
+                    if files
+                    else []
+                ),
                 "added_files": len(files),
                 "added_bytes": sum(f["bytes"] for f in files),
             }
