@@ -339,12 +339,36 @@ class PyrleReader(DataSourceReader):
             if snap_id
             else []
         )
-        deleted = (
-            _delete_positions(self.path, self.snapshot_id) if str(
-                options.get("apply_deletes", "true")
-            ).lower() != "false" else []
-        )
-        self.deleted = np.asarray(sorted(deleted), dtype=np.int64)
+        # delete-application strategy (same threshold switch as
+        # decode_table): small sets materialize once on the driver and
+        # ship to every task as one array; past _DELETE_DRIVER_MAX the
+        # driver ships only the vector FILE LIST and each task reads the
+        # rows overlapping its own block span (vectors are
+        # range-partitioned + sorted, so parquet row-group stats prune
+        # the read) — a mass takedown cannot OOM the driver through the
+        # DSv2 reader either.
+        self.delete_files: list = []
+        self.deleted = np.empty(0, dtype=np.int64)
+        if str(options.get("apply_deletes", "true")).lower() != "false":
+            import pyarrow.parquet as pq
+
+            from pyrle_spark.plans.encode_job import (
+                _DELETE_DRIVER_MAX,
+                _visible_delete_files,
+            )
+
+            del_files = _visible_delete_files(self.path, self.snapshot_id)
+            if del_files:
+                n_del = sum(
+                    pq.ParquetFile(f).metadata.num_rows for f in del_files
+                )
+                if n_del <= _DELETE_DRIVER_MAX:
+                    self.deleted = np.asarray(
+                        _delete_positions(self.path, self.snapshot_id),
+                        dtype=np.int64,
+                    )
+                else:
+                    self.delete_files = del_files
         self.preds: list = []
 
     def pushFilters(self, filters):
@@ -421,6 +445,7 @@ class PyrleReader(DataSourceReader):
             self.block_rows,
             self.deleted,
             self.preds,
+            delete_files=self.delete_files,
         )
 
 
@@ -431,11 +456,18 @@ def _decode_group(
     block_rows: int,
     deleted: np.ndarray,
     preds: list,
+    delete_files: list | None = None,
 ):
     """Task-side decode of one file group: thin-column pass for block
     pruning + resume dedup, then a buffers pass over surviving blocks
     only, decoded and cast to the declared Spark schema's arrow types.
-    Shared by the batch and streaming readers."""
+    Shared by the batch and streaming readers.
+
+    ``delete_files`` (mass-delete path): instead of a driver-shipped
+    position array, the task reads the delete-vector rows overlapping
+    ITS OWN block span from the listed files — position-filtered
+    parquet reads that row-group stats prune, so per-task memory is
+    O(deletes in span), never O(all deletes)."""
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_type
 
@@ -470,6 +502,25 @@ def _decode_group(
     want_bids = sorted({b for b, _ in win})
     if not want_bids:
         return
+    if delete_files:
+        # mass-delete path: fetch only the positions landing inside this
+        # group's block span (row-group stats prune the filtered reads)
+        lo = want_bids[0] * block_rows
+        hi = (want_bids[-1] + 1) * block_rows - 1
+        parts = [
+            pq.read_table(
+                f,
+                columns=["_order"],
+                filters=[("_order", ">=", lo), ("_order", "<=", hi)],
+            )["_order"].to_numpy(zero_copy_only=False)
+            for f in delete_files
+        ]
+        parts = [p for p in parts if len(p)]
+        deleted = (
+            np.unique(np.concatenate(parts))
+            if parts
+            else np.empty(0, dtype=np.int64)
+        )
     # pass 2: full rows (buffers included) of surviving blocks only
     full = pa.concat_tables(
         pq.read_table(

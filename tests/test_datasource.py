@@ -386,3 +386,50 @@ def test_catalog_ddl_create_and_select(spark, tmp_path):
         assert {r["g"]: r["s"] for r in got} == want
     finally:
         spark.sql("DROP TABLE IF EXISTS pyrle_cat_t")
+
+
+def test_reader_mass_delete_distributed(ds_spark, tmp_path, monkeypatch):
+    """Past the driver threshold the DSv2 reader ships the delete FILE
+    list and each task fetches only the positions in its block span —
+    result identical to the driver-array path and to decode_table."""
+    import pyrle_spark.plans.encode_job as ej
+    from pyrle_spark.plans.encode_job import delete_rows
+
+    out = str(tmp_path / "mass")
+    rows = generate_webtext(ds_spark, 4 * BR, n_hosts=10, block_rows=BR)
+    cfg = EncodeConfig(columns=COLS, order_col="doc_seq", block_rows=BR)
+    encode_table(ds_spark, rows, out, cfg)
+    monkeypatch.setattr(ej, "_DELETE_DRIVER_MAX", 50)  # force both big paths
+    delete_rows(
+        ds_spark,
+        out,
+        decode_table(ds_spark, out)
+        .filter((F.col("_order") % 5 == 0) | (F.col("_order") < BR))
+        .select("_order"),
+    )
+    got = (
+        ds_spark.read.format("pyrle").load(out)
+        .orderBy("_order")
+        .select("_order", "lang")
+        .toPandas()
+    )
+    want = (
+        decode_table(ds_spark, out)
+        .orderBy("_order")
+        .select("_order", "lang")
+        .toPandas()
+    )
+    assert got.equals(want)
+    n_expected = 4 * BR - len(
+        {i for i in range(4 * BR) if i % 5 == 0 or i < BR}
+    )
+    assert len(got) == n_expected
+    # driver path on the same table agrees
+    monkeypatch.setattr(ej, "_DELETE_DRIVER_MAX", 1_000_000)
+    again = (
+        ds_spark.read.format("pyrle").load(out)
+        .orderBy("_order")
+        .select("_order", "lang")
+        .toPandas()
+    )
+    assert again.equals(want)
