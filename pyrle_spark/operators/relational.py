@@ -1862,6 +1862,79 @@ FROM documents WHERE n_chars >= 420 GROUP BY lang
 """
 
 
+def tpch_q6_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 evaluated BELOW decode: lineitem encodes shipdate-
+    clustered (so date zones are tight per block), then the Q6
+    conjunction — shipdate year, discount band, quantity cap — pushes
+    through zone-map pruning via :func:`plans.encode_job.scan_encoded`
+    and only surviving blocks decode (only Q6's four columns).  The
+    in-query assert pins that pruning actually bit (the 1994 slice is
+    ~1/7 of the shipdate span); revenue is returned at a 10⁻⁴ integer
+    scale so the oracle compare is bit-exact (per-row double products
+    are IEEE-deterministic in both engines).  This is the 100 TB shape
+    of a warehouse filter-agg: manifest-level skipping, selective
+    decode, JVM-side aggregation."""
+    import tempfile
+    from datetime import datetime
+
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        assign_row_order,
+        encode_table,
+        explain_scan,
+        scan_encoded,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_shipdate",
+        "l_discount",
+        "l_quantity",
+        "l_extendedprice",
+        (F.col("l_orderkey") * F.lit(10) + F.col("l_linenumber")).alias("_tb"),
+    )
+    cols = ["l_discount", "l_extendedprice", "l_quantity", "l_shipdate"]
+    ranked = assign_row_order(li, ["l_shipdate"], tiebreak="_tb", out_col="_seq")
+    out_dir = tempfile.mkdtemp(prefix="q6_compressed_")
+    encode_table(
+        spark,
+        ranked.select("_seq", *cols),
+        out_dir,
+        EncodeConfig(columns=cols, order_col="_seq", block_rows=256),
+    )
+    preds = [
+        (
+            "l_shipdate",
+            datetime(1994, 1, 1),
+            datetime(1994, 12, 31, 23, 59, 59, 999999),
+        ),
+        ("l_discount", 0.05, 0.07),
+        ("l_quantity", None, 23.0),  # quantities are integral doubles
+    ]
+    info = explain_scan(spark, out_dir, predicates=preds)
+    assert info["survivor_blocks"] < info["total_blocks"], info  # pruning bit
+    dec = scan_encoded(spark, out_dir, columns=cols, predicates=preds)
+    return dec.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * F.col("l_discount") * F.lit(10000)
+            ).cast("long")
+        ).alias("revenue_x10000"),
+    )
+
+
+_TPCH_Q6_COMPRESSED_SQL = """
+SELECT count(*) AS n_rows,
+       CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT))
+            AS BIGINT) AS revenue_x10000
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate <= TIMESTAMP '1994-12-31 23:59:59.999999'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity <= 23.0
+"""
+
+
 _ENCODED_JOIN_AGG_SQL = """
 SELECT lang, source, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
@@ -5898,6 +5971,7 @@ QUERIES = {
     "mass_delete_where_agg": mass_delete_where_agg,
     "delete_vector_compaction_agg": delete_vector_compaction_agg,
     "catalog_sql_agg": catalog_sql_agg,
+    "tpch_q6_compressed": tpch_q6_compressed,
     "metadata_count_rows": metadata_count_rows,
     "null_count_pruned": null_count_pruned,
     "dsv2_pushdown_agg": dsv2_pushdown_agg,
@@ -5970,6 +6044,7 @@ ORACLE_SQL = {
     "mass_delete_where_agg": _MASS_DELETE_WHERE_AGG_SQL,
     "delete_vector_compaction_agg": _DELETE_VECTOR_COMPACTION_AGG_SQL,
     "catalog_sql_agg": _CATALOG_SQL_AGG_SQL,
+    "tpch_q6_compressed": _TPCH_Q6_COMPRESSED_SQL,
     "metadata_count_rows": _METADATA_COUNT_ROWS_SQL,
     "null_count_pruned": _NULL_COUNT_PRUNED_SQL,
     "dsv2_pushdown_agg": _DSV2_PUSHDOWN_AGG_SQL,
