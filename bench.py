@@ -415,6 +415,7 @@ def main() -> None:
         con.close()
     except Exception as ex:  # comparator must never fail the bench
         duckdb_s = {"error": str(ex)[:200]}
+        ratios = {}  # drop partial ratios: timings behind them were discarded
 
     out = {
         "metric": "pyrle_spark headline (encode+decode+relational)",

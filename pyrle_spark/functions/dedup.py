@@ -75,8 +75,15 @@ def _gram_idx(ws, n: int):
     ).otherwise(F.array().cast("array<int>"))
 
 
-def _shingles(spark, sf_dir) -> DataFrame:
-    """Distinct word-5-gram shingles per doc: (doc_id, shingle)."""
+def _shingles(spark, sf_dir, distinct: bool = True) -> DataFrame:
+    """Word-5-gram shingles per doc: (doc_id, shingle), deduplicated by
+    default.  ``distinct=False`` skips the dedup — it is a full shuffle
+    of the WIDEST relation in the dedup family (every exploded shingle
+    string), and duplicate-insensitive consumers (MinHash's per-doc
+    ``min``) get identical results from the raw stream while their
+    groupBy's map-side combine collapses each partition to one row per
+    doc before anything shuffles.  Duplicate-sensitive consumers
+    (Jaccard set sizes, SimHash bit votes) keep the default."""
     docs = _docs(spark, sf_dir)
     words = F.split(F.trim(F.col("text")), r"\s+")
     d = docs.select("doc_id", words.alias("ws"))
@@ -89,7 +96,7 @@ def _shingles(spark, sf_dir) -> DataFrame:
             )
         ).alias("shingle"),
     )
-    return d.distinct()
+    return d.distinct() if distinct else d
 
 
 _SHINGLES_SQL = r"""
@@ -141,8 +148,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """8-function MinHash signature per doc over shingle codes."""
-    sh = _shingles(spark, sf_dir).select(
+    """8-function MinHash signature per doc over shingle codes.
+
+    Runs over the NON-distinct shingle stream: ``min`` is
+    duplicate-insensitive, so skipping the shingle dedup removes the one
+    shuffle whose width is the exploded shingle text — the per-doc
+    groupBy's partial aggregation reduces every scan partition to 8
+    int64s per doc before the only remaining exchange."""
+    sh = _shingles(spark, sf_dir, distinct=False).select(
         "doc_id", _hash32(F.col("shingle")).alias("code")
     )
     aggs = [
@@ -161,17 +174,57 @@ def _sig_select() -> str:
     return f"SELECT doc_id, {cols} FROM sh GROUP BY doc_id"
 
 
-def _bands_select() -> str:
-    """SELECT body for the bands CTE (expects ``sig``)."""
-    return "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {bi} AS band, h{x} AS ba, h{y} AS bb FROM sig"
+# Hot-bucket guard for the band-bucket self-join.  Identical signatures
+# never reach the join (they collapse to one representative first — see
+# minhash_lsh_pairs), so the cap bounds DISTINCT signatures per band
+# bucket: a bucket beyond it is boilerplate-grade noise whose pairs are
+# below the LSH precision floor anyway.  Skipped buckets are observable
+# via minhash_lsh_overcap_buckets (the overflow flag).
+LSH_BUCKET_CAP = 1024
+
+
+def _cand_ctes() -> str:
+    """CTE chain ending in ``cand(d1, d2)`` — the SQL mirror of the
+    GUARDED Spark candidate join (expects ``sig`` in scope).  Encodes
+    both skew guards so the certified contract is the capped semantics,
+    not an uncapped superset that only agrees while no test corpus
+    trips the cap: identical signatures collapse to min(doc_id)
+    representatives before the band self-join, buckets beyond
+    ``LSH_BUCKET_CAP`` distinct signatures drop, and the full pair set
+    is reconstructed from the membership map afterwards."""
+    hc = ", ".join(f"h{j}" for j in range(len(MINHASH_FNS)))
+    per_band = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {bi} AS band, h{x} AS ba, h{y} AS bb "
+        "FROM mem WHERE doc_id = rep"
         for bi, (x, y) in enumerate(BANDS)
     )
-
-
-_CAND_SELECT = """SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.ba = b.ba AND a.bb = b.bb AND a.doc_id < b.doc_id"""
+    return f"""mem AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY {hc}) AS rep, {hc} FROM sig
+),
+bands AS (
+{per_band}
+),
+capped AS (
+  SELECT doc_id, band, ba, bb FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, ba, bb) AS _n FROM bands
+  ) WHERE _n <= {LSH_BUCKET_CAP}
+),
+rep_pairs AS (
+  SELECT DISTINCT a.doc_id AS r1, b.doc_id AS r2
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.ba = b.ba AND a.bb = b.bb
+       AND a.doc_id < b.doc_id
+),
+cand AS (
+  SELECT least(x.doc_id, y.doc_id) AS d1,
+         greatest(x.doc_id, y.doc_id) AS d2
+  FROM rep_pairs p
+  JOIN mem x ON x.rep = p.r1
+  JOIN mem y ON y.rep = p.r2
+  UNION ALL
+  SELECT x.doc_id, y.doc_id
+  FROM mem x JOIN mem y ON x.rep = y.rep AND x.doc_id < y.doc_id
+)"""
 
 
 def _minhash_sig_sql() -> str:
@@ -183,10 +236,7 @@ def _ngram_jaccard_sql() -> str:
     return f"""
 WITH sh AS ({_SHINGLES_SQL}),
 sig AS ({_sig_select()}),
-bands AS (
-{_bands_select()}
-),
-cand AS ({_CAND_SELECT}),
+{_cand_ctes()},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT c.d1, c.d2, count(*) AS i
@@ -203,15 +253,6 @@ WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
 """
 
 
-# Hot-bucket guard for the band-bucket self-join.  Identical signatures
-# never reach the join (they collapse to one representative first — see
-# minhash_lsh_pairs), so the cap bounds DISTINCT signatures per band
-# bucket: a bucket beyond it is boilerplate-grade noise whose pairs are
-# below the LSH precision floor anyway.  Skipped buckets are observable
-# via minhash_lsh_overcap_buckets (the overflow flag).
-LSH_BUCKET_CAP = 1024
-
-
 def _minhash_groups(spark: SparkSession, sf_dir: str):
     """(membership, unique-signature) pair behind the LSH join: docs
     with byte-identical signatures — the thousands of boilerplate
@@ -220,7 +261,13 @@ def _minhash_groups(spark: SparkSession, sf_dir: str):
 
     One window over the signature shuffle (rep = min(doc_id) per
     signature) instead of groupBy + back-join: half the shuffles, and
-    the representative subset is a filter on the same relation."""
+    the representative subset is a filter on the same relation.
+
+    Deliberately NOT persisted: the windowed relation's consumers in
+    :func:`minhash_lsh_pairs` produce identical exchange subtrees that
+    whole-plan ReusedExchange already dedupes, and an A/B at sf0.1
+    measured the explicit persist ~10% SLOWER (materialization cost for
+    work the reuse got free)."""
     from pyspark.sql import Window as W
 
     sig = minhash_signatures(spark, sf_dir)
@@ -355,10 +402,8 @@ def _minhash_lsh_sql() -> str:
     return f"""
 WITH sh AS ({_SHINGLES_SQL}),
 sig AS ({_sig_select()}),
-bands AS (
-{_bands_select()}
-)
-{_CAND_SELECT}
+{_cand_ctes()}
+SELECT d1, d2 FROM cand
 """
 
 
@@ -650,10 +695,7 @@ def _dedup_components_sql() -> str:
 WITH RECURSIVE
 sh AS ({_SHINGLES_SQL}),
 sig AS ({_sig_select()}),
-bands AS (
-{_bands_select()}
-),
-cand AS ({_CAND_SELECT}),
+{_cand_ctes()},
 und AS (
   SELECT d1 AS src, d2 AS dst FROM cand
   UNION ALL
@@ -696,10 +738,7 @@ def _dedup_keep_list_sql() -> str:
 WITH RECURSIVE
 sh AS ({_SHINGLES_SQL}),
 sig AS ({_sig_select()}),
-bands AS (
-{_bands_select()}
-),
-cand AS ({_CAND_SELECT}),
+{_cand_ctes()},
 und AS (
   SELECT d1 AS src, d2 AS dst FROM cand
   UNION ALL

@@ -1708,7 +1708,6 @@ def mass_delete_where_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver."""
     import tempfile
 
-    import pyrle_spark.plans.encode_job as ej
     from pyrle_spark.plans.encode_job import (
         EncodeConfig,
         decode_table,
@@ -1725,28 +1724,25 @@ def mass_delete_where_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_dir,
         EncodeConfig(columns=cols, order_col="_seq", block_rows=64),
     )
-    saved = ej._DELETE_DRIVER_MAX
-    ej._DELETE_DRIVER_MAX = 16  # sandbox stand-in for the 1M cutover
-    try:
-        info = delete_where_pred(
-            spark, out_dir, predicates=[("n_chars", 430, 449)]
+    # sandbox stand-in for the 1M cutover, threaded explicitly (never a
+    # module-global patch — registry queries may run concurrently)
+    info = delete_where_pred(
+        spark, out_dir, predicates=[("n_chars", 430, 449)], driver_max=16
+    )
+    assert info["n_positions"] > 16, "must exceed the driver threshold"
+    assert "files" in info and len(info["files"]) > 1, (
+        "the distributed (task-written, multi-file) path must be taken"
+    )
+    # reads under the same low threshold exercise the distributed
+    # anti-join against the task-written vector too
+    return (
+        decode_table(spark, out_dir, driver_max=16)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
         )
-        assert info["n_positions"] > 16, "must exceed the driver threshold"
-        assert "files" in info and len(info["files"]) > 1, (
-            "the distributed (task-written, multi-file) path must be taken"
-        )
-        # reads under the same low threshold exercise the distributed
-        # anti-join against the task-written vector too
-        return (
-            decode_table(spark, out_dir)
-            .groupBy("lang")
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("n_chars").alias("total_chars"),
-            )
-        )
-    finally:
-        ej._DELETE_DRIVER_MAX = saved
+    )
 
 
 _MASS_DELETE_WHERE_AGG_SQL = """

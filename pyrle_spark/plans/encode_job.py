@@ -1205,6 +1205,7 @@ def delete_rows(
     table_dir: str,
     positions,
     only_if_snapshot: str | None = None,
+    driver_max: int | None = None,
 ) -> dict:
     """Merge-on-read row deletion (the Iceberg v2 position-delete file):
     record the given ``_order`` positions in a delete vector; subsequent
@@ -1230,12 +1231,18 @@ def delete_rows(
     append could allocate).  ``expire_snapshots`` clears the marker for
     snapshots it retires, so the delete outlives its trigger's history.
 
+    ``driver_max``: override of the module default driver-side position
+    cutover (``_DELETE_DRIVER_MAX``), threaded explicitly so callers
+    (tests, registry queries) never mutate the module global.
+
     Returns ``{"file"|"files", "n_positions", "as_of_snapshot"}``."""
     import os
     import uuid as _uuid
 
     import pyarrow.parquet as pq
 
+    if driver_max is None:
+        driver_max = _DELETE_DRIVER_MAX
     table = IceTable(table_dir)
     del_dir = os.path.join(table_dir, "deletes")
     os.makedirs(del_dir, exist_ok=True)
@@ -1246,8 +1253,8 @@ def delete_rows(
         # bounded probe: pull at most threshold+1 rows.  At or below the
         # threshold the pull IS the position set (limit past the end
         # returns everything) — one job either way.
-        pdf = pos.limit(_DELETE_DRIVER_MAX + 1).toPandas()
-        if len(pdf) > _DELETE_DRIVER_MAX:
+        pdf = pos.limit(driver_max + 1).toPandas()
+        if len(pdf) > driver_max:
             # distributed write: tasks write range-partitioned sorted
             # parquet under one vector directory; the driver touches only
             # footers.  A 10⁹-position takedown is one shuffle + write,
@@ -1257,7 +1264,7 @@ def delete_rows(
             # driver-loadable for the small-read path and is honored
             # verbatim (AQE does not coalesce a user-given numPartitions).
             n_total = pos.count()
-            n_parts = max(2, min(4096, -(-n_total // _DELETE_DRIVER_MAX)))
+            n_parts = max(2, min(4096, -(-n_total // driver_max)))
             out_dir = os.path.join(del_dir, f"del-{_uuid.uuid4().hex[:12]}")
             (
                 pos.repartitionByRange(n_parts, F.col("_order"))
@@ -1334,7 +1341,11 @@ def physical_column(
 
 
 def delete_where(
-    spark: SparkSession, table_dir: str, column: str, values: list
+    spark: SparkSession,
+    table_dir: str,
+    column: str,
+    values: list,
+    driver_max: int | None = None,
 ) -> dict:
     """Equality delete (the Iceberg v2 equality-delete file, realized as
     positions): remove every row whose ``column`` is in ``values`` —
@@ -1350,7 +1361,7 @@ def delete_where(
     live = prune_blocks_in(enc, physical_column(table, column), values)
     dec = decode_table(spark, table_dir, columns=[column], blocks=live)
     doomed = dec.filter(F.col(column).isin(values)).select("_order")
-    return delete_rows(spark, table_dir, doomed)
+    return delete_rows(spark, table_dir, doomed, driver_max=driver_max)
 
 
 def delete_where_pred(
@@ -1358,6 +1369,7 @@ def delete_where_pred(
     table_dir: str,
     predicates: list | None = None,
     any_of: list | None = None,
+    driver_max: int | None = None,
 ) -> dict:
     """Predicate delete — ``DELETE FROM t WHERE <conjunction / DNF>`` in
     the same tuple forms :func:`scan_encoded` takes (range, equality,
@@ -1377,7 +1389,7 @@ def delete_where_pred(
     doomed = scan_encoded(
         spark, table_dir, columns=need, predicates=predicates, any_of=any_of
     ).select("_order")
-    return delete_rows(spark, table_dir, doomed)
+    return delete_rows(spark, table_dir, doomed, driver_max=driver_max)
 
 
 def _visible_delete_files(table_dir: str, snapshot_id: str | None) -> list:
@@ -2887,8 +2899,14 @@ def decode_table(
     blocks: DataFrame | None = None,
     apply_deletes: bool = True,
     paths: list | None = None,
+    driver_max: int | None = None,
 ) -> DataFrame:
     """Decode an encoded-blocks table back to rows (with ``_order``).
+
+    ``driver_max``: explicit override of the delete-set driver-side
+    cutover (defaults to ``_DELETE_DRIVER_MAX``); past it the deleted
+    positions anti-join as a distributed relation instead of a
+    broadcast list.
 
     ``blocks``: optional DataFrame with a ``block_id`` column (e.g. from
     :func:`prune_blocks`) — only those blocks are decoded (zone-map data
@@ -2954,7 +2972,7 @@ def decode_table(
         # takedown or a giant MERGE — never materialize driver-side and
         # anti-join as a distributed relation instead
         n_del = sum(pq.ParquetFile(f).metadata.num_rows for f in del_files)
-        if n_del <= _DELETE_DRIVER_MAX:
+        if n_del <= (_DELETE_DRIVER_MAX if driver_max is None else driver_max):
             deleted = _delete_positions(table_dir, snapshot_id)
             # prune fully-deleted blocks before any decode work: the
             # position set is driver-resident and small, so the

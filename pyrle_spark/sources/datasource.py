@@ -735,9 +735,14 @@ class PyrleWriter(DataSourceArrowWriter):
     the reported files in one locked metadata commit."""
 
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
-        self.path = _norm_path(options.get("path")) or _path_from_schema(
-            schema
-        )
+        # Writes require an EXPLICIT path.  The reader falls back to the
+        # path schema() stamps into field metadata (catalog SELECTs hand
+        # readers empty options), but that metadata also survives
+        # arbitrary transformations of a read DataFrame — a writer that
+        # fell back to it would turn a forgotten ``.save(path)`` into a
+        # silent append/overwrite of whatever table the data was READ
+        # from.  Keep the forgotten-path case a loud error.
+        self.path = _norm_path(options.get("path"))
         if not self.path:
             raise ValueError("pyrle writer requires .save(<table path>)")
         self.order_col = options.get("order_col", "doc_seq")

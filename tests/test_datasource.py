@@ -186,6 +186,23 @@ def test_resume_dedup_read(ds_spark, tmp_path):
     assert got["n"] == 2 * BR + 100 == got["d"]
 
 
+def test_writer_requires_explicit_path(ds_spark, table_dir):
+    """A read DataFrame carries the source path in field metadata (the
+    catalog-SELECT recovery channel).  The WRITER must not fall back to
+    it: a forgotten .save(path) would silently append to the table the
+    data was read from.  Pin the loud error."""
+    got = ds_spark.read.format("pyrle").load(table_dir)
+    before = IceTable(table_dir).current_snapshot_id()
+    with pytest.raises(Exception, match="save"):
+        (
+            got.write.format("pyrle")
+            .option("order_col", "_order")
+            .mode("append")
+            .save()
+        )
+    assert IceTable(table_dir).current_snapshot_id() == before
+
+
 def test_writer_rejects_unsorted(ds_spark, tmp_path):
     out = str(tmp_path / "unsorted")
     rows = generate_webtext(ds_spark, BR, n_hosts=5, block_rows=BR)
