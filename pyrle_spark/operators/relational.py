@@ -1931,6 +1931,179 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01'
 """
 
 
+def tpch_q1_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 evaluated BELOW decode — the proof the compressed path
+    generalizes past single-aggregate shapes: lineitem encodes
+    shipdate-clustered with the Q1 money terms pre-derived as integer
+    fixed-point columns (cents, cents·(100−disc), cents·(100−disc)·
+    (100+tax) — exactly :func:`tpch_q1_pricing`'s arithmetic, now
+    stored as FOR/bit-pack-friendly integers), and ONE
+    :func:`plans.compressed.group_sums_where` pass answers the whole
+    pricing summary: the shipdate filter pushes through zone prune /
+    containment / codec-mask tiers (the in-query assert pins that the
+    post-cutoff tail was skipped at the manifest), the two flag keys
+    pair on dictionary CODES, and all four sums fold int64-exact into
+    the 6-slot pair histogram without a row record ever existing.
+
+    Scale shape: O(#blocks) manifest prune, one block_id shuffle of
+    surviving compressed buffers, 6 output groups regardless of corpus
+    size."""
+    import tempfile
+    from datetime import datetime
+
+    from pyrle_spark.plans.compressed import group_sums_where
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        assign_row_order,
+        encode_table,
+        explain_scan,
+    )
+
+    cents = _money_cents("l_extendedprice")
+    disc = 100 - _money_cents("l_discount")
+    tax = 100 + _money_cents("l_tax")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("ship_day"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        cents.alias("base_cents"),
+        (cents * disc).alias("disc_e4"),
+        (cents * disc * tax).alias("charge_e6"),
+        (F.col("l_orderkey") * F.lit(10) + F.col("l_linenumber")).alias("_tb"),
+    )
+    cols = [
+        "base_cents", "charge_e6", "disc_e4", "l_linestatus",
+        "l_returnflag", "qty", "ship_day",
+    ]
+    ranked = assign_row_order(li, ["ship_day"], tiebreak="_tb", out_col="_seq")
+    out_dir = tempfile.mkdtemp(prefix="q1_compressed_")
+    encode_table(
+        spark,
+        ranked.select("_seq", *cols),
+        out_dir,
+        EncodeConfig(columns=cols, order_col="_seq", block_rows=256),
+    )
+    cutoff = (datetime(1998, 9, 2) - datetime(1970, 1, 1)).days
+    info = explain_scan(
+        spark, out_dir, predicates=[("ship_day", None, cutoff)]
+    )
+    assert info["survivor_blocks"] < info["total_blocks"], info  # pruning bit
+    return group_sums_where(
+        spark,
+        out_dir,
+        "l_returnflag",
+        "l_linestatus",
+        measures=["qty", "base_cents", "disc_e4", "charge_e6"],
+        filter_col="ship_day",
+        hi=cutoff,
+    ).select(
+        F.col("value_a").alias("l_returnflag"),
+        F.col("value_b").alias("l_linestatus"),
+        "sum_qty",
+        "sum_base_cents",
+        "sum_disc_e4",
+        "sum_charge_e6",
+        F.col("n_rows").alias("count_order"),
+    )
+
+
+# oracle: identical to the batch Q1's fixed-point summary (defined next
+# to tpch_q1_pricing below); the compressed path must produce the same
+# rows bit-for-bit, so they share one SQL twin — see the QUERIES wiring.
+
+
+def tpch_q14_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 with the FACT side kept in the compressed domain —
+    aggregate-below-join under a date filter: lineitem encodes
+    shipdate-clustered with the partkey and the 10⁻⁴-scale revenue as
+    integers, ONE single-key :func:`plans.compressed.group_sums_where`
+    pass reduces it to a per-partkey revenue histogram (the shipdate
+    window pushes through zone prune / containment / codec masks — the
+    in-query assert pins the manifest-level skip), and only that
+    O(distinct partkeys) histogram joins the broadcast part dim for the
+    promo/total conditional split.  The 10¹²-row fact never decodes a
+    row and never shuffles row data — the join operand is the
+    dictionary domain, :func:`compressed_join_dim`'s shape generalized
+    with a filter and an exact integer measure.
+
+    Scale shape: O(#blocks) manifest prune, one block_id shuffle of
+    surviving compressed buffers, histogram ⋈ broadcast dim, one scalar
+    reduce."""
+    import tempfile
+    from datetime import datetime
+
+    from pyrle_spark.plans.compressed import group_sums_where
+    from pyrle_spark.plans.encode_job import (
+        EncodeConfig,
+        assign_row_order,
+        encode_table,
+        explain_scan,
+    )
+
+    rev = _money_cents("l_extendedprice") * (100 - _money_cents("l_discount"))
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("long").alias("partkey"),
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("ship_day"),
+        rev.alias("rev_e4"),
+        (F.col("l_orderkey") * F.lit(10) + F.col("l_linenumber")).alias("_tb"),
+    )
+    cols = ["partkey", "rev_e4", "ship_day"]
+    ranked = assign_row_order(li, ["ship_day"], tiebreak="_tb", out_col="_seq")
+    out_dir = tempfile.mkdtemp(prefix="q14_compressed_")
+    encode_table(
+        spark,
+        ranked.select("_seq", *cols),
+        out_dir,
+        EncodeConfig(columns=cols, order_col="_seq", block_rows=256),
+    )
+    epoch = datetime(1970, 1, 1)
+    lo = (datetime(1996, 1, 1) - epoch).days
+    hi = (datetime(1996, 4, 1) - epoch).days - 1  # dates are midnight
+    info = explain_scan(
+        spark, out_dir, predicates=[("ship_day", lo, hi)]
+    )
+    assert info["survivor_blocks"] < info["total_blocks"], info  # pruning bit
+    hist = group_sums_where(
+        spark,
+        out_dir,
+        "partkey",
+        None,
+        measures=["rev_e4"],
+        filter_col="ship_day",
+        lo=lo,
+        hi=hi,
+    ).select(F.col("value_a").alias("partkey"), "sum_rev_e4")
+    part = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("partkey"),
+        F.col("p_type").startswith("PROMO").alias("is_promo"),
+    )
+    return (
+        hist.join(F.broadcast(part), "partkey")
+        .agg(
+            F.sum(
+                F.when(F.col("is_promo"), F.col("sum_rev_e4")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("promo_revenue_e4"),
+            F.sum("sum_rev_e4").alias("total_revenue_e4"),
+        )
+        .select(
+            "promo_revenue_e4",
+            "total_revenue_e4",
+            (
+                F.lit(100.0)
+                * F.col("promo_revenue_e4")
+                / F.col("total_revenue_e4")
+            ).alias("promo_pct"),
+        )
+    )
+
+
 _ENCODED_JOIN_AGG_SQL = """
 SELECT lang, source, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
@@ -5968,6 +6141,8 @@ QUERIES = {
     "delete_vector_compaction_agg": delete_vector_compaction_agg,
     "catalog_sql_agg": catalog_sql_agg,
     "tpch_q6_compressed": tpch_q6_compressed,
+    "tpch_q1_compressed": tpch_q1_compressed,
+    "tpch_q14_compressed": tpch_q14_compressed,
     "metadata_count_rows": metadata_count_rows,
     "null_count_pruned": null_count_pruned,
     "dsv2_pushdown_agg": dsv2_pushdown_agg,
@@ -6041,6 +6216,8 @@ ORACLE_SQL = {
     "delete_vector_compaction_agg": _DELETE_VECTOR_COMPACTION_AGG_SQL,
     "catalog_sql_agg": _CATALOG_SQL_AGG_SQL,
     "tpch_q6_compressed": _TPCH_Q6_COMPRESSED_SQL,
+    "tpch_q1_compressed": _TPCH_Q1_SQL,
+    "tpch_q14_compressed": _TPCH_Q14_SQL,
     "metadata_count_rows": _METADATA_COUNT_ROWS_SQL,
     "null_count_pruned": _NULL_COUNT_PRUNED_SQL,
     "dsv2_pushdown_agg": _DSV2_PUSHDOWN_AGG_SQL,

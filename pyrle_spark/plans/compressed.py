@@ -1396,6 +1396,163 @@ def group_count_where(
     return partial.groupBy("value_a").agg(F.sum("n_rows").alias("n_rows"))
 
 
+def group_sums_where(
+    spark: SparkSession,
+    table_dir: str,
+    key_a: str,
+    key_b: str | None,
+    measures: list,
+    filter_col: str | None = None,
+    lo=None,
+    hi=None,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """``SELECT a, b, count(*), sum(m1), …, sum(mk) WHERE lo <= f <= hi
+    GROUP BY a, b`` below row decode — the TPC-H Q1 shape.  Combines
+    :func:`group_sum_pair`'s code-paired two-key histogram with
+    :func:`group_count_where`'s three filter-pushdown tiers (manifest
+    zone prune → zone containment → codec-level mask), and folds ANY
+    number of integer measures into the pair domain in one pass — one
+    ``np.add.at`` per measure against the same pair index, so adding a
+    measure costs one array fold, never another scan.
+
+    All sums accumulate in int64 end-to-end (the cross-engine exactness
+    rule); a float measure block raises.  Measure NULLs contribute 0
+    and still count in ``n_rows``.  Merge-on-read deletes apply to
+    keys, filter, and measures alike.
+
+    ``key_b=None`` runs the single-key form (``GROUP BY a`` only):
+    ``value_b`` comes back as the constant ``"_all"`` for the caller to
+    drop — the histogram then feeds aggregate-below-join consumers
+    (:func:`agg_join_dim`'s shape with a filter, e.g. TPC-H Q14's
+    per-partkey revenue under a shipdate window).
+
+    Returns (value_a string, value_b string, n_rows long,
+    sum_<m> long per measure).
+
+    Scale shape: O(#blocks) manifest prune, ONE block_id shuffle of the
+    surviving compressed buffers, O(#distinct pairs) rows per block
+    out; the final aggregate's key is pair cardinality (Q1: 6 groups
+    regardless of corpus size)."""
+    from pyrle_spark.codecs import decode_array
+
+    table = IceTable(table_dir)
+    pa_col = physical_column(table, key_a, snapshot_id)
+    pb_col = (
+        physical_column(table, key_b, snapshot_id)
+        if key_b is not None
+        else None
+    )
+    pm_cols = [physical_column(table, m, snapshot_id) for m in measures]
+    pf = physical_column(table, filter_col, snapshot_id) if filter_col else None
+    need = {pa_col, *pm_cols} | ({pb_col} if pb_col else set()) | (
+        {pf} if pf else set()
+    )
+    block_rows = int(table.properties(snapshot_id)["block_rows"])
+    dmap = _delete_map(table_dir, snapshot_id, block_rows)
+    enc_all = dedup_blocks(
+        table.read_table(spark, snapshot_id).filter(
+            F.col("column").isin(*need)
+        )
+    )
+    if pf is not None:
+        live = prune_blocks(enc_all, pf, lo, hi)
+        enc = enc_all.join(F.broadcast(live), "block_id")
+    else:
+        enc = enc_all
+    tagged = enc.repartition("block_id").sortWithinPartitions(
+        "block_id", "column"
+    )
+    sum_names = [f"sum_{m}" for m in measures]
+    out_schema = pa.schema(
+        [("value_a", pa.string()), ("value_b", pa.string()),
+         ("n_rows", pa.int64())]
+        + [(s, pa.int64()) for s in sum_names]
+    )
+
+    def _partials(batches):
+        for bid, rows in _grouped_blocks(batches, need):
+            kill = dmap.get(bid)
+            codes_a, vals_a = _block_factorize(rows[pa_col], kill)
+            if pb_col is not None:
+                codes_b, vals_b = _block_factorize(rows[pb_col], kill)
+            else:  # single-key form: one constant pseudo-slot
+                codes_b = np.zeros(len(codes_a), dtype=np.int64)
+                vals_b = ["_all"]
+            ms = []
+            for m_name, pm in zip(measures, pm_cols):
+                m_enc = rows[pm]
+                arr = decode_array(m_enc)
+                if not pa.types.is_integer(arr.type):
+                    raise TypeError(
+                        f"group_sums_where needs integer measures; "
+                        f"{m_name!r} blocks are {arr.type}"
+                    )
+                if kill is not None and len(kill):
+                    arr = arr.filter(
+                        pa.array(_keep_mask(m_enc.n_rows, kill))
+                    )
+                ms.append(np.asarray(arr.fill_null(0), dtype=np.int64))
+            if pf is not None:
+                mask = _block_filter_mask(rows[pf], lo, hi, kill)
+            else:
+                mask = None
+            if mask is not None:
+                if len(mask) != len(codes_a):
+                    raise ValueError(
+                        f"filtered pair group-by misalignment in block "
+                        f"{bid}: {len(codes_a)} key rows vs {len(mask)} "
+                        "filter rows"
+                    )
+                codes_a = codes_a[mask]
+                codes_b = codes_b[mask]
+                ms = [m[mask] for m in ms]
+            if not all(len(m) == len(codes_a) for m in ms) or len(
+                codes_a
+            ) != len(codes_b):
+                raise ValueError(
+                    f"pair group-by misalignment in block {bid}"
+                )
+            nb = len(vals_b) + 1
+            pair = (codes_a + 1) * nb + (codes_b + 1)
+            size = (len(vals_a) + 1) * nb
+            counts = np.bincount(pair, minlength=size)
+            sums = []
+            for m in ms:
+                s = np.zeros(size, dtype=np.int64)
+                np.add.at(s, pair, m)
+                sums.append(s)
+            nz = np.flatnonzero(counts)
+            if not len(nz):
+                continue
+            cols = {
+                "value_a": [
+                    None if p // nb == 0 else str(vals_a[p // nb - 1])
+                    for p in nz
+                ],
+                "value_b": [
+                    None if p % nb == 0 else str(vals_b[p % nb - 1])
+                    for p in nz
+                ],
+                "n_rows": [int(c) for c in counts[nz]],
+            }
+            for s_name, s in zip(sum_names, sums):
+                cols[s_name] = [int(v) for v in s[nz]]
+            yield pa.RecordBatch.from_pydict(cols, schema=out_schema)
+
+    partial = tagged.mapInArrow(
+        _partials,
+        ", ".join(
+            ["value_a string", "value_b string", "n_rows long"]
+            + [f"{s} long" for s in sum_names]
+        ),
+    )
+    return partial.groupBy("value_a", "value_b").agg(
+        F.sum("n_rows").alias("n_rows"),
+        *[F.sum(s).alias(s) for s in sum_names],
+    )
+
+
 def group_minmax_pair(
     spark: SparkSession,
     table_dir: str,

@@ -1295,17 +1295,14 @@ def delete_rows(
         )
         files = [fname]
         n_pos = len(pos_list)
-    manifest_path = os.path.join(del_dir, "manifest.json")
-    # the manifest append is a read-modify-write: two concurrent
-    # takedown commits must both survive, so it serializes under the
-    # same table commit lock as snapshot commits
-    from pyrle_spark.sources.icetable import commit_lock
+    # the manifest commit is one new immutable shard + an index update
+    # (read_delete_entries' sharded model — O(1) entries of metadata
+    # I/O per takedown, like snapshot commits); the index update is a
+    # read-modify-write, so it serializes under the same table commit
+    # lock as snapshot commits
+    from pyrle_spark.sources.icetable import append_delete_entry, commit_lock
 
     with commit_lock(table_dir):
-        entries = []
-        if os.path.exists(manifest_path):
-            with open(manifest_path) as f:
-                entries = json.load(f)
         cur = table.current_snapshot_id()
         entry = {
             **({"file": files[0]} if len(files) == 1 else {"files": files}),
@@ -1320,11 +1317,7 @@ def delete_rows(
         }
         if only_if_snapshot is not None:
             entry["only_if_snapshot"] = only_if_snapshot
-        entries.append(entry)
-        tmp = manifest_path + f".tmp-{_uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(entries, f)
-        os.replace(tmp, manifest_path)
+        append_delete_entry(table_dir, entry)
     return entry
 
 
@@ -1395,14 +1388,14 @@ def delete_where_pred(
 def _visible_delete_files(table_dir: str, snapshot_id: str | None) -> list:
     """Paths of the delete-vector files visible at ``snapshot_id``
     (None = latest): entries tagged with a snapshot at-or-before it in
-    the snapshot log.  Metadata-only (no parquet reads)."""
-    import os
+    the snapshot log.  Metadata-only (no parquet reads); entry loading
+    goes through the sharded manifest's per-process cache, so repeated
+    planning parses only shards new takedowns added."""
+    from pyrle_spark.sources.icetable import read_delete_entries
 
-    manifest_path = os.path.join(table_dir, "deletes", "manifest.json")
-    if not os.path.exists(manifest_path):
+    entries = read_delete_entries(table_dir)
+    if not entries:
         return []
-    with open(manifest_path) as f:
-        entries = json.load(f)
     table = IceTable(table_dir)
     snaps = table.snapshots()
     order = [s["id"] for s in snaps]
@@ -1474,15 +1467,17 @@ def compact_delete_vectors(spark: SparkSession, table_dir: str) -> dict:
 
     import pyarrow.parquet as pq
 
-    from pyrle_spark.sources.icetable import commit_lock
+    from pyrle_spark.sources.icetable import (
+        commit_lock,
+        read_delete_entries,
+        rewrite_delete_entries,
+    )
 
     table = IceTable(table_dir)
-    manifest_path = os.path.join(table_dir, "deletes", "manifest.json")
-    if not os.path.exists(manifest_path):
+    entries = read_delete_entries(table_dir)
+    if not entries:
         return {"merged_entries": 0, "kept_entries": 0, "n_positions": 0,
                 "removed_files": 0}
-    with open(manifest_path) as f:
-        entries = json.load(f)
     snaps = table.snapshots()
     if not snaps:
         return {"merged_entries": 0, "kept_entries": len(entries),
@@ -1540,8 +1535,7 @@ def compact_delete_vectors(spark: SparkSession, table_dir: str) -> dict:
                 n_pos += nr
     merged_file_set = set(old_files)
     with commit_lock(table_dir):
-        with open(manifest_path) as f:
-            cur = json.load(f)
+        cur = read_delete_entries(table_dir)
         cur_files = {f for e in cur for f in _files_of(e)}
         if not merged_file_set <= cur_files:
             # a racing compactor already rewrote some of these: abort,
@@ -1560,11 +1554,10 @@ def compact_delete_vectors(spark: SparkSession, table_dir: str) -> dict:
             "as_of_ts": snaps[0]["timestamp_ms"],
             "compacted_from": len(mergeable),
         }
-        out_entries = [new_entry] + kept
-        tmp = manifest_path + f".tmp-{_uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(out_entries, f)
-        os.replace(tmp, manifest_path)
+        # entry-merging doubles as MANIFEST compaction: everything lands
+        # in one fresh shard and the accumulated per-takedown shards of
+        # the merged history are unlinked
+        rewrite_delete_entries(table_dir, [new_entry] + kept)
         removed = 0
         for f in old_files:
             if os.path.exists(f):

@@ -36,6 +36,178 @@ __all__ = ["IceTable", "clone_table", "commit_lock", "touch_lock"]
 # re-parses only the shards new commits added
 _SHARD_CACHE: dict = {}
 
+# same model for DELETE-manifest shards (read_delete_entries): shard
+# files are immutable (every mutation writes a NEW dm-*.json and swaps
+# the index ref), so cached contents never go stale
+_DELETE_SHARD_CACHE: dict = {}
+
+
+# --------------------------------------------------- delete-manifest shards
+#
+# The position-delete manifest mirrors the snapshot manifest's shard
+# model: ``deletes/manifest.json`` is a small INDEX
+# ``{"format": 2, "shards": ["dm-*.json", ...]}`` and each shard is an
+# immutable ``{"entries": [...]}`` file — a takedown commit writes ONE
+# new shard plus the index (O(1) entries of I/O, not a rewrite of every
+# entry ever committed), and reads parse each immutable shard once per
+# process.  A legacy inline-list manifest.json (pre-r5) is read as-is
+# and wrapped into a shard on the first new commit.  Callers that
+# mutate (append / clear markers / compact) must hold the commit lock;
+# readers are lock-free, same as snapshot manifests.
+
+
+def _delete_index_path(table_dir: str) -> str:
+    return os.path.join(table_dir, "deletes", "manifest.json")
+
+
+def _load_delete_shard(full: str) -> list:
+    cached = _DELETE_SHARD_CACHE.get(full)
+    if cached is None:
+        if len(_DELETE_SHARD_CACHE) > 4096:
+            _DELETE_SHARD_CACHE.clear()  # bound memory across many tables
+        with open(full) as f:
+            cached = json.load(f)["entries"]
+        _DELETE_SHARD_CACHE[full] = cached
+    return cached
+
+
+def _write_delete_shard(table_dir: str, entries: list) -> str:
+    """One immutable shard under ``deletes/``; returns its relative
+    name.  Fresh uuid name per call — shards are never overwritten, so
+    the per-process cache stays valid forever."""
+    name = f"dm-{uuid.uuid4().hex[:12]}.json"
+    full = os.path.join(table_dir, "deletes", name)
+    tmp = full + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"entries": entries}, f)
+    os.replace(tmp, full)
+    return name
+
+
+def read_delete_entries(table_dir: str) -> list:
+    """Every delete-manifest entry (copies — safe to mutate).  Cost is
+    O(shards added since this process last read), not O(all entries):
+    immutable shards come from the per-process cache."""
+    p = _delete_index_path(table_dir)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        idx = json.load(f)
+    if isinstance(idx, list):  # legacy inline form
+        return idx
+    out: list = []
+    for ref in idx.get("shards", []):
+        out.extend(
+            dict(e)
+            for e in _load_delete_shard(
+                os.path.join(table_dir, "deletes", ref)
+            )
+        )
+    return out
+
+
+def _read_delete_index(table_dir: str):
+    """(index dict, wrapped) — wraps a legacy inline list into one shard
+    so subsequent commits are O(1).  Caller holds the commit lock."""
+    p = _delete_index_path(table_dir)
+    if not os.path.exists(p):
+        return {"format": 2, "shards": []}
+    with open(p) as f:
+        idx = json.load(f)
+    if isinstance(idx, list):
+        return {
+            "format": 2,
+            "shards": [_write_delete_shard(table_dir, idx)] if idx else [],
+        }
+    return idx
+
+
+def _write_delete_index(table_dir: str, idx: dict) -> None:
+    p = _delete_index_path(table_dir)
+    tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(idx, f)
+    os.replace(tmp, p)
+
+
+def append_delete_entry(table_dir: str, entry: dict) -> None:
+    """Commit one delete entry: one new single-entry shard + index
+    update.  The write cost of the 10⁴th takedown equals the first's —
+    never a rewrite of the accumulated entry list.  Caller holds the
+    commit lock."""
+    os.makedirs(os.path.join(table_dir, "deletes"), exist_ok=True)
+    idx = _read_delete_index(table_dir)
+    idx["shards"].append(_write_delete_shard(table_dir, [entry]))
+    _write_delete_index(table_dir, idx)
+
+
+def rewrite_delete_entries(table_dir: str, entries: list) -> None:
+    """Maintenance full-rewrite (compaction): everything into ONE shard,
+    old shards unlinked after the index swap (the same brief
+    index-to-shard read race snapshot-shard GC accepts).  Caller holds
+    the commit lock."""
+    old = _read_delete_index(table_dir).get("shards", [])
+    idx = {
+        "format": 2,
+        "shards": [_write_delete_shard(table_dir, entries)] if entries else [],
+    }
+    _write_delete_index(table_dir, idx)
+    for ref in old:
+        full = os.path.join(table_dir, "deletes", ref)
+        if os.path.exists(full):
+            os.remove(full)
+        _DELETE_SHARD_CACHE.pop(full, None)
+
+
+def _clear_conditional_markers(table_dir: str, expired_ids: set) -> None:
+    """Drop ``only_if_snapshot`` markers naming expired snapshots.
+    Shard-local: only shards actually holding an affected entry are
+    rewritten (new shard + in-place index ref swap); untouched shards —
+    the overwhelming majority on a takedown-heavy table — keep their
+    bytes and their cache entries.  Caller holds the commit lock."""
+    p = _delete_index_path(table_dir)
+    if not expired_ids or not os.path.exists(p):
+        return
+    with open(p) as f:
+        idx = json.load(f)
+    if isinstance(idx, list):  # legacy inline form: rewrite in place
+        changed = False
+        for e in idx:
+            if e.get("only_if_snapshot") in expired_ids:
+                e.pop("only_if_snapshot")
+                changed = True
+        if changed:
+            tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(idx, f)
+            os.replace(tmp, p)
+        return
+    changed = False
+    new_refs: list = []
+    removable: list = []
+    for ref in idx.get("shards", []):
+        full = os.path.join(table_dir, "deletes", ref)
+        shard = _load_delete_shard(full)
+        if any(e.get("only_if_snapshot") in expired_ids for e in shard):
+            cleared = []
+            for e in shard:
+                e = dict(e)
+                if e.get("only_if_snapshot") in expired_ids:
+                    e.pop("only_if_snapshot")
+                cleared.append(e)
+            new_refs.append(_write_delete_shard(table_dir, cleared))
+            removable.append(full)
+            changed = True
+        else:
+            new_refs.append(ref)
+    if changed:
+        # index swap FIRST; a crash before the unlinks leaves harmless
+        # unreferenced shards, never an index pointing at missing files
+        _write_delete_index(table_dir, {"format": 2, "shards": new_refs})
+        for full in removable:
+            os.remove(full)
+            _DELETE_SHARD_CACHE.pop(full, None)
+
 
 @contextlib.contextmanager
 def commit_lock(table_dir: str, timeout_s: float = 90.0, stale_s: float = 60.0):
@@ -1100,20 +1272,7 @@ class IceTable:
         # is harmless: marker cleared + snapshot still logged behaves
         # identically to the marker being present.
         expired_ids = {s["id"] for s in expired}
-        del_manifest = os.path.join(self.path, "deletes", "manifest.json")
-        if expired_ids and os.path.exists(del_manifest):
-            with open(del_manifest) as f:
-                del_entries = json.load(f)
-            changed = False
-            for e in del_entries:
-                if e.get("only_if_snapshot") in expired_ids:
-                    e.pop("only_if_snapshot")
-                    changed = True
-            if changed:
-                tmp = del_manifest + f".tmp-{uuid.uuid4().hex[:8]}"
-                with open(tmp, "w") as f:
-                    json.dump(del_entries, f)
-                os.replace(tmp, del_manifest)
+        _clear_conditional_markers(self.path, expired_ids)
         # metadata commit: snapshot log shrinks first (atomic), manifests
         # of expired snapshots removed after — a leftover manifest file is
         # harmless (unreferenced), a missing log entry never dangles
@@ -1210,12 +1369,9 @@ class IceTable:
         for s in meta["snapshots"]:
             for f in self._manifest(s["id"])["files"]:
                 live.add(os.path.realpath(f["path"]))
-        del_manifest = os.path.join(self.path, "deletes", "manifest.json")
-        if os.path.exists(del_manifest):
-            with open(del_manifest) as f:
-                for e in json.load(f):
-                    for p in e.get("files") or [e["file"]]:
-                        live.add(os.path.realpath(p))
+        for e in read_delete_entries(self.path):
+            for p in e.get("files") or [e["file"]]:
+                live.add(os.path.realpath(p))
         deleted = reclaimed = 0
         candidates: list = []
         seen = 0
@@ -1307,12 +1463,20 @@ def clone_table(src_dir: str, dst_dir: str) -> dict:
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, dst._meta_path)
-        del_manifest = os.path.join(src_dir, "deletes", "manifest.json")
-        if os.path.exists(del_manifest):
+        src_deletes = os.path.join(src_dir, "deletes")
+        if os.path.exists(os.path.join(src_deletes, "manifest.json")):
             os.makedirs(os.path.join(dst_dir, "deletes"), exist_ok=True)
-            shutil.copy2(
-                del_manifest, os.path.join(dst_dir, "deletes", "manifest.json")
-            )
+            # index + its immutable dm-*.json shards (entry file paths
+            # stay absolute into the source — the same sharing model as
+            # data blocks; the clone's own deletes land in its own dir)
+            for name in os.listdir(src_deletes):
+                if name == "manifest.json" or (
+                    name.startswith("dm-") and name.endswith(".json")
+                ):
+                    shutil.copy2(
+                        os.path.join(src_deletes, name),
+                        os.path.join(dst_dir, "deletes", name),
+                    )
     return {
         "snapshots": len(meta["snapshots"]),
         "current_snapshot_id": meta["current_snapshot_id"],

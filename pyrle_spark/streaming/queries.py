@@ -174,6 +174,10 @@ from pyrle_spark.streaming.outer_join_stream import (  # noqa: E402
     stream_dedup_within_watermark,
     stream_outer_interval_join,
 )
+from pyrle_spark.streaming.late_drop_stream import (  # noqa: E402
+    _STREAM_LATE_DROP_JOIN_SQL,
+    stream_late_drop_join,
+)
 from pyrle_spark.streaming.sessionize_stream import (  # noqa: E402
     _STREAM_SESSIONIZE_SQL,
     stream_sessionize,
@@ -185,6 +189,7 @@ QUERIES = {
     "stream_interval_join": stream_interval_join,
     "stream_outer_interval_join": stream_outer_interval_join,
     "stream_dedup_within_watermark": stream_dedup_within_watermark,
+    "stream_late_drop_join": stream_late_drop_join,
     "stream_sessionize": stream_sessionize,
     "stream_exact_dedup": stream_exact_dedup,
 }
@@ -194,6 +199,7 @@ ORACLE_SQL = {
     "stream_interval_join": _STREAM_INTERVAL_JOIN_SQL,
     "stream_outer_interval_join": _STREAM_OUTER_INTERVAL_JOIN_SQL,
     "stream_dedup_within_watermark": _STREAM_DEDUP_WITHIN_WATERMARK_SQL,
+    "stream_late_drop_join": _STREAM_LATE_DROP_JOIN_SQL,
     "stream_sessionize": _STREAM_SESSIONIZE_SQL,
     "stream_exact_dedup": _STREAM_EXACT_DEDUP_SQL,
 }

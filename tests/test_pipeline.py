@@ -1084,9 +1084,18 @@ def test_concurrent_commits_are_serialized(spark, webtext, tmp_path):
     )
     with ThreadPoolExecutor(8) as ex:
         list(ex.map(lambda i: delete_rows(spark, out, [i]), range(8)))
-    with open(os.path.join(out, "deletes", "manifest.json")) as f:
-        entries = _json.load(f)
+    from pyrle_spark.sources.icetable import read_delete_entries
+
+    entries = read_delete_entries(out)
     assert len(entries) == 8
+    # sharded form: 8 concurrent commits = 8 single-entry shards
+    assert len(
+        [
+            n
+            for n in os.listdir(os.path.join(out, "deletes"))
+            if n.startswith("dm-")
+        ]
+    ) == 8
     dec = decode_table(spark, out)
     assert dec.count() == N_ROWS - 8
     assert dec.filter(F.col("_order") < 8).count() == 0
@@ -2907,8 +2916,9 @@ def test_delete_rows_distributed_write_path(spark, tmp_path, monkeypatch):
     assert all(_os.path.exists(f) for f in info["files"]), vac
 
     # the manifest entry round-trips (multi-file form)
-    with open(_os.path.join(t, "deletes", "manifest.json")) as fh:
-        entries = _json.load(fh)
+    from pyrle_spark.sources.icetable import read_delete_entries
+
+    entries = read_delete_entries(t)
     assert entries[-1]["n_positions"] == n_doomed
 
     # driver path on the same table (fresh small delete) still stacks
@@ -3004,8 +3014,9 @@ def test_compact_delete_vectors(spark, tmp_path, monkeypatch):
     after = {r["_order"] for r in decode_table(spark, t).select("_order").collect()}
     assert after == before
     assert count_rows(spark, t) == len(before)
-    with open(_os.path.join(t, "deletes", "manifest.json")) as fh:
-        entries = _json.load(fh)
+    from pyrle_spark.sources.icetable import read_delete_entries
+
+    entries = read_delete_entries(t)
     assert len(entries) == 1 and entries[0]["compacted_from"] == 3
     # all old vector files reclaimed; only the merged one remains
     files = []
