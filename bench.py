@@ -417,6 +417,98 @@ def main() -> None:
         duckdb_s = {"error": str(ex)[:200]}
         ratios = {}  # drop partial ratios: timings behind them were discarded
 
+    # ---- full TPC-H comparator (r4 verdict task #4) + sf1 point (#3) ----
+    # The headliner comparator above covers 2 of the TPC-H family; the
+    # regression trend needs all of them.  And at sf0.1 (~130 MB) the
+    # ratios are fixed-overhead-dominated, so the same family runs again
+    # on a deterministic 10× fact-scaled synthesis (tpch_scale.py) — the
+    # two points make the crossover trend BASELINE.md tracks measurable.
+    def _register_views(con, sf_dir):
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split():
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.isdir(p):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM read_parquet('{p}/*.parquet')"
+                )
+            elif os.path.exists(p):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+                )
+
+    def _compare_family(names, sf_dir, osql, spark_reps=2, duck_reps=2):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {CPUS}")
+        _register_views(con, sf_dir)
+        block: dict = {}
+        for qname in names:
+            fn = relational.QUERIES.get(qname) or fn_registry.QUERIES.get(qname)
+            sql = osql.get(qname)
+            if fn is None or sql is None:
+                continue
+            row: dict = {}
+            best = None
+            # compressed-domain queries re-encode their table per call
+            # (self-contained oracle fixtures) — one rep, the number is
+            # encode-dominated and reps would double bench wall for no
+            # comparator signal
+            reps = 1 if qname.endswith("_compressed") else spark_reps
+            for _ in range(reps):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            row["spark_s"] = round(best, 3)
+            best = None
+            for _ in range(duck_reps):
+                t0 = time.time()
+                con.sql(sql).fetchall()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            row["duckdb_s"] = round(best, 3)
+            row["ratio"] = round(row["spark_s"] / max(row["duckdb_s"], 1e-9), 2)
+            block[qname] = row
+        con.close()
+        return block
+
+    tpch_block: dict = {}
+    sf1_block: dict = {}
+    if os.environ.get("SPARK_GRAFT_TPCH_COMPARE", "1") != "0":
+        try:
+            import __spark_entry__ as entry
+
+            osql = entry.oracle_sql()
+            tpch_names = sorted(
+                n for n in relational.QUERIES if n.startswith("tpch_")
+            )
+            tpch_block = _compare_family(tpch_names, SF_DIR, osql)
+            # sf1: 10× fact-scaled TPC-H synthesis on tmpfs (idempotent,
+            # deterministic — reused across bench runs in one boot).  The
+            # compressed-domain queries re-encode per call and their
+            # oracles scan raw parquet (not an engine-vs-engine ratio),
+            # so the sf1 family is the 22 batch queries.
+            from pyrle_spark.sources.tpch_scale import scale_tpch
+
+            sf1_dir = os.path.join(SCRATCH or tempfile.gettempdir(), "pyrle_sf1")
+            scale_tpch(spark, SF_DIR, sf1_dir, factor=10)
+            batch_tpch = [
+                n for n in tpch_names if not n.endswith("_compressed")
+            ]
+            sf1_block = _compare_family(batch_tpch, sf1_dir, osql)
+            sf1_block = {
+                "sf": sf * 10,
+                "dir": sf1_dir,
+                "queries": sf1_block,
+            }
+        except Exception as ex:  # comparator must never fail the bench
+            tpch_block = {"error": str(ex)[:200]}
+            sf1_block = {"error": str(ex)[:200]}
+
     out = {
         "metric": "pyrle_spark headline (encode+decode+relational)",
         "value": round(sum(queries.values()), 3),
@@ -426,6 +518,8 @@ def main() -> None:
         "cpus": CPUS,
         "duckdb_s": duckdb_s,
         "spark_vs_duckdb": ratios,
+        "tpch": tpch_block,
+        "sf1": sf1_block,
         **extras,
     }
     print(json.dumps(out))

@@ -28,10 +28,17 @@ N_BINS = 16
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Real image decode requires an imaging library not present in this
-    environment — the pipeline seam is here, clearly marked."""
+    """Real image decode.  PNG decodes for real — pure numpy + stdlib
+    zlib (``functions/png.py``), no imaging library needed — covering
+    the 8-bit gray/RGB/RGBA non-interlaced subset a pipeline generates
+    and the web's lossless standard.  Other formats (JPEG's DCT stack
+    needs a real library) still raise at this clearly-marked seam."""
+    from pyrle_spark.functions.png import _SIG, decode_png
+
+    if bytes(payload[:8]) == _SIG:
+        return decode_png(bytes(payload))
     raise NotImplementedError(
-        "image decoding needs an imaging library (e.g. Pillow); "
+        "non-PNG image decoding needs an imaging library (e.g. Pillow); "
         "wire it in here — the surrounding Spark plumbing is ready"
     )
 
@@ -342,11 +349,100 @@ FROM per_doc GROUP BY lang
 """
 
 
+def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the Arrow batch plumbing, certified by
+    a closed-form pixel rule: per document, a deterministic RGB image
+    (h = 8 + d%5, w = 8 + d%7; flat pixel byte i = (31·d + 7·i) mod 256)
+    is PNG-ENCODED into a binary column in one ``mapInPandas`` stage,
+    then a SECOND stage — seeing only the payload bytes — runs
+    :func:`decode_image` (the pure-numpy PNG decoder) and emits pixel
+    stats.  The DuckDB oracle evaluates the pixel rule directly
+    (``generate_series`` — no PNG anywhere), so any byte the
+    encode→Arrow→decode path mangles diverges the sums.  This is the
+    multimodal pipeline's decode hot-path shape with the decoder no
+    longer stubbed.
+
+    Scale shape: embarrassingly parallel over documents; payloads live
+    only inside their Arrow batch, never on the driver."""
+    from pyrle_spark.functions.png import encode_png
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                h, w = 8 + d % 5, 8 + d % 7
+                n = h * w * 3
+                px = (
+                    (31 * d + 7 * np.arange(n, dtype=np.int64)) % 256
+                ).astype(np.uint8).reshape(h, w, 3)
+                payloads.append(encode_png(px))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    imgs = docs.mapInPandas(gen, "doc_id long, payload binary")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                h, w, c = img.shape
+                flat = img.reshape(-1).astype(np.int64)
+                idx = np.arange(len(flat), dtype=np.int64)
+                rows.append(
+                    (
+                        int(d),
+                        h,
+                        w,
+                        c,
+                        int(flat.sum()),
+                        int((idx * flat).sum() % 1_000_000_007),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "height", "width", "channels",
+                    "px_sum", "px_weighted",
+                ],
+            )
+
+    return imgs.mapInPandas(
+        stats,
+        "doc_id long, height int, width int, channels int, "
+        "px_sum long, px_weighted long",
+    )
+
+
+_IMAGE_DECODE_STATS_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         8 + doc_id % 5 AS height,
+         8 + doc_id % 7 AS width
+  FROM documents
+), px AS (
+  SELECT doc_id, height, width, i,
+         (31 * doc_id + 7 * i) % 256 AS p
+  FROM dims, unnest(generate_series(0, height * width * 3 - 1)) AS t(i)
+)
+SELECT doc_id, CAST(height AS INT) AS height, CAST(width AS INT) AS width,
+       3 AS channels,
+       CAST(sum(p) AS BIGINT) AS px_sum,
+       CAST(sum(i * p) % 1000000007 AS BIGINT) AS px_weighted
+FROM px GROUP BY doc_id, height, width
+"""
+
+
 QUERIES = {
     "byte_histogram": byte_histogram,
     "multimodal_meta": multimodal_meta,
     "payload_block_stats": payload_block_stats,
     "payload_run_profile": payload_run_profile,
+    "image_decode_stats": image_decode_stats,
 }
 
 ORACLE_SQL = {
@@ -354,4 +450,5 @@ ORACLE_SQL = {
     "multimodal_meta": _MULTIMODAL_META_SQL,
     "payload_block_stats": _PAYLOAD_BLOCK_STATS_SQL,
     "payload_run_profile": _PAYLOAD_RUN_PROFILE_SQL,
+    "image_decode_stats": _IMAGE_DECODE_STATS_SQL,
 }
