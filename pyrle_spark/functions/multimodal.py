@@ -107,14 +107,29 @@ def fake_resize(payload: bytes, h: int, w: int) -> bytes:
     return arr[idx].tobytes()
 
 
+def resize_png(payload: bytes, h: int, w: int) -> bytes:
+    """REAL image resize for PNG payloads: decode (pure-numpy PNG),
+    nearest-neighbor resample (``src_y = (y·H)//h`` — the standard
+    floor mapping, pure index gather), re-encode.  Deterministic and
+    closed-form certifiable (see ``image_resize_stats``)."""
+    from pyrle_spark.functions.png import encode_png
+
+    img = decode_image(payload)
+    H, W = img.shape[0], img.shape[1]
+    ys = (np.arange(h, dtype=np.int64) * H) // h
+    xs = (np.arange(w, dtype=np.int64) * W) // w
+    return encode_png(img[ys][:, xs])
+
+
 def resize_images(
     df: DataFrame, payload_col: str = "payload", h: int = 8, w: int = 8
 ) -> DataFrame:
     """Batch image resize over ``mapInPandas``: binary in → binary out
-    plus (height, width) metadata columns.  The decode/resample seam is
-    :func:`fake_resize` (stub; see :func:`decode_image`); the Spark
-    plumbing — Arrow batches, schema, vectorized loop per batch — is the
-    production shape."""
+    plus (height, width) metadata columns.  PNG payloads take the REAL
+    decode → nearest-neighbor → re-encode path (:func:`resize_png`);
+    other formats keep the deterministic :func:`fake_resize` stand-in.
+    The Spark plumbing — Arrow batches, schema, vectorized loop per
+    batch — is the production shape either way."""
     other = [c for c in df.columns if c != payload_col]
     # preserve each passthrough column's REAL type (url strings, binary
     # sidecars) — hardcoding long breaks Arrow conversion at runtime
@@ -124,11 +139,16 @@ def resize_images(
         + ["resized binary, height int, width int"]
     )
 
+    from pyrle_spark.functions.png import _SIG
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {c: pdf[c] for c in other}
             out["resized"] = [
-                fake_resize(bytes(p), h, w) for p in pdf[payload_col]
+                resize_png(bytes(p), h, w)
+                if bytes(p)[:8] == _SIG
+                else fake_resize(bytes(p), h, w)
+                for p in pdf[payload_col]
             ]
             out["height"] = h
             out["width"] = w
@@ -437,12 +457,94 @@ FROM px GROUP BY doc_id, height, width
 """
 
 
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full REAL multimodal hot path — decode → nearest-neighbor
+    resample → re-encode → decode — certified end-to-end: per document
+    the same closed-form source image as :func:`image_decode_stats`,
+    pushed through :func:`resize_images` (PNG path) to a fixed 6×6, then
+    the RESIZED payload decodes and its pixel stats must equal the
+    oracle's direct evaluation of the nearest-neighbor index arithmetic
+    (``src_y = (y·H)//6``) over the pixel rule — DuckDB never sees a
+    PNG byte.  Every stage crosses a real binary Arrow column."""
+    from pyrle_spark.functions.png import encode_png
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                h, w = 8 + d % 5, 8 + d % 7
+                n = h * w * 3
+                px = (
+                    (31 * d + 7 * np.arange(n, dtype=np.int64)) % 256
+                ).astype(np.uint8).reshape(h, w, 3)
+                payloads.append(encode_png(px))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    imgs = docs.mapInPandas(gen, "doc_id long, payload binary")
+    resized = resize_images(imgs, "payload", h=6, w=6)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["resized"]):
+                img = decode_image(bytes(payload))
+                flat = img.reshape(-1).astype(np.int64)
+                idx = np.arange(len(flat), dtype=np.int64)
+                rows.append(
+                    (
+                        int(d),
+                        img.shape[0],
+                        img.shape[1],
+                        int(flat.sum()),
+                        int((idx * flat).sum() % 1_000_000_007),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "height", "width", "px_sum", "px_weighted"],
+            )
+
+    return resized.mapInPandas(
+        stats,
+        "doc_id long, height int, width int, px_sum long, px_weighted long",
+    )
+
+
+_IMAGE_RESIZE_STATS_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         8 + doc_id % 5 AS H,
+         8 + doc_id % 7 AS W
+  FROM documents
+), outpx AS (
+  SELECT doc_id,
+         i,
+         -- out index i = (y*6 + x)*3 + ch; nearest-neighbor source
+         -- byte = ((((y*H)//6)*W + (x*W)//6)*3 + ch
+         (31 * doc_id
+          + 7 * ((((i // 18) * H) // 6 * W + ((i // 3) % 6 * W) // 6) * 3
+                 + i % 3)) % 256 AS p
+  FROM dims, unnest(generate_series(0, 6 * 6 * 3 - 1)) AS t(i)
+)
+SELECT doc_id, 6 AS height, 6 AS width,
+       CAST(sum(p) AS BIGINT) AS px_sum,
+       CAST(sum(i * p) % 1000000007 AS BIGINT) AS px_weighted
+FROM outpx GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "byte_histogram": byte_histogram,
     "multimodal_meta": multimodal_meta,
     "payload_block_stats": payload_block_stats,
     "payload_run_profile": payload_run_profile,
     "image_decode_stats": image_decode_stats,
+    "image_resize_stats": image_resize_stats,
 }
 
 ORACLE_SQL = {
@@ -451,4 +553,5 @@ ORACLE_SQL = {
     "payload_block_stats": _PAYLOAD_BLOCK_STATS_SQL,
     "payload_run_profile": _PAYLOAD_RUN_PROFILE_SQL,
     "image_decode_stats": _IMAGE_DECODE_STATS_SQL,
+    "image_resize_stats": _IMAGE_RESIZE_STATS_SQL,
 }

@@ -134,6 +134,16 @@ def test_decode_rejects_interlaced():
         decode_png(data)
 
 
+def test_resize_png_nearest_neighbor():
+    from pyrle_spark.functions.multimodal import resize_png
+
+    px = _pixels(10, 14, 3)
+    out = decode_png(resize_png(encode_png(px), 6, 6))
+    ys = (np.arange(6) * 10) // 6
+    xs = (np.arange(6) * 14) // 6
+    assert np.array_equal(out, px[ys][:, xs])
+
+
 def test_decode_rejects_truncated_idat():
     px = _pixels(4, 4, 3)
     h, w, c = px.shape
