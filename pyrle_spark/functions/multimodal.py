@@ -457,6 +457,133 @@ FROM px GROUP BY doc_id, height, width
 """
 
 
+def encode_wav(samples: "np.ndarray", sample_rate: int = 16_000) -> bytes:
+    """Canonical 44-byte-header PCM16 mono WAV from an int16 sample
+    array — pure struct, no audio library."""
+    import struct
+
+    pcm = np.asarray(samples, dtype=np.int16).tobytes()
+    n = len(pcm)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", n)
+        + pcm
+    )
+
+
+def decode_audio(payload: bytes) -> tuple:
+    """Real audio decode for PCM WAV (RIFF little-endian, 16-bit,
+    uncompressed) — chunk walk + ``np.frombuffer``, no audio library.
+    Returns (samples int16 ndarray, sample_rate).  Compressed codecs
+    (mp3/aac/ogg) still raise at this clearly-marked seam."""
+    import struct
+
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "non-WAV audio decoding needs an audio library; wire it in "
+            "here — the surrounding Spark plumbing is ready"
+        )
+    pos = 12
+    rate = None
+    samples = None
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        (ln,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt, channels, rate, _, _, depth = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if fmt != 1 or depth != 16 or channels != 1:
+                raise NotImplementedError(
+                    f"only PCM16 mono WAV supported (fmt={fmt}, "
+                    f"depth={depth}, channels={channels})"
+                )
+        elif tag == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return samples, rate
+
+
+def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the Arrow plumbing, certified by a
+    closed-form sample rule: per document a deterministic PCM16 clip
+    (n = 64 + d%37 samples; sample i = ((31·d + 7·i) mod 4096) − 2048)
+    is WAV-encoded into a binary column in one stage; a second stage —
+    seeing only RIFF bytes — runs :func:`decode_audio` and emits the
+    energy-style stats (Σ|s|, Σs² mod p, zero-crossing count) a quality
+    filter computes.  The DuckDB oracle evaluates the rule directly; any
+    byte the encode→Arrow→decode path mangles diverges the sums."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 64 + d % 37
+                s = ((31 * d + 7 * np.arange(n, dtype=np.int64)) % 4096) - 2048
+                payloads.append(encode_wav(s.astype(np.int16)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    clips = docs.mapInPandas(gen, "doc_id long, payload binary")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s, rate = decode_audio(bytes(payload))
+                v = s.astype(np.int64)
+                rows.append(
+                    (
+                        int(d),
+                        len(v),
+                        rate,
+                        int(np.abs(v).sum()),
+                        int((v * v).sum() % 1_000_000_007),
+                        int(((v[:-1] < 0) != (v[1:] < 0)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sample_rate",
+                    "sum_abs", "sum_sq", "zero_crossings",
+                ],
+            )
+
+    return clips.mapInPandas(
+        stats,
+        "doc_id long, n_samples int, sample_rate int, sum_abs long, "
+        "sum_sq long, zero_crossings long",
+    )
+
+
+_AUDIO_DECODE_STATS_SQL = """
+WITH dims AS (
+  SELECT doc_id, 64 + doc_id % 37 AS n FROM documents
+), sm AS (
+  SELECT doc_id, n, i,
+         (31 * doc_id + 7 * i) % 4096 - 2048 AS s
+  FROM dims, unnest(generate_series(0, n - 1)) AS t(i)
+)
+SELECT doc_id, CAST(max(n) AS INT) AS n_samples, 16000 AS sample_rate,
+       CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+       CAST(sum(s * s) % 1000000007 AS BIGINT) AS sum_sq,
+       CAST(sum(CASE WHEN i > 0 AND ((s < 0) <>
+              ((31 * doc_id + 7 * (i - 1)) % 4096 - 2048 < 0))
+            THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM sm GROUP BY doc_id
+"""
+
+
 def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full REAL multimodal hot path — decode → nearest-neighbor
     resample → re-encode → decode — certified end-to-end: per document
@@ -545,6 +672,7 @@ QUERIES = {
     "payload_run_profile": payload_run_profile,
     "image_decode_stats": image_decode_stats,
     "image_resize_stats": image_resize_stats,
+    "audio_decode_stats": audio_decode_stats,
 }
 
 ORACLE_SQL = {
@@ -554,4 +682,5 @@ ORACLE_SQL = {
     "payload_run_profile": _PAYLOAD_RUN_PROFILE_SQL,
     "image_decode_stats": _IMAGE_DECODE_STATS_SQL,
     "image_resize_stats": _IMAGE_RESIZE_STATS_SQL,
+    "audio_decode_stats": _AUDIO_DECODE_STATS_SQL,
 }

@@ -144,6 +144,55 @@ def test_resize_png_nearest_neighbor():
     assert np.array_equal(out, px[ys][:, xs])
 
 
+def test_wav_roundtrip():
+    from pyrle_spark.functions.multimodal import decode_audio, encode_wav
+
+    s = (((31 * 7 + 7 * np.arange(101, dtype=np.int64)) % 4096) - 2048).astype(
+        np.int16
+    )
+    out, rate = decode_audio(encode_wav(s, 22_050))
+    assert rate == 22_050
+    assert np.array_equal(out, s)
+
+
+def test_wav_decoder_skips_extra_chunks_and_word_aligns():
+    import struct
+
+    from pyrle_spark.functions.multimodal import decode_audio, encode_wav
+
+    s = np.arange(-5, 5, dtype=np.int16)
+    base = encode_wav(s, 8000)
+    # splice an odd-length LIST chunk between fmt and data: the walker
+    # must skip it (with the pad byte) and still find the samples
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad byte
+    spliced = base[:fmt_end] + extra + base[fmt_end:]
+    out, rate = decode_audio(spliced)
+    assert rate == 8000 and np.array_equal(out, s)
+
+
+def test_wav_decoder_rejects_non_wav_and_stereo():
+    import struct
+
+    from pyrle_spark.functions.multimodal import decode_audio, encode_wav
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04" + b"\x00" * 64)  # mp3-ish
+    # stereo fmt chunk must raise loudly, not misparse
+    mono = encode_wav(np.zeros(4, dtype=np.int16), 8000)
+    fmt = struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+    stereo = mono[:16] + fmt[:4] + struct.pack("<HH", 1, 2) + fmt[8:] + mono[36:]
+    stereo = (
+        mono[:12]
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+        + mono[36:]
+    )
+    with pytest.raises(NotImplementedError, match="mono"):
+        decode_audio(stereo)
+
+
 def test_decode_rejects_truncated_idat():
     px = _pixels(4, 4, 3)
     h, w, c = px.shape
