@@ -26,7 +26,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # every queries() call — adding or removing a query without bumping this
 # constant fails the driver contract LOUDLY instead of silently
 # shrinking the certified surface.
-EXPECTED_QUERY_COUNT = 189
+EXPECTED_QUERY_COUNT = 190
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -512,6 +512,147 @@ def decode_audio(payload: bytes) -> tuple:
     return samples, rate
 
 
+def encode_y4m(frames: list, w: int, h: int, fps: str = "25:1") -> bytes:
+    """Minimal YUV4MPEG2 (Y4M) writer: text stream header + per-frame
+    ``FRAME`` markers + raw 4:2:0 planar payloads — the uncompressed
+    interchange container ffmpeg pipelines speak, zero dependencies.
+    Each frame must be ``w*h*3//2`` bytes (``w``/``h`` even)."""
+    fsz = w * h * 3 // 2
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps} Ip A1:1 C420\n".encode()]
+    for fr in frames:
+        b = bytes(fr)
+        if len(b) != fsz:
+            raise ValueError(f"frame is {len(b)} bytes, expected {fsz}")
+        out.append(b"FRAME\n")
+        out.append(b)
+    return b"".join(out)
+
+
+def demux_y4m(payload: bytes) -> tuple:
+    """Real video demux for Y4M: parse the stream header (W/H/C tags),
+    split on ``FRAME`` markers, return (frames, w, h) with each frame a
+    raw 4:2:0 byte array.  Compressed containers (mp4/webm need a real
+    demuxer+codec) still raise at this clearly-marked seam."""
+    b = bytes(payload)
+    if not b.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            "non-Y4M video demuxing needs a media library; wire it in "
+            "here — the surrounding Spark plumbing is ready"
+        )
+    nl = b.index(b"\n")
+    w = h = None
+    colorspace = "C420"
+    for tok in b[:nl].split()[1:]:
+        t = tok.decode()
+        if t.startswith("W"):
+            w = int(t[1:])
+        elif t.startswith("H"):
+            h = int(t[1:])
+        elif t.startswith("C"):
+            colorspace = t
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if not colorspace.startswith("C420"):
+        raise NotImplementedError(f"only 4:2:0 supported, got {colorspace}")
+    fsz = w * h * 3 // 2
+    frames = []
+    pos = nl + 1
+    while pos < len(b):
+        if b[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        fnl = b.index(b"\n", pos)  # frame headers may carry parameters
+        start = fnl + 1
+        frames.append(np.frombuffer(b[start : start + fsz], dtype=np.uint8))
+        if len(frames[-1]) != fsz:
+            raise ValueError("truncated frame payload")
+        pos = start + fsz
+    return frames, w, h
+
+
+def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video demux through the Arrow plumbing, certified by a
+    closed-form frame rule: per document a deterministic Y4M clip
+    (W = 4+2·(d%3), H = 4+2·(d%2), 3+d%4 frames; frame f byte i =
+    (31·d + 13·f + 7·i) mod 256) is muxed into a binary column; a
+    second stage — seeing only container bytes — runs
+    :func:`demux_y4m`, keeps every 2nd frame (the sampling shape a
+    feature extractor consumes), and emits one row per sampled frame
+    with its byte stats.  The oracle evaluates the rule directly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + 2 * (d % 3), 4 + 2 * (d % 2)
+                fsz = w * h * 3 // 2
+                frames = [
+                    (
+                        (31 * d + 13 * f + 7 * np.arange(fsz, dtype=np.int64))
+                        % 256
+                    ).astype(np.uint8)
+                    for f in range(3 + d % 4)
+                ]
+                payloads.append(encode_y4m(frames, w, h))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    clips = docs.mapInPandas(gen, "doc_id long, payload binary")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames, w, h = demux_y4m(bytes(payload))
+                for fi in range(0, len(frames), 2):
+                    v = frames[fi].astype(np.int64)
+                    idx = np.arange(len(v), dtype=np.int64)
+                    rows.append(
+                        (
+                            int(d), fi, w, h,
+                            int(v.sum()),
+                            int((idx * v).sum() % 1_000_000_007),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "width", "height",
+                    "byte_sum", "byte_weighted",
+                ],
+            )
+
+    return clips.mapInPandas(
+        stats,
+        "doc_id long, frame_idx int, width int, height int, "
+        "byte_sum long, byte_weighted long",
+    )
+
+
+_VIDEO_FRAME_STATS_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         4 + 2 * (doc_id % 3) AS w,
+         4 + 2 * (doc_id % 2) AS h,
+         3 + doc_id % 4 AS nf
+  FROM documents
+), fr AS (
+  SELECT doc_id, w, h, f
+  FROM dims, unnest(generate_series(0, nf - 1)) AS t(f)
+  WHERE f % 2 = 0
+), px AS (
+  SELECT doc_id, w, h, f, i,
+         (31 * doc_id + 13 * f + 7 * i) % 256 AS v
+  FROM fr, unnest(generate_series(0, w * h * 3 // 2 - 1)) AS t(i)
+)
+SELECT doc_id, CAST(f AS INT) AS frame_idx,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(sum(v) AS BIGINT) AS byte_sum,
+       CAST(sum(i * v) % 1000000007 AS BIGINT) AS byte_weighted
+FROM px GROUP BY doc_id, f, w, h
+"""
+
+
 def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode through the Arrow plumbing, certified by a
     closed-form sample rule: per document a deterministic PCM16 clip
@@ -673,6 +814,7 @@ QUERIES = {
     "image_decode_stats": image_decode_stats,
     "image_resize_stats": image_resize_stats,
     "audio_decode_stats": audio_decode_stats,
+    "video_frame_stats": video_frame_stats,
 }
 
 ORACLE_SQL = {
@@ -683,4 +825,5 @@ ORACLE_SQL = {
     "image_decode_stats": _IMAGE_DECODE_STATS_SQL,
     "image_resize_stats": _IMAGE_RESIZE_STATS_SQL,
     "audio_decode_stats": _AUDIO_DECODE_STATS_SQL,
+    "video_frame_stats": _VIDEO_FRAME_STATS_SQL,
 }

@@ -193,6 +193,40 @@ def test_wav_decoder_rejects_non_wav_and_stereo():
         decode_audio(stereo)
 
 
+def test_y4m_roundtrip_and_frame_header_params():
+    from pyrle_spark.functions.multimodal import demux_y4m, encode_y4m
+
+    w, h = 6, 4
+    fsz = w * h * 3 // 2
+    frames = [
+        ((31 + 13 * f + 7 * np.arange(fsz, dtype=np.int64)) % 256).astype(
+            np.uint8
+        )
+        for f in range(4)
+    ]
+    got, gw, gh = demux_y4m(encode_y4m(frames, w, h))
+    assert (gw, gh) == (w, h) and len(got) == 4
+    for a, b in zip(got, frames):
+        assert np.array_equal(a, b)
+    # frame markers may carry parameters (FRAME Ixyz\n) — demux must
+    # honor the newline, not assume a bare marker
+    data = encode_y4m(frames[:1], w, h).replace(b"FRAME\n", b"FRAME Ip\n")
+    got2, _, _ = demux_y4m(data)
+    assert np.array_equal(got2[0], frames[0])
+
+
+def test_y4m_rejects_non_y4m_and_bad_colorspace():
+    from pyrle_spark.functions.multimodal import demux_y4m, encode_y4m
+
+    with pytest.raises(NotImplementedError):
+        demux_y4m(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 32)  # mp4 magic
+    data = encode_y4m(
+        [np.zeros(6 * 4 * 3 // 2, dtype=np.uint8)], 6, 4
+    ).replace(b"C420", b"C444")
+    with pytest.raises(NotImplementedError, match="4:2:0"):
+        demux_y4m(data)
+
+
 def test_decode_rejects_truncated_idat():
     px = _pixels(4, 4, 3)
     h, w, c = px.shape
