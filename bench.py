@@ -499,7 +499,14 @@ def main() -> None:
             batch_tpch = [
                 n for n in tpch_names if not n.endswith("_compressed")
             ]
-            sf1_block = _compare_family(batch_tpch, sf1_dir, osql)
+            # plus the RLE-algebra / events headliners: the engine's own
+            # operator families get the same two-point trend as TPC-H
+            # (documents/events are fact-scaled in the synthesis too)
+            sf1_family = batch_tpch + [
+                "rle_encode_lang", "coverage_events", "rle_add_step",
+                "rle_add_fused", "getitems_range",
+            ]
+            sf1_block = _compare_family(sf1_family, sf1_dir, osql)
             sf1_block = {
                 "sf": sf * 10,
                 "dir": sf1_dir,

@@ -31,7 +31,16 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-FACT_KEYS = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+FACT_KEYS = {
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    # webtext-analog facts: replicated under remapped ids so the RLE /
+    # events operator families get the same 10× point as TPC-H (their
+    # queries derive everything from ids/langs/timestamps, so replica
+    # content stays deterministic and the SQL twins see identical data)
+    "documents": "doc_id",
+    "events": "event_id",
+}
 DIMS = ("region", "nation", "customer", "supplier", "part")
 
 
@@ -42,7 +51,7 @@ def scale_tpch(
     TPC-H tables in ``src_dir``.  Idempotent: an existing complete
     destination (marker file present) is reused — the synthesis is
     deterministic, so reuse is exact."""
-    marker = os.path.join(dst_dir, f"_SCALED_{factor}x")
+    marker = os.path.join(dst_dir, f"_SCALED_{factor}x_v2")
     tables = list(FACT_KEYS) + list(DIMS)
     if os.path.exists(marker):
         return {"dst": dst_dir, "factor": factor, "reused": True}

@@ -227,6 +227,65 @@ def test_y4m_rejects_non_y4m_and_bad_colorspace():
         demux_y4m(data)
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        c=st.sampled_from([1, 2, 3, 4]),
+        ft=st.sampled_from([0, 1, 2]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_png_roundtrip_property(h, w, c, ft, seed):
+        n = h * w * c
+        px = ((seed + 37 * np.arange(n, dtype=np.int64)) % 256).astype(
+            np.uint8
+        ).reshape(h, w, c)
+        assert np.array_equal(decode_png(encode_png(px, filter_type=ft)), px)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(0, 300),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_wav_roundtrip_property(n, rate, seed):
+        from pyrle_spark.functions.multimodal import decode_audio, encode_wav
+
+        s = (
+            ((seed + 97 * np.arange(n, dtype=np.int64)) % 65536) - 32768
+        ).astype(np.int16)
+        out, got_rate = decode_audio(encode_wav(s, rate))
+        assert got_rate == rate and np.array_equal(out, s)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.sampled_from([2, 4, 6, 8]),
+        h=st.sampled_from([2, 4, 6]),
+        nf=st.integers(0, 5),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_y4m_roundtrip_property(w, h, nf, seed):
+        from pyrle_spark.functions.multimodal import demux_y4m, encode_y4m
+
+        fsz = w * h * 3 // 2
+        frames = [
+            ((seed + 13 * f + 7 * np.arange(fsz, dtype=np.int64)) % 256)
+            .astype(np.uint8)
+            for f in range(nf)
+        ]
+        got, gw, gh = demux_y4m(encode_y4m(frames, w, h))
+        assert (gw, gh) == (w, h) and len(got) == nf
+        for a, b in zip(got, frames):
+            assert np.array_equal(a, b)
+
+except ImportError:  # pragma: no cover — hypothesis is baked in here
+    pass
+
+
 def test_decode_rejects_truncated_idat():
     px = _pixels(4, 4, 3)
     h, w, c = px.shape

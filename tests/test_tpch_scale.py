@@ -27,6 +27,14 @@ def test_scale_tpch_counts_and_integrity(spark, tmp_path):
         spark.read.parquet(f"{dst}/part.parquet").count()
         == spark.read.parquet(f"{SF}/part.parquet").count()
     )
+    # webtext-analog facts scale too, with collision-free id remaps
+    docs = spark.read.parquet(f"{dst}/documents.parquet")
+    assert docs.count() == 2 * spark.read.parquet(
+        f"{SF}/documents.parquet"
+    ).count()
+    assert docs.select("doc_id").distinct().count() == docs.count()
+    ev = spark.read.parquet(f"{dst}/events.parquet")
+    assert ev.select("event_id").distinct().count() == ev.count()
     # referential integrity: every lineitem still joins an order
     orphans = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"),
                       "left_anti").count()
