@@ -1407,6 +1407,45 @@ class IceTable:
                     continue
             if not dry_run and root != data_root and not os.listdir(root):
                 os.rmdir(root)
+        # crash-debris sweep under deletes/: a takedown killed between
+        # its shard write and the index swap (or an aborted distributed
+        # vector write) leaves orphan dm-*.json / del-* files that no
+        # index or entry references — harmless to reads (the index is
+        # the source of truth) but worth reclaiming.  Live set: the
+        # index itself, every INDEXED shard, every referenced vector
+        # file (already in ``live``).  Same mtime safety floor.
+        del_root = os.path.join(self.path, "deletes")
+        if os.path.isdir(del_root):
+            live.add(os.path.realpath(_delete_index_path(self.path)))
+            idx_p = _delete_index_path(self.path)
+            if os.path.exists(idx_p):
+                with open(idx_p) as f:
+                    idx = json.load(f)
+                refs = idx.get("shards", []) if isinstance(idx, dict) else []
+                for ref in refs:
+                    live.add(os.path.realpath(os.path.join(del_root, ref)))
+            for root, _, names in os.walk(del_root, topdown=False):
+                for name in names:
+                    full = os.path.join(root, name)
+                    if os.path.realpath(full) in live:
+                        continue
+                    try:
+                        if os.path.getmtime(full) > cutoff:
+                            continue
+                        reclaimed += os.path.getsize(full)
+                        if dry_run:
+                            candidates.append(full)
+                        else:
+                            os.remove(full)
+                        deleted += 1
+                    except FileNotFoundError:
+                        continue
+                if (
+                    not dry_run
+                    and root != del_root
+                    and not os.listdir(root)
+                ):
+                    os.rmdir(root)
         out = {"deleted_files": deleted, "reclaimed_bytes": reclaimed}
         if dry_run:
             out["candidates"] = candidates

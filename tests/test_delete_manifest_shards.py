@@ -153,6 +153,30 @@ def test_marker_clear_rewrites_only_affected_shards(spark, small_table):
     assert count_rows(spark, t) == 2400 - 2
 
 
+def test_orphan_shard_invisible_and_vacuumed(spark, small_table):
+    """Crash between shard write and index swap leaves an orphan
+    dm-*.json: reads must not see it (the index is the source of
+    truth), and vacuum reclaims it without touching indexed shards or
+    referenced vectors."""
+    from pyrle_spark.sources.icetable import _write_delete_shard
+
+    t = small_table
+    delete_rows(spark, t, [0, 1])
+    # simulate the crash: a shard exists but was never indexed
+    _write_delete_shard(
+        t, [{"file": os.path.join(t, "deletes", "nope.parquet"),
+             "n_positions": 1, "as_of_snapshot": None, "as_of_ts": None}]
+    )
+    assert len(_shard_files(t)) == 2
+    assert len(read_delete_entries(t)) == 1  # orphan invisible
+    assert count_rows(spark, t) == 1998
+    res = IceTable(t).vacuum(older_than_s=0.0, force=True)
+    assert res["deleted_files"] >= 1  # the orphan (plus any data debris)
+    assert len(_shard_files(t)) == 1  # orphan gone, indexed shard kept
+    assert len(read_delete_entries(t)) == 1
+    assert count_rows(spark, t) == 1998  # vectors untouched
+
+
 def test_clone_copies_delete_shards(spark, small_table, tmp_path):
     t = small_table
     delete_rows(spark, t, [0, 1, 2])
