@@ -107,8 +107,9 @@ def read_delete_entries(table_dir: str) -> list:
 
 
 def _read_delete_index(table_dir: str):
-    """(index dict, wrapped) — wraps a legacy inline list into one shard
-    so subsequent commits are O(1).  Caller holds the commit lock."""
+    """The index dict; a legacy inline list is wrapped into one shard
+    first so subsequent commits are O(1).  Caller holds the commit
+    lock."""
     p = _delete_index_path(table_dir)
     if not os.path.exists(p):
         return {"format": 2, "shards": []}
